@@ -1,0 +1,97 @@
+"""Local replica of the driver's t2 oracle check: run every registered
+query's Spark DataFrame AND its DuckDB oracle SQL on the same parquet
+tables, then compare row count, column names, and (column-name-sorted,
+row-sorted) values.
+
+Floats are compared with a tight tolerance; the registered queries round
+volatile float outputs explicitly so the driver's exact value-hash also
+matches.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from utils_spark.registry import load_all
+
+REGISTRY = load_all()
+ORACLED = [n for n, q in sorted(REGISTRY.items()) if q.oracle is not None]
+ROWS_ONLY = [n for n, q in sorted(REGISTRY.items()) if q.oracle is None]
+
+
+def _normalize(rows, columns):
+    """Sort columns by name, then rows; normalize values for comparison."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def norm_val(v):
+        if v is None:
+            return ("\x00null",)
+        if isinstance(v, bool):
+            return ("b", v)
+        if isinstance(v, float):
+            if math.isnan(v):
+                return ("f", "nan")
+            return ("f", round(v, 9))
+        if isinstance(v, int):
+            return ("f", float(v)) if abs(v) < 2**52 else ("i", v)
+        try:  # Decimal → float
+            import decimal
+
+            if isinstance(v, decimal.Decimal):
+                return ("f", round(float(v), 9))
+        except ImportError:
+            pass
+        return ("s", str(v))
+
+    return sorted(tuple(norm_val(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_parity(spark, duck, sf_dir, name):
+    qd = REGISTRY[name]
+    sdf = qd.fn(spark, sf_dir)
+    spark_cols = [c.lower() for c in sdf.columns]
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(qd.oracle)
+    duck_cols = [d[0].lower() for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    ns = _normalize(spark_rows, spark_cols)
+    nd = _normalize(duck_rows, duck_cols)
+    mismatches = [(a, b) for a, b in zip(ns, nd) if a != b]
+    assert not mismatches, f"{name}: {len(mismatches)} value mismatches; first: {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, sf_dir, name):
+    qd = REGISTRY[name]
+    sdf = qd.fn(spark, sf_dir)
+    assert sdf.columns, f"{name}: no columns"
+    sdf.collect()  # must execute without error
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(entry_mod.oracle_sql()[k] for k in entry_mod.oracle_sql())
+
+
+def test_registry_consistency():
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    os_ = entry_mod.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 10

@@ -1,0 +1,91 @@
+"""Sources and sinks.
+
+The reference reads TSV/CSV (with or without headers / row-name columns),
+HDF5-Loom, and R binary blobs, and writes CSV/RData
+(reference R/reference.R:234-241, R/qc_rna.R:54-55, R/funx_enrichment.R:152).
+Our engine standardizes on columnar Parquet for bulk data with CSV/TSV scan
+helpers for interchange; formats with no Spark reader (Loom/RDS) are handled
+by one-time converters upstream, never at query time.
+
+At scale: all scans are plain ``spark.read`` DataFrameReader calls so
+Catalyst pushes filters/column pruning into the parquet reader
+(check ``PushedFilters`` / ``ReadSchema`` in ``df.explain``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# the driver-provided star schema (TESTDATA.md)
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# small dimension tables that should always broadcast in joins
+DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one star-schema table (columnar parquet; pruning/pushdown-able).
+
+    `events.ts` is stored as TIMESTAMP(NANOS); with
+    spark.sql.legacy.parquet.nanosAsLong it arrives as long nanos and is
+    converted here to a µs-truncated TimestampType (floor division — the
+    same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP, so
+    oracle comparisons stay bit-identical).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every star-schema table as a temp view for spark.sql use."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_delimited(
+    spark: SparkSession,
+    path: str,
+    sep: str = "\t",
+    header: bool = True,
+    infer_schema: bool = True,
+) -> DataFrame:
+    """Delimited-text scan (TSV/CSV, transparent .gz).
+
+    Covers reference scan surface S1-S4 (R/reference.R:234-241,
+    R/qc_rna.R:54-55): ``fread``/``read_tsv``/``read.csv``/``read.table``.
+    Row-name columns stay ordinary columns (design rule — keys are columns).
+    """
+    return (
+        spark.read.option("sep", sep)
+        .option("header", str(header).lower())
+        .option("inferSchema", str(infer_schema).lower())
+        .csv(path)
+    )
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
+    """CSV sink (reference S8: R/funx_enrichment.R:152-154)."""
+    df.write.option("header", str(header).lower()).mode(mode).csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    """Columnar sink (replaces reference RDS/RData sinks S9: R/bitfam.R:10)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

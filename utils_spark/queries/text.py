@@ -1,0 +1,367 @@
+"""Text-analysis + deduplication operators over the `documents` table —
+the LLM-training-data-pipeline surface (BASELINE.json north star):
+token counting, quality scoring, n-gram language ID, document
+fingerprinting, exact dedup, n-gram Jaccard near-dup, MinHash+LSH.
+
+Design for 100 TB: everything per-document is a JVM-side array expression
+(sequence/transform/aggregate — no UDF, no explode) so it scales embarrassingly
+parallel; only the pairwise/dedup steps shuffle, and those shuffle on
+shingle/band keys (bounded by LSH banding, not O(n²)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from utils_spark.functions import char_shingles, md5_long, word_tokens
+from utils_spark.io import load_table
+from utils_spark.registry import register
+
+# tiny deterministic English stopword profile for quality/lang scoring
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+def _seeded_hasher(i: int):
+    """Hash-function factory for MinHash: shingle -> md5int(f'{i}:{shingle}').
+
+    Must be a factory (NOT a two-arg lambda with a default): F.transform
+    treats a two-parameter lambda as (element, index).
+    """
+    return lambda s: md5_long(F.concat_ws(":", F.lit(str(i)), s))
+
+
+@register(
+    "token_stats",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS avg_token_len
+    FROM documents
+    """,
+    tags=("text", "tokens"),
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per document: whitespace tokens, char counts, mean
+    token length — all array expressions, zero shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = word_tokens("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / F.size(toks), 6
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           ROUND(CAST(len(list_filter(toks, w -> list_contains({list(STOPWORDS)!r}, w))) AS DOUBLE)
+                 / len(toks), 6) AS stopword_ratio,
+           ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS distinct_ratio,
+           CASE WHEN len(toks) BETWEEN 10 AND 1000
+                     AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.2
+                THEN 1 ELSE 0 END AS passes_quality
+    FROM t
+    """,
+    tags=("text", "quality"),
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: stopword ratio, lexical diversity
+    (distinct/total tokens), and a composite pass flag — the standard
+    cheap heuristics of LLM-data curation pipelines. Map-only."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = word_tokens("text")
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = F.size(F.filter(toks, lambda w: F.array_contains(sw, w))).cast("double") / F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.when(F.size(toks).between(10, 1000) & (distinct_ratio > 0.2), 1).otherwise(0).alias("passes_quality"),
+    )
+
+
+@register(
+    "lang_id_ngram",
+    oracle="""
+    WITH shingled AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(range(1, GREATEST(length(text) - 2, 1) + 1),
+                                          i -> substr(text, i, 3))) AS grams
+      FROM documents
+    ),
+    doc_gram AS (SELECT doc_id, lang, unnest(grams) AS gram FROM shingled),
+    profile AS (
+      SELECT lang AS p_lang, gram FROM (
+        SELECT lang, gram, COUNT(*) AS df,
+               row_number() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, gram) AS rnk
+        FROM doc_gram GROUP BY lang, gram
+      ) WHERE rnk <= 25
+    ),
+    scores AS (
+      SELECT d.doc_id, d.lang, p.p_lang, COUNT(*) AS hits
+      FROM doc_gram d JOIN profile p ON d.gram = p.gram
+      GROUP BY d.doc_id, d.lang, p.p_lang
+    ),
+    best AS (
+      SELECT doc_id, lang, p_lang AS predicted_lang,
+             row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, p_lang) AS rnk
+      FROM scores
+    )
+    SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM best WHERE rnk = 1 GROUP BY lang, predicted_lang
+    """,
+    tags=("text", "lang-id"),
+)
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language identification: build a top-25-trigram
+    profile per language from the labeled corpus (document frequency),
+    score each doc by distinct-trigram hits against each profile, predict
+    argmax; report the lang × predicted confusion counts.
+
+    Scale: per-doc shingling is map-side; the profile is tiny (n_langs × 25)
+    and broadcast into the scoring join; only doc→gram explode shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    doc_gram = d.select("doc_id", "lang", F.explode(char_shingles("text", 3)).alias("gram"))
+    from pyspark.sql import Window
+
+    wprof = Window.partitionBy("lang").orderBy(F.desc("df"), F.asc("gram"))
+    profile = (
+        doc_gram.groupBy("lang", "gram")
+        .agg(F.count("*").alias("df"))
+        .withColumn("rnk", F.row_number().over(wprof))
+        .filter(F.col("rnk") <= 25)
+        .select(F.col("lang").alias("p_lang"), "gram")
+    )
+    scores = (
+        doc_gram.join(F.broadcast(profile), "gram")
+        .groupBy("doc_id", "lang", "p_lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    wbest = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("p_lang"))
+    best = scores.withColumn("rnk", F.row_number().over(wbest)).filter(F.col("rnk") == 1)
+    return best.groupBy("lang", F.col("p_lang").alias("predicted_lang")).agg(F.count("*").alias("n"))
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+    FROM (
+      SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ) GROUP BY fingerprint HAVING COUNT(*) > 1
+    """,
+    tags=("text", "dedup", "fingerprint"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup fingerprinting: md5 over whitespace-normalized
+    lowercase text; groups of >1 doc sharing a fingerprint are duplicate
+    clusters, canonical = min doc_id. Hash-groupBy — the exact-dedup
+    primitive of every curation pipeline; shuffles 16-byte keys only."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    return (
+        d.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_doc"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "exact_dedup",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dupes
+    FROM documents
+    """,
+    tags=("text", "dedup"),
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-hash dedup summary (hash-groupBy dedup; at 100 TB this runs as
+    one shuffle of md5 keys + AQE-coalesced counts)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        (F.count("*") - F.countDistinct(F.md5("text"))).alias("n_dupes"),
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH shingled AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, GREATEST(length(text) - 4, 1) + 1),
+                                          i -> substr(text, i, 5))) AS grams
+      FROM documents WHERE doc_id < 200
+    ),
+    exploded AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS gram FROM shingled),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             ANY_VALUE(a.sz) AS sz_a, ANY_VALUE(b.sz) AS sz_b, COUNT(*) AS n_common
+      FROM exploded a JOIN exploded b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common), 6) AS jaccard
+    FROM inter
+    WHERE CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common) >= 0.5
+    """,
+    tags=("text", "dedup", "jaccard", "bench"),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection by exact 5-gram Jaccard similarity ≥ 0.5
+    (restricted to doc_id < 200 to bound the pairwise candidate space in
+    the oracle-checked query; the LSH variant below is the scale path).
+
+    Scale shape: explode shingles → self-join on shingle (shuffle co-
+    locates equal shingles) → per-pair intersection counts. Candidate
+    blowup is bounded by shingle frequency; hot shingles are the skew
+    risk — the MinHash/LSH variant removes them by banding."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    shingled = d.select("doc_id", char_shingles("text", 5).alias("grams"))
+    exploded = shingled.select(
+        "doc_id", F.size("grams").alias("sz"), F.explode("grams").alias("gram")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.first(F.col("a.sz")).alias("sz_a"),
+            F.first(F.col("b.sz")).alias("sz_b"),
+            F.count("*").alias("n_common"),
+        )
+    )
+    jac = F.col("n_common").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 6))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@register(
+    "minhash_signature",
+    oracle="""
+    WITH shingled AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, GREATEST(length(text) - 4, 1) + 1),
+                                          i -> substr(text, i, 5))) AS grams
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_min(list_transform(grams,
+                s -> CAST(('0x' || substr(md5(concat('0:', s)), 1, 15)) AS BIGINT))) AS BIGINT) AS h0,
+           CAST(list_min(list_transform(grams,
+                s -> CAST(('0x' || substr(md5(concat('1:', s)), 1, 15)) AS BIGINT))) AS BIGINT) AS h1,
+           CAST(list_min(list_transform(grams,
+                s -> CAST(('0x' || substr(md5(concat('2:', s)), 1, 15)) AS BIGINT))) AS BIGINT) AS h2,
+           CAST(list_min(list_transform(grams,
+                s -> CAST(('0x' || substr(md5(concat('3:', s)), 1, 15)) AS BIGINT))) AS BIGINT) AS h3
+    FROM shingled
+    """,
+    tags=("text", "dedup", "minhash"),
+)
+def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (4 hash functions shown; the LSH pipeline uses 16)
+    computed WITHOUT explode: per-row array transforms + array_min, so the
+    signature step is embarrassingly parallel with zero shuffle — the only
+    shuffle in the full dedup pipeline is the band-bucket join.
+
+    Hash family: md5(i ':' shingle) → 60-bit int (engine-independent,
+    seed-indexed — SURVEY §7.2 determinism rule)."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = char_shingles("text", 5)
+    cols = [
+        F.array_min(F.transform(grams, _seeded_hasher(i))).alias(f"h{i}") for i in range(4)
+    ]
+    return d.select("doc_id", *cols)
+
+
+@register(
+    "minhash_lsh_pairs",
+    # rows-only check: the banding join is not reasonably expressible in
+    # one oracle SQL, but the signature math is oracled by minhash_signature
+    oracle=None,
+    tags=("text", "dedup", "minhash", "lsh"),
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding candidate pairs: 16 hashes, 4 bands × 4 rows.
+    Docs sharing any band hash become candidates; estimated Jaccard =
+    fraction of equal signature components; keep est ≥ 0.5.
+
+    Scale: signatures map-side (see minhash_signature); band join shuffles
+    only (band_id, band_hash) keys — no O(n²) pair enumeration. This is
+    the canonical 100 TB near-dup design (MinHashLSH as in MLlib, but with
+    deterministic md5 hashing and explicit banding)."""
+    n_hashes, n_bands = 16, 4
+    rows_per_band = n_hashes // n_bands
+    d = load_table(spark, sf_dir, "documents")
+    grams = char_shingles("text", 5)
+    sig = d.select(
+        "doc_id",
+        F.array(
+            *[F.array_min(F.transform(grams, _seeded_hasher(i))) for i in range(n_hashes)]
+        ).alias("sig"),
+    )
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(F.concat_ws(",", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])).alias(
+                            "band_hash"
+                        ),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "sig", "band.band_id", "band.band_hash")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (
+                F.size(F.filter(F.zip_with("a.sig", "b.sig", lambda x, y: x == y), lambda v: v)).cast("double")
+                / n_hashes
+            ).alias("est_jaccard"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("est_jaccard") >= 0.5).select(
+        "doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )

@@ -1,0 +1,175 @@
+"""Vector / embedding operators over the `embeddings` table: similarity
+search (brute-force cosine top-k baseline + LSH-bucketed scale path),
+embedding statistics, centroid computation.
+
+The north-star similarity-search surface (BASELINE.json). All dot products
+are JVM-side array expressions (zip_with + aggregate) — no Python in the
+hot path; float arrays are cast to double once for stable math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from utils_spark.functions import cosine_similarity, to_double_array
+from utils_spark.io import load_table
+from utils_spark.registry import register
+
+
+@register(
+    "embedding_stats",
+    oracle="""
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))), 6) AS avg_norm,
+           ROUND(AVG(list_avg(CAST(embedding AS DOUBLE[]))), 6) AS avg_mean_component
+    FROM embeddings GROUP BY label
+    """,
+    tags=("vector", "similarity"),
+)
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding statistics: L2 norm and mean component, via
+    aggregate/zip_with array kernels. Map-side math + one tiny hash agg."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = to_double_array("embedding")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    mean_comp = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x) / F.size(v)
+    return e.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(norm), 6).alias("avg_norm"),
+        F.round(F.avg(mean_comp), 6).alias("avg_mean_component"),
+    )
+
+
+@register(
+    "cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    sims AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+             ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))),
+                   6) AS cosine
+      FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM sims)
+    WHERE rn <= 5
+    """,
+    tags=("vector", "similarity", "ann", "bench"),
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for a query set (vec_id < 10) —
+    the exact-answer ANN baseline.
+
+    Scale: the QUERY side broadcasts (queries are small by definition);
+    the corpus side streams partition-parallel — a 100 TB corpus never
+    shuffles, each partition scores locally and emits its local top-k,
+    then per-query top-k merges on the (tiny) query key. Cosine is rounded
+    to 6dp before ranking so ordering is engine-stable."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), to_double_array("embedding").alias("qvec")
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        to_double_array("embedding").alias("nvec"),
+    )
+    sims = (
+        F.broadcast(q)
+        .join(corpus, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(cosine_similarity(F.col("qvec"), F.col("nvec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
+
+
+@register(
+    "label_centroids",
+    oracle="""
+    SELECT label, CAST(d.dim AS INT) AS dim,
+           ROUND(AVG(CAST(embedding[d.dim] AS DOUBLE)), 6) AS centroid_x
+    FROM embeddings, (SELECT unnest(range(1, 5)) AS dim) d
+    GROUP BY label, d.dim
+    """,
+    tags=("vector", "similarity", "M12-centroid"),
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids (first 4 dims reported) — the centroid step of
+    cluster-based trajectory/MST operators (reference M12:
+    R/slingshot.R:8-55 cluster-centroid MST) and of IVF index building.
+
+    Spark path: posexplode + groupBy(label, dim) — partial aggregation
+    makes this one bounded shuffle of (label × dim) keys."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode(to_double_array("embedding")).alias("pos", "x")
+    ).withColumn("dim", (F.col("pos") + 1).cast("int")).filter(F.col("dim") <= 4)
+    return comp.groupBy("label", "dim").agg(F.round(F.avg("x"), 6).alias("centroid_x"))
+
+
+@register(
+    "ann_ivf_bucketed",
+    # rows-only: IVF routing (nearest-centroid assignment then in-bucket
+    # search) is checked structurally; the exact-baseline above is oracled
+    oracle=None,
+    tags=("vector", "similarity", "ann", "ivf"),
+)
+def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbors: assign every vector to its
+    nearest label-centroid (the coarse quantizer), then search only within
+    the query's probe bucket — the scale path for ANN over 100 TB, where
+    brute force is O(corpus) per query but IVF is O(corpus/n_buckets).
+
+    Here the existing `label` partitioning doubles as the IVF cell: we
+    (1) compute exact centroids per label, (2) route queries to their
+    nearest centroid, (3) top-5 within the routed bucket only. Returns
+    (query_id, neighbor_id, cosine, probed_label)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", "label", to_double_array("embedding").alias("v"))
+    # (1) centroids: posexplode → avg per (label, dim) → re-assemble arrays
+    comp = vecs.select("label", F.posexplode("v").alias("dim", "x"))
+    cent = (
+        comp.groupBy("label", "dim")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("pairs"))
+        .select("label", F.transform("pairs", lambda p: p["cx"]).alias("centroid"))
+    )
+    # (2) route queries (vec_id < 10) to nearest centroid by cosine
+    q = vecs.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    routed = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qv",
+            F.col("label").alias("probed_label"),
+            cosine_similarity(F.col("qv"), F.col("centroid")).alias("csim"),
+        )
+    )
+    wroute = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("probed_label"))
+    routed = routed.withColumn("rn", F.row_number().over(wroute)).filter(F.col("rn") == 1).drop("rn", "csim")
+    # (3) search only the probed bucket
+    sims = (
+        routed.join(vecs, (vecs.label == routed.probed_label) & (vecs.vec_id != routed.query_id))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "probed_label",
+            F.round(cosine_similarity(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    wtop = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return sims.withColumn("rn", F.row_number().over(wtop)).filter(F.col("rn") <= 5).drop("rn")
