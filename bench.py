@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed twice: a warm-up pass is NOT taken (we report the
+first measured run after a session-level warm-up query) so JIT/classloading
+noise lands outside the measurement, matching how a long-lived cluster
+session behaves.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "grouped_quantiles",      # hash agg + exact percentiles (TPC-H Q1 shape)
+    "multiway_join_revenue",  # fact-fact join + broadcast dims (Q5 shape)
+    "pseudobulk_sum",         # high-cardinality groupBy
+    "mad_outliers",           # two-pass grouped medians + broadcast-join flags
+    "bh_adjust",              # window chains per family
+    "sessionize",             # per-user ordered windows + session agg
+    "tumbling_window",        # event-time windows
+    "monthly_rollup",         # date_trunc rollup + count distinct
+    "ks_test",                # ECDF windows over pooled distinct values
+    "ngram_jaccard_pairs",    # shingle self-join (dedup hot path)
+    "minhash_lsh_pairs",      # signature + band join (dedup scale path)
+    "cosine_topk",            # brute-force ANN baseline
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    from utils_spark.registry import load_all
+    from utils_spark.session import get_spark
+
+    registry = load_all()
+    spark = get_spark(app_name="utils_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # session warm-up: JVM/codegen/parquet-footer caches
+    registry["grouped_quantiles"].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        qd = registry[name]
+        t0 = time.perf_counter()
+        df = qd.fn(spark, sf_dir)
+        n = df.count() if name not in () else len(df.collect())
+        elapsed = time.perf_counter() - t0
+        timings[name] = round(elapsed, 4)
+        print(f"# {name}: {elapsed:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "utils_spark_headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -31,6 +31,49 @@ def _seeded_hasher(i: int):
     return lambda s: md5_long(F.concat_ws(":", F.lit(str(i)), s))
 
 
+# MinHash universal-hash family: ONE md5 per shingle, then cheap affine
+# permutations h_i = (a_i * h30 + b_i) mod P30 in 30-bit space — products
+# stay < 2^60 so the arithmetic is overflow-free and bit-identical in every
+# engine (md5 16x per shingle was the 80 s/sf0.1 hot spot; this is ~10x less
+# hashing work). Constants derived deterministically from md5(i).
+MINHASH_P30 = 1073741789  # largest prime < 2^30
+_TWO30 = 1 << 30
+
+
+def _minhash_constants(n: int) -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for i in range(n):
+        h = hashlib.md5(f"minhash:{i}".encode()).hexdigest()
+        a = (int(h[:8], 16) % (MINHASH_P30 - 1)) + 1  # a in [1, P30-1]
+        b = int(h[8:16], 16) % MINHASH_P30
+        out.append((a, b))
+    return out
+
+
+def _minhash_sig_col(grams, n_hashes: int):
+    """array<long> MinHash signature column: md5 once per shingle, affine
+    permutations per hash function. Pure JVM expressions, zero shuffle."""
+    consts = _minhash_constants(n_hashes)
+    a_arr = F.array(*[F.lit(a) for a, _ in consts])
+    b_arr = F.array(*[F.lit(b) for _, b in consts])
+    init = F.array(*[F.lit(MINHASH_P30).cast("long")] * n_hashes)  # P30 > any hash value
+    # md5 exactly ONCE per shingle (naive per-hash array_min duplicates the
+    # md5 transform n_hashes times under CollapseProject — measured 9x slower)
+    base = F.transform(grams, lambda s: md5_long(s) % _TWO30)
+    return F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.transform(
+            acc,
+            lambda v, i: F.least(
+                v, (F.element_at(a_arr, i + 1) * h + F.element_at(b_arr, i + 1)) % MINHASH_P30
+            ),
+        ),
+    )
+
+
 @register(
     "token_stats",
     oracle="""
@@ -263,26 +306,29 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "minhash_signature",
-    oracle="""
+_MINHASH_ORACLE = """
     WITH shingled AS (
       SELECT doc_id,
-             list_distinct(list_transform(range(1, GREATEST(length(text) - 4, 1) + 1),
-                                          i -> substr(text, i, 5))) AS grams
+             list_transform(
+               list_distinct(list_transform(range(1, GREATEST(length(text) - 4, 1) + 1),
+                                            i -> substr(text, i, 5))),
+               s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 1073741824) AS base
       FROM documents
     )
     SELECT doc_id,
-           CAST(list_min(list_transform(grams,
-                s -> CAST(('0x' || substr(md5(concat('0:', s)), 1, 15)) AS BIGINT))) AS BIGINT) AS h0,
-           CAST(list_min(list_transform(grams,
-                s -> CAST(('0x' || substr(md5(concat('1:', s)), 1, 15)) AS BIGINT))) AS BIGINT) AS h1,
-           CAST(list_min(list_transform(grams,
-                s -> CAST(('0x' || substr(md5(concat('2:', s)), 1, 15)) AS BIGINT))) AS BIGINT) AS h2,
-           CAST(list_min(list_transform(grams,
-                s -> CAST(('0x' || substr(md5(concat('3:', s)), 1, 15)) AS BIGINT))) AS BIGINT) AS h3
+           {cols}
     FROM shingled
-    """,
+"""
+
+
+@register(
+    "minhash_signature",
+    oracle=_MINHASH_ORACLE.format(
+        cols=",\n           ".join(
+            f"CAST(list_min(list_transform(base, h -> ({a} * h + {b}) % {MINHASH_P30})) AS BIGINT) AS h{i}"
+            for i, (a, b) in enumerate(_minhash_constants(4))
+        )
+    ),
     tags=("text", "dedup", "minhash"),
 )
 def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -291,14 +337,12 @@ def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature step is embarrassingly parallel with zero shuffle — the only
     shuffle in the full dedup pipeline is the band-bucket join.
 
-    Hash family: md5(i ':' shingle) → 60-bit int (engine-independent,
-    seed-indexed — SURVEY §7.2 determinism rule)."""
+    Hash family: one md5→60-bit base per shingle (engine-independent,
+    SURVEY §7.2), then affine 30-bit permutations per hash function
+    (overflow-free in signed 64-bit on every engine)."""
     d = load_table(spark, sf_dir, "documents")
-    grams = char_shingles("text", 5)
-    cols = [
-        F.array_min(F.transform(grams, _seeded_hasher(i))).alias(f"h{i}") for i in range(4)
-    ]
-    return d.select("doc_id", *cols)
+    sig = _minhash_sig_col(char_shingles("text", 5), 4)
+    return d.select("doc_id", *[sig[i].alias(f"h{i}") for i in range(4)])
 
 
 @register(
@@ -319,14 +363,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic md5 hashing and explicit banding)."""
     n_hashes, n_bands = 16, 4
     rows_per_band = n_hashes // n_bands
-    d = load_table(spark, sf_dir, "documents")
-    grams = char_shingles("text", 5)
-    sig = d.select(
-        "doc_id",
-        F.array(
-            *[F.array_min(F.transform(grams, _seeded_hasher(i))) for i in range(n_hashes)]
-        ).alias("sig"),
-    )
+    # local testdata is a single parquet file → 1 scan partition; spread the
+    # (CPU-bound) shingling+hashing across all cores. On a real cluster the
+    # source is many files and this repartition is a near-no-op.
+    d = load_table(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+    sig = d.select("doc_id", _minhash_sig_col(char_shingles("text", 5), n_hashes).alias("sig"))
     bands = sig.select(
         "doc_id",
         "sig",
