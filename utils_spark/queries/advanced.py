@@ -1,0 +1,419 @@
+"""Advanced composite operators: NA-handling, array row-aggregates, as-of
+and range joins, pairwise KS tests, SimHash, knee detection, module scores.
+
+These cover the reference's matrix-row operators (SURVEY §2.4 A12/A15-A18,
+§2.5 W3) plus the operators Spark-lacks-but-scale-needs (as-of join, range
+join — SURVEY task brief) and the full pairwise generalization of the
+reference's declared-but-stubbed KS test (R/slingshot.R:113-121).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from utils_spark.functions import md5_long, word_tokens
+from utils_spark.io import load_table
+from utils_spark.registry import register
+
+
+@register(
+    "na_drop_subset",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type,
+             NULLIF(value, 0.0) AS v,
+             CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id END AS uid
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(CASE WHEN v IS NOT NULL AND uid IS NOT NULL THEN 1 END) AS BIGINT) AS n_complete,
+           ROUND(AVG(v), 6) AS avg_v_null_skipped
+    FROM e GROUP BY event_type
+    """,
+    tags=("advanced", "P8", "nulls"),
+)
+def na_drop_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NA-handling surface (reference P8: R/reference.R:136-139 drop rows
+    with NA in a column subset; §1.2 NULL semantics: Spark avg skips nulls
+    like R na.rm=TRUE). NULLs synthesized deterministically via NULLIF."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.nullif(F.col("value"), F.lit(0.0)).alias("v"),
+        F.when(F.col("user_id") % 7 == 0, None).otherwise(F.col("user_id")).alias("uid"),
+    )
+    complete = F.col("v").isNotNull() & F.col("uid").isNotNull()
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(complete, 1)).alias("n_complete"),
+        F.round(F.avg("v"), 6).alias("avg_v_null_skipped"),
+    )
+
+
+@register(
+    "array_row_aggs",
+    oracle="""
+    SELECT vec_id,
+           ROUND(list_aggregate(CAST(embedding AS DOUBLE[]), 'median'), 6) AS row_median,
+           ROUND(list_max(CAST(embedding AS DOUBLE[])), 6) AS row_max,
+           ROUND(list_sum(CAST(embedding AS DOUBLE[])) / len(embedding), 6) AS row_mean,
+           CASE WHEN len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) > 0
+                THEN 1 ELSE 0 END AS any_positive,
+           CASE WHEN len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) = len(embedding)
+                THEN 1 ELSE 0 END AS all_positive
+    FROM embeddings
+    """,
+    tags=("advanced", "A15", "A16", "A17", "A18"),
+)
+def array_row_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-wise aggregates over array columns — the reference's matrix row
+    ops (A15 rowMedians R/compare_annotation.R:29; A16 row max :105;
+    A17 rowMeans na.rm R/slingshot.R:83; A18 rowSums>0 flags
+    R/wrapper.R:211). Exact median = mean of the two middle elements of the
+    sorted (even-length) array. Pure array expressions, zero shuffle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    srt = F.array_sort(v)
+    n = F.size(v)
+    # exact type-7 median for even/odd lengths
+    mid_hi = F.element_at(srt, (n / 2 + 1).cast("int"))
+    mid_lo = F.element_at(srt, ((n + 1) / 2).cast("int"))
+    row_median = (mid_lo + mid_hi) / 2
+    n_pos = F.size(F.filter(v, lambda x: x > 0))
+    return e.select(
+        "vec_id",
+        F.round(row_median, 6).alias("row_median"),
+        F.round(F.array_max(v), 6).alias("row_max"),
+        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x) / n, 6).alias("row_mean"),
+        F.when(n_pos > 0, 1).otherwise(0).alias("any_positive"),
+        F.when(n_pos == n, 1).otherwise(0).alias("all_positive"),
+    )
+
+
+@register(
+    "delta_from_median",
+    oracle="""
+    SELECT vec_id, label,
+           ROUND(CAST(embedding[label + 1] AS DOUBLE)
+                 - list_aggregate(CAST(embedding AS DOUBLE[]), 'median'), 6) AS delta_med
+    FROM embeddings
+    """,
+    tags=("advanced", "W3"),
+)
+def delta_from_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-at-assigned-label minus row median (reference W3 `delta.med`:
+    R/compare_annotation.R:18-32, vectorized 2-col index-matrix lookup →
+    element_at on the array, no transpose — SURVEY §4 design rule)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    srt = F.array_sort(v)
+    n = F.size(v)
+    row_median = (
+        F.element_at(srt, ((n + 1) / 2).cast("int")) + F.element_at(srt, (n / 2 + 1).cast("int"))
+    ) / 2
+    at_label = F.element_at(v, F.col("label") + 1)
+    return e.select("vec_id", "label", F.round(at_label - row_median, 6).alias("delta_med"))
+
+
+@register(
+    "asof_join",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+    ),
+    win AS (
+      SELECT user_id, event_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_ts
+      FROM ev
+    )
+    SELECT user_id, event_id, ts, event_type, prev_click_ts
+    FROM win WHERE event_type = 'purchase'
+    """,
+    tags=("advanced", "asof-join", "temporal"),
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (operator Spark lacks natively — task brief): for every
+    purchase event, the timestamp of the user's most recent STRICTLY PRIOR
+    click. Implemented as last-non-null over an ordered per-key window
+    ending at 1 PRECEDING — one shuffle on the key, no range-scan blowup.
+
+    This window formulation is the scalable as-of pattern when both sides
+    share a partition key; for unkeyed as-of, bucket by time range first."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_click = F.last(F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True).over(w)
+    return (
+        e.withColumn("prev_click_ts", prev_click)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts", "event_type", "prev_click_ts")
+    )
+
+
+@register(
+    "range_join_bands",
+    oracle="""
+    WITH bands(band, lo, hi) AS (VALUES ('low', 0.0, 10.0), ('mid', 10.0, 25.0), ('high', 25.0, 1e9))
+    SELECT b.band, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l.l_extendedprice), 2) AS price_sum
+    FROM lineitem l JOIN bands b ON l.l_quantity > b.lo AND l.l_quantity <= b.hi
+    GROUP BY b.band
+    """,
+    tags=("advanced", "range-join"),
+)
+def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join against a band dimension — the interval-lookup
+    operator (task brief). The band table is tiny → broadcast nested-loop
+    join, which Spark executes as a filtered broadcast: no shuffle of the
+    fact side. For band tables too big to broadcast, bucket both sides by
+    coarse range first (bucketed range join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 25.0), ("high", 25.0, 1e9)], ["band", "lo", "hi"]
+    )
+    return (
+        li.join(
+            F.broadcast(bands),
+            (F.col("l_quantity") > F.col("lo")) & (F.col("l_quantity") <= F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("price_sum"))
+    )
+
+
+@register(
+    "filter_scan_agg",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue_effect,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    """,
+    tags=("advanced", "tpch", "bench"),
+)
+def filter_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter-scan-aggregate. The benchmark for
+    predicate pushdown — all four predicates reach the parquet reader
+    (PushedFilters), projection prunes to 4 columns, no shuffle at all."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+            & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue_effect"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "pairwise_ks",
+    oracle="""
+    WITH types AS (SELECT DISTINCT event_type AS t FROM events),
+    pairs AS (SELECT a.t AS ta, b.t AS tb FROM types a JOIN types b ON a.t < b.t),
+    tagged AS (
+      SELECT p.ta, p.tb, e.value AS v,
+             CASE WHEN e.event_type = p.ta THEN 1 ELSE 0 END AS a,
+             CASE WHEN e.event_type = p.tb THEN 1 ELSE 0 END AS b
+      FROM events e JOIN pairs p ON e.event_type IN (p.ta, p.tb)
+    ),
+    pervalue AS (
+      SELECT ta, tb, v, SUM(a) AS ca, SUM(b) AS cb FROM tagged GROUP BY ta, tb, v
+    ),
+    ecdf AS (
+      SELECT ta, tb,
+             SUM(ca) OVER w / SUM(ca) OVER wp AS fa,
+             SUM(cb) OVER w / SUM(cb) OVER wp AS fb,
+             SUM(ca) OVER wp AS na, SUM(cb) OVER wp AS nb
+      FROM pervalue
+      WINDOW w AS (PARTITION BY ta, tb ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wp AS (PARTITION BY ta, tb)
+    )
+    SELECT ta, tb, ROUND(MAX(ABS(fa - fb)), 6) AS ks_stat,
+           ROUND(LEAST(1.0, 2 * EXP(-2 * MAX(ABS(fa - fb)) * MAX(ABS(fa - fb))
+                 * (ANY_VALUE(na) * ANY_VALUE(nb) / (ANY_VALUE(na) + ANY_VALUE(nb))))), 6)
+             AS p_asymptotic
+    FROM ecdf GROUP BY ta, tb
+    """,
+    tags=("advanced", "M16", "stats", "bench"),
+)
+def pairwise_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL-pairs two-sample KS test — the reference's `pairwise_ks_test`
+    implemented for real (M16: R/slingshot.R:113-121 is a stop('Yet to add
+    code!') stub). Every group pair gets D = max|F_a − F_b| and the
+    asymptotic p, all in one plan: pair table (tiny, broadcast) × events,
+    ECDFs via per-pair cumulative windows. Scales as O(pairs × values)
+    with per-pair parallelism — no driver loop over pairs."""
+    e = load_table(spark, sf_dir, "events")
+    types = e.select(F.col("event_type").alias("t")).distinct()
+    pairs = (
+        types.alias("x")
+        .join(types.alias("y"), F.col("x.t") < F.col("y.t"))
+        .select(F.col("x.t").alias("ta"), F.col("y.t").alias("tb"))
+    )
+    tagged = e.join(
+        F.broadcast(pairs),
+        (F.col("event_type") == F.col("ta")) | (F.col("event_type") == F.col("tb")),
+    ).select(
+        "ta",
+        "tb",
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == F.col("ta"), 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type") == F.col("tb"), 1).otherwise(0).alias("b"),
+    )
+    pervalue = tagged.groupBy("ta", "tb", "v").agg(F.sum("a").alias("ca"), F.sum("b").alias("cb"))
+    w = Window.partitionBy("ta", "tb").orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wp = Window.partitionBy("ta", "tb")
+    ecdf = pervalue.select(
+        "ta",
+        "tb",
+        (F.sum("ca").over(w) / F.sum("ca").over(wp)).alias("fa"),
+        (F.sum("cb").over(w) / F.sum("cb").over(wp)).alias("fb"),
+        F.sum("ca").over(wp).alias("na"),
+        F.sum("cb").over(wp).alias("nb"),
+    )
+    d = F.max(F.abs(F.col("fa") - F.col("fb")))
+    en = F.first("na") * F.first("nb") / (F.first("na") + F.first("nb"))
+    return ecdf.groupBy("ta", "tb").agg(
+        F.round(d, 6).alias("ks_stat"),
+        F.round(F.least(F.lit(1.0), 2 * F.exp(-2 * d * d * en)), 6).alias("p_asymptotic"),
+    )
+
+
+@register(
+    "simhash_signature",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(list_distinct(regexp_split_to_array(trim(text), '\\s+')),
+                            w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 65536) AS hs
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 16),
+                b -> CASE WHEN list_sum(list_transform(hs,
+                       h -> CASE WHEN (h // (1 << b)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+                     THEN (1 << b) ELSE 0 END)) AS BIGINT) AS simhash
+    FROM toks
+    """,
+    tags=("advanced", "text", "dedup", "simhash"),
+)
+def simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document over distinct word tokens: each token's
+    md5-derived 16-bit hash votes ±1 per bit position; the signature sets
+    bits with positive vote sums. Near-dup docs differ in few bits
+    (Hamming ball lookup). Pure integer array math, map-only, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    hs = F.transform(F.array_distinct(word_tokens("text")), lambda t: md5_long(t) % 65536)
+
+    def bit_of(h, b):
+        # floor(h / 2^b) % 2 — exact in double for h < 2^16; identical to
+        # DuckDB's (h // (1 << b)) % 2 integer arithmetic
+        return F.floor(h.cast("double") / F.pow(F.lit(2.0), b.cast("double"))).cast("long") % 2
+
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda b: F.when(
+            F.aggregate(hs, F.lit(0), lambda acc, h: acc + F.when(bit_of(h, b) == 1, 1).otherwise(-1)) > 0,
+            F.pow(F.lit(2.0), b.cast("double")).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    sig = F.aggregate(bits, F.lit(0).cast("long"), lambda a, x: a + x)
+    return d.select("doc_id", sig.alias("simhash"))
+
+
+@register(
+    "knee_detection",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_acctbal + 1000.0 AS total,
+             row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      FROM customer WHERE c_acctbal > -1000
+    ),
+    curve AS (
+      SELECT rnk, ROUND(LOG10(CAST(rnk AS DOUBLE)), 6) AS lx, ROUND(LOG10(total), 6) AS ly
+      FROM ranked
+    ),
+    d2 AS (
+      SELECT rnk, lx, ly,
+             ROUND(lead(ly) OVER (ORDER BY rnk) - 2 * ly + lag(ly) OVER (ORDER BY rnk), 9) AS curv
+      FROM curve
+    )
+    SELECT CAST(rnk AS BIGINT) AS knee_rank, ROUND(ly, 6) AS knee_log_total
+    FROM d2 WHERE curv IS NOT NULL
+    ORDER BY curv ASC, rnk ASC LIMIT 1
+    """,
+    tags=("advanced", "A12"),
+)
+def knee_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knee/inflection detection on a rank-value curve (reference A12:
+    R/wrapper.R:54-68 barcodeRanks knee on the log-log barcode curve):
+    rank desc → log-log curve → discrete second derivative → argmin.
+    A global-ordered window over an already-aggregated (per-rank) curve."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > -1000)
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    ranked = c.select((F.col("c_acctbal") + 1000.0).alias("total"), F.row_number().over(w).alias("rnk"))
+    curve = ranked.select(
+        "rnk",
+        F.round(F.log10(F.col("rnk").cast("double")), 6).alias("lx"),
+        F.round(F.log10("total"), 6).alias("ly"),
+    )
+    wo = Window.orderBy("rnk")
+    d2 = curve.select(
+        "rnk",
+        "ly",
+        F.round(F.lead("ly").over(wo) - 2 * F.col("ly") + F.lag("ly").over(wo), 9).alias("curv"),
+    )
+    return (
+        d2.filter(F.col("curv").isNotNull())
+        .orderBy(F.asc("curv"), F.asc("rnk"))
+        .limit(1)
+        .select(F.col("rnk").cast("long").alias("knee_rank"), F.round("ly", 6).alias("knee_log_total"))
+    )
+
+
+@register(
+    "module_score",
+    oracle="""
+    WITH scores AS (
+      SELECT user_id,
+             AVG(CASE WHEN event_type = 'purchase' THEN value END) AS set_avg,
+             AVG(CASE WHEN event_type = 'view' THEN value END) AS ctrl_avg
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, ROUND(set_avg - ctrl_avg, 6) AS module_score,
+           CASE WHEN set_avg - ctrl_avg > 0 THEN 'active' ELSE 'inactive' END AS phase
+    FROM scores WHERE set_avg IS NOT NULL AND ctrl_avg IS NOT NULL
+    """,
+    tags=("advanced", "A24"),
+)
+def module_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Module scoring (reference A24: R/wrapper.R:254-257 CellCycleScoring —
+    mean over a feature set minus mean over a control set per entity, then
+    classify by sign/max). One conditional aggregation pass per entity."""
+    e = load_table(spark, sf_dir, "events")
+    scores = e.groupBy("user_id").agg(
+        F.avg(F.when(F.col("event_type") == "purchase", F.col("value"))).alias("set_avg"),
+        F.avg(F.when(F.col("event_type") == "view", F.col("value"))).alias("ctrl_avg"),
+    )
+    diff = F.col("set_avg") - F.col("ctrl_avg")
+    return (
+        scores.filter(F.col("set_avg").isNotNull() & F.col("ctrl_avg").isNotNull())
+        .select(
+            "user_id",
+            F.round(diff, 6).alias("module_score"),
+            F.when(diff > 0, "active").otherwise("inactive").alias("phase"),
+        )
+    )

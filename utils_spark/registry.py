@@ -48,6 +48,7 @@ def load_all() -> dict[str, QueryDef]:
     """Import every query module (side effect: registration) and return the registry."""
     # imports deferred so `import utils_spark` stays cheap
     from utils_spark.queries import (  # noqa: F401
+        advanced,
         aggregates,
         relational,
         stats,
