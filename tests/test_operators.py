@@ -1,0 +1,257 @@
+"""Unit tests for the generic operator library on tiny literal DataFrames,
+with scipy/statsmodels-style oracles where the semantics are statistical
+(SURVEY §5 test plan: small-N scientific-python oracles for non-SQL ops).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _bh_reference(pvals):
+    """R p.adjust(method='BH') reference implementation (scipy absent)."""
+    n = len(pvals)
+    order = sorted(range(n), key=lambda i: -pvals[i])  # descending
+    adj, cummin = [0.0] * n, float("inf")
+    for rank_from_top, i in enumerate(order):
+        r = n - rank_from_top  # ascending rank of p_i
+        cummin = min(cummin, pvals[i] * n / r)
+        adj[i] = min(1.0, cummin)
+    return adj
+
+
+def test_bh_adjust_matches_reference(spark):
+    from utils_spark.operators import bh_adjust
+
+    pvals = [0.01, 0.04, 0.03, 0.005, 0.55, 0.01, 1.0, 0.2]
+    df = spark.createDataFrame([(i, p) for i, p in enumerate(pvals)], ["id", "p"])
+    got = {r["id"]: r["p_adjusted"] for r in bh_adjust(df, "p", tiebreak_col="id").collect()}
+    want = _bh_reference(pvals)
+    for i, w in enumerate(want):
+        assert math.isclose(got[i], w, rel_tol=1e-12), (i, got[i], w)
+
+
+def test_bh_adjust_per_family(spark):
+    from utils_spark.operators import bh_adjust
+
+    rows = [("a", 0.01), ("a", 0.02), ("b", 0.5), ("b", 0.01)]
+    df = spark.createDataFrame(rows, ["fam", "p"])
+    out = bh_adjust(df, "p", family_cols=["fam"]).collect()
+    by_fam = {}
+    for r in out:
+        by_fam.setdefault(r["fam"], []).append(r["p_adjusted"])
+    assert max(by_fam["a"]) <= 0.02 + 1e-12  # n=2 families adjusted independently
+    assert any(abs(x - 0.02) < 1e-12 for x in by_fam["b"])  # 0.01*2/1
+
+
+def test_mad_outlier_flags_matches_r_semantics(spark):
+    import numpy as np
+
+    from utils_spark.operators import mad_outlier_flags
+
+    vals = [10.0, 11.0, 12.0, 10.5, 11.5, 100.0, -50.0, 10.2, 11.8, 10.9]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], ["id", "x"])
+    out = {r["id"]: r["is_outlier"] for r in mad_outlier_flags(df, "x").collect()}
+    med = np.median(vals)
+    mad = np.median(np.abs(np.array(vals) - med)) * 1.4826
+    for i, v in enumerate(vals):
+        assert out[i] == (v < med - 3 * mad or v > med + 3 * mad)
+
+
+def test_mad_outlier_one_sided(spark):
+    from utils_spark.operators import mad_outlier_flags
+
+    vals = [10.0, 11.0, 12.0, 10.5, 11.5, 100.0, -50.0]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], ["id", "x"])
+    lower_only = {r["id"]: r["is_outlier"] for r in mad_outlier_flags(df, "x", upper=False).collect()}
+    assert lower_only[6] and not lower_only[5]
+
+
+def _ks_2samp_stat(a, b):
+    """Exact two-sample KS D statistic (scipy absent): max ECDF gap over
+    the pooled distinct values."""
+    pooled = sorted(set(a) | set(b))
+    na, nb = len(a), len(b)
+    return max(
+        abs(sum(1 for x in a if x <= v) / na - sum(1 for x in b if x <= v) / nb) for v in pooled
+    )
+
+
+def test_pairwise_ks_matches_reference(spark):
+    from utils_spark.operators import pairwise_ks_test
+
+    a = [1.0, 2.0, 3.0, 4.0, 5.0, 2.5, 3.5]
+    b = [2.0, 4.0, 6.0, 8.0, 7.0, 5.5]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = pairwise_ks_test(df, "v", "g").collect()[0]
+    assert math.isclose(r["ks_stat"], _ks_2samp_stat(a, b), rel_tol=1e-12)
+    assert r["n_a"] == len(a) and r["n_b"] == len(b)
+
+
+def test_stratified_sample_exact_and_deterministic(spark):
+    from utils_spark.operators import stratified_sample_exact
+
+    rows = [(f"k{i}", "g1" if i < 20 else "g2") for i in range(30)]
+    df = spark.createDataFrame(rows, ["key", "grp"])
+    s1 = stratified_sample_exact(df, "grp", "key", 5, seed=7)
+    s2 = stratified_sample_exact(df.repartition(13), "grp", "key", 5, seed=7)
+    r1 = sorted((r["grp"], r["key"]) for r in s1.collect())
+    r2 = sorted((r["grp"], r["key"]) for r in s2.collect())
+    assert r1 == r2, "sample must be independent of partitioning"
+    from collections import Counter
+
+    c = Counter(g for g, _ in r1)
+    assert c == {"g1": 5, "g2": 5}
+    s3 = sorted(
+        (r["grp"], r["key"]) for r in stratified_sample_exact(df, "grp", "key", 5, seed=8).collect()
+    )
+    assert s3 != r1, "different seed must give a different sample"
+
+
+def test_small_stratum_keeps_all(spark):
+    from utils_spark.operators import stratified_sample_exact
+
+    df = spark.createDataFrame([("a", "g")], ["key", "grp"])
+    assert stratified_sample_exact(df, "grp", "key", 500).count() == 1
+
+
+def test_with_unique_names(spark):
+    from utils_spark.operators import with_unique_names
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y"), (4, "x")], ["id", "name"]
+    )
+    out = {r["id"]: r["uniq"] for r in with_unique_names(df, "name", "id", "uniq").collect()}
+    assert out == {1: "x", 2: "x.1", 3: "y", 4: "x.2"}
+
+
+def test_check_functional_dependency(spark):
+    from utils_spark.operators import check_functional_dependency
+
+    ok = spark.createDataFrame([("c1", "t1"), ("c1", "t1"), ("c2", "t2")], ["cluster", "top"])
+    bad = spark.createDataFrame([("c1", "t1"), ("c1", "t2")], ["cluster", "top"])
+    assert check_functional_dependency(ok, "cluster", "top").count() == 0
+    v = check_functional_dependency(bad, "cluster", "top").collect()
+    assert len(v) == 1 and v[0]["n_labels"] == 2
+
+
+def test_per_entity_qc_subsets(spark):
+    from utils_spark.operators import per_entity_qc
+
+    rows = [
+        ("c1", "MT-CO1", 10.0),
+        ("c1", "GAPDH", 30.0),
+        ("c1", "RPS1", 0.0),
+        ("c2", "MT-CO1", 0.0),
+        ("c2", "GAPDH", 5.0),
+    ]
+    df = spark.createDataFrame(rows, ["cell", "gene", "count"])
+    out = {
+        r["cell"]: r
+        for r in per_entity_qc(
+            df, "cell", "count", subset_patterns={"mito": "^MT-"}, feature_col="gene"
+        ).collect()
+    }
+    assert out["c1"]["total"] == 40.0 and out["c1"]["detected"] == 2
+    assert math.isclose(out["c1"]["subsets_mito_percent"], 25.0)
+    assert out["c2"]["subsets_mito_percent"] == 0.0
+
+
+def test_filter_features_by_support(spark):
+    from utils_spark.operators.qc import filter_features_by_support
+
+    rows = [("c1", "g1", 1.0), ("c2", "g1", 2.0), ("c1", "g2", 1.0), ("c1", "MT-x", 9.0), ("c2", "MT-x", 9.0)]
+    df = spark.createDataFrame(rows, ["cell", "gene", "v"])
+    out = filter_features_by_support(df, "gene", "v", min_detected=2, drop_patterns=["^MT-"])
+    assert sorted(set(r["gene"] for r in out.collect())) == ["g1"]
+
+
+def test_module_score(spark):
+    from utils_spark.operators import module_score
+
+    rows = [("e1", "a", 4.0), ("e1", "b", 2.0), ("e1", "c", 1.0), ("e2", "a", 1.0), ("e2", "c", 5.0)]
+    df = spark.createDataFrame(rows, ["ent", "feat", "v"])
+    out = {r["ent"]: r["module_score"] for r in module_score(df, "ent", "feat", "v", ["a", "b"], ["c"]).collect()}
+    assert math.isclose(out["e1"], 3.0 - 1.0)
+    assert math.isclose(out["e2"], 1.0 - 5.0)
+
+
+def test_log_normalize(spark):
+    from utils_spark.operators.qc import log_normalize
+
+    rows = [("c1", 10.0), ("c1", 30.0), ("c2", 5.0), ("c2", 15.0)]
+    df = spark.createDataFrame(rows, ["cell", "v"])
+    out = log_normalize(df, "cell", "v").collect()
+    # totals: c1=40, c2=20; mean=30 → sf(c1)=4/3, sf(c2)=2/3
+    for r in out:
+        sf = 40 / 30 if r["cell"] == "c1" else 20 / 30
+        assert math.isclose(r["log_norm"], math.log2(r["v"] / sf + 1), rel_tol=1e-12)
+
+
+def test_exact_dedup(spark):
+    from utils_spark.operators import exact_dedup
+
+    rows = [(1, "aa"), (2, "aa"), (3, "bb"), (4, "aa")]
+    df = spark.createDataFrame(rows, ["id", "txt"])
+    out = sorted(r["id"] for r in exact_dedup(df, ["txt"], "id").collect())
+    assert out == [1, 3]
+
+
+def test_duplicate_clusters(spark):
+    from utils_spark.operators import duplicate_clusters
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (10, 11)], ["key_a", "key_b"]
+    )
+    out = {r["key"]: r["component"] for r in duplicate_clusters(edges).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[5] == out[6] == 5
+    assert out[8] == out[9] == out[10] == out[11] == 8
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    from utils_spark.operators import minhash_lsh_candidates
+
+    base = "the quick brown fox jumps over the lazy dog and keeps on running far away"
+    near = base.replace("lazy", "hazy")
+    other = "completely different content with no overlap whatsoever in any shingle at all"
+    df = spark.createDataFrame([(1, base), (2, near), (3, other)], ["id", "text"])
+    pairs = minhash_lsh_candidates(df, "text", "id", min_est_jaccard=0.3).collect()
+    got = {(r["key_a"], r["key_b"]) for r in pairs}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_cosine_topk_exact(spark):
+    import numpy as np
+
+    from utils_spark.operators import cosine_topk
+
+    rng = np.random.default_rng(42)
+    vecs = rng.normal(size=(20, 8)).astype(float)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(20)]
+    df = spark.createDataFrame(rows, ["id", "embedding"])
+    q = df.filter(F.col("id") == 0)
+    out = [r["neighbor_id"] for r in cosine_topk(q, df, "id", "id", k=3, round_digits=None).orderBy(F.desc("cosine")).collect()]
+    norms = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norms @ norms[0]
+    sims[0] = -np.inf
+    want = list(np.argsort(-sims)[:3])
+    assert out == want
+
+
+def test_zscore_per_group(spark):
+    import numpy as np
+
+    from utils_spark.operators import zscore_per_group
+
+    vals = [1.0, 2.0, 3.0, 4.0]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], ["id", "v"])
+    out = {r["id"]: r["zscore"] for r in zscore_per_group(df, "v").collect()}
+    mu, sd = np.mean(vals), np.std(vals, ddof=1)
+    for i, v in enumerate(vals):
+        assert math.isclose(out[i], (v - mu) / sd, rel_tol=1e-12)

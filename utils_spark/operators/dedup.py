@@ -1,0 +1,140 @@
+"""Deduplication operators for large-scale text curation (north-star
+surface, BASELINE.json): exact dedup, fingerprint dedup, MinHash+LSH
+near-dup candidates, and distributed connected-components duplicate
+clustering (alternating large-star/small-star — the standard shuffle-
+bounded CC algorithm for data that dwarfs any single machine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from utils_spark.functions import char_shingles, md5_long
+
+
+def exact_dedup(df: DataFrame, subset: list[str], key_col: str) -> DataFrame:
+    """Keep one row (min key) per distinct value of `subset` — hash-groupBy
+    dedup: shuffles only (hash(subset), key) pairs, then a semi-join."""
+    keep = df.groupBy(*subset).agg(F.min(key_col).alias(key_col))
+    return df.join(keep, subset + [key_col], "left_semi")
+
+
+def fingerprint_duplicates(
+    df: DataFrame, text_col: str, key_col: str, normalize: bool = True
+) -> DataFrame:
+    """Duplicate clusters by normalized-text md5 fingerprint: returns
+    (fingerprint, n_docs, canonical_key) for clusters of size > 1."""
+    t = F.col(text_col)
+    if normalize:
+        t = F.lower(F.regexp_replace(F.trim(t), r"\s+", " "))
+    return (
+        df.select(F.md5(t).alias("fingerprint"), F.col(key_col))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min(key_col).alias("canonical_key"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_k: int = 5,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash signatures + LSH banding:
+    (key_a, key_b, est_jaccard). Signatures are zero-shuffle array math
+    (one md5 per shingle + affine permutations); the only shuffle is the
+    (band_id, band_hash) self-join — never O(n²) pair enumeration."""
+    from utils_spark.queries.text import _minhash_sig_col
+
+    rows_per_band = n_hashes // n_bands
+    sig = df.select(
+        F.col(key_col).alias("__key"),
+        _minhash_sig_col(char_shingles(text_col, shingle_k), n_hashes).alias("sig"),
+    )
+    bands = sig.select(
+        "__key",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                ",", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("__key", "sig", "band.band_id", "band.band_hash")
+    a, b = bands.alias("a"), bands.alias("b")
+    est: Column = (
+        F.size(F.filter(F.zip_with("a.sig", "b.sig", lambda x, y: x == y), lambda v: v)).cast("double")
+        / n_hashes
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.__key") < F.col("b.__key")),
+        )
+        .select(F.col("a.__key").alias("key_a"), F.col("b.__key").alias("key_b"), est.alias("est_jaccard"))
+        .distinct()
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+    )
+
+
+def duplicate_clusters(edges: DataFrame, src: str = "key_a", dst: str = "key_b", max_iter: int = 20) -> DataFrame:
+    """Connected components over a duplicate-pair edge list → (key,
+    component) with component = min key in the cluster.
+
+    Min-label propagation: each round one shuffle-bounded join +
+    aggregation, early-terminating when labels stabilize, lineage
+    truncated by localCheckpoint every 5 rounds (SURVEY §7.3). Converges
+    in O(cluster diameter) rounds — duplicate clusters are shallow (near-
+    cliques from LSH banding), so this beats the constant-factor cost of
+    large-star/small-star here; swap in that algorithm if components with
+    large diameters ever appear. Deterministic.
+    """
+    # neighbor pairs in both directions
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    # parent init: every node's parent = min(self, min neighbor)
+    parent = e.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("p"))
+    for i in range(max_iter):
+        # propagate: node's parent = min(parent, parents of neighbors)
+        nbr_min = (
+            e.join(parent.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("p").alias("np"))
+        )
+        new_parent = (
+            parent.join(nbr_min, "u", "left")
+            .select("u", F.least(F.col("p"), F.coalesce("np", F.col("p"))).alias("p"))
+        )
+        # convergence: no parent changed
+        changed = (
+            new_parent.alias("n")
+            .join(parent.alias("o"), "u")
+            .filter(F.col("n.p") != F.col("o.p"))
+            .limit(1)
+            .count()
+        )
+        parent = new_parent
+        if changed == 0:
+            break
+        if (i + 1) % 5 == 0:
+            parent = parent.localCheckpoint()  # truncate lineage (SURVEY §7.3)
+    return parent.select(F.col("u").alias("key"), F.col("p").alias("component"))

@@ -1,0 +1,141 @@
+"""Statistical operators, generic over any DataFrame.
+
+Re-expresses the reference's statistics (SURVEY §2: W4 BH adjust, A11 MAD
+outliers, P19 z-score, M16 KS tests, M24 quantile thresholds) as window /
+aggregate compositions — no UDFs, exact medians on correctness paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MAD_CONSISTENCY = 1.4826  # stats::mad consistency constant (normal data)
+
+
+def bh_adjust(
+    df: DataFrame,
+    pvalue_col: str,
+    family_cols: list[str] | None = None,
+    out_col: str = "p_adjusted",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR adjustment per family (reference W4:
+    R/tradeseq.R:98-111 p.adjust): padj_i = min_{j>=i}(p_(j)·n/j), ≤ 1.
+
+    Pure window composition: rank + count + running-min-from-the-right.
+    One shuffle on the family key; frames are streaming (no buffering).
+    """
+    family_cols = family_cols or []
+    order = [F.asc(pvalue_col)] + ([F.asc(tiebreak_col)] if tiebreak_col else [])
+    wo = Window.partitionBy(*family_cols).orderBy(*order)
+    wn = Window.partitionBy(*family_cols)
+    wmin = wo.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    r = F.row_number().over(wo)
+    n = F.count("*").over(wn)
+    return df.withColumn(
+        out_col, F.least(F.lit(1.0), F.min(F.col(pvalue_col) * n / r).over(wmin))
+    )
+
+
+def mad_outlier_flags(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    nmads: float = 3.0,
+    log_scale: bool = False,
+    lower: bool = True,
+    upper: bool = True,
+    out_col: str = "is_outlier",
+) -> DataFrame:
+    """Per-group MAD outlier flags (reference A11: R/wrapper.R:148-220
+    perCellQCFilters/isOutlier, nmads=3, optional log scale, one- or
+    two-sided). Flags x outside median ± nmads · MAD (MAD scaled by 1.4826).
+
+    Two exact-median passes over tiny per-group aggregates, broadcast back.
+    The reference's per-sample R loop (R/wrapper.R:178-216) is one groupBy.
+    """
+    group_cols = group_cols or []
+    v = F.log(F.col(value_col)) if log_scale else F.col(value_col)
+    work = df.withColumn("__v", v)
+    gb = group_cols if group_cols else [F.lit(1).alias("__g")]
+    med = work.groupBy(*gb).agg(F.expr("percentile(__v, 0.5)").alias("__med"))
+    joined = work.join(F.broadcast(med), group_cols) if group_cols else work.crossJoin(F.broadcast(med))
+    mad = (
+        joined.groupBy(*(group_cols or ["__g"]))
+        .agg((F.expr("percentile(abs(__v - __med), 0.5)") * MAD_CONSISTENCY).alias("__mad"))
+    )
+    full = joined.join(F.broadcast(mad), group_cols or ["__g"])
+    lo_flag = F.col("__v") < F.col("__med") - nmads * F.col("__mad")
+    hi_flag = F.col("__v") > F.col("__med") + nmads * F.col("__mad")
+    flag = (lo_flag if lower else F.lit(False)) | (hi_flag if upper else F.lit(False))
+    drop = ["__v", "__med", "__mad"] + ([] if group_cols else ["__g"])
+    return full.withColumn(out_col, flag).drop(*drop)
+
+
+def zscore_per_group(
+    df: DataFrame, value_col: str, group_cols: list[str] | None = None, out_col: str = "zscore"
+) -> DataFrame:
+    """Per-group z-score with non-finite→NULL (reference P19:
+    R/tradeseq.R:172-182). Single window partitioning, no join."""
+    w = Window.partitionBy(*(group_cols or []))
+    z = (F.col(value_col) - F.avg(value_col).over(w)) / F.stddev_samp(value_col).over(w)
+    z = F.when(F.isnan(z), F.lit(None)).otherwise(z)
+    return df.withColumn(out_col, z)
+
+
+def pairwise_ks_test(
+    df: DataFrame, value_col: str, group_col: str, alternative: str = "two-sided"
+) -> DataFrame:
+    """All-pairs two-sample KS tests (implements the reference's declared
+    stub `pairwise_ks_test`, R/slingshot.R:113-121) → one row per group
+    pair: (group_a, group_b, ks_stat, p_asymptotic, n_a, n_b).
+
+    Distributed shape: tiny pair table broadcast against the data, per-pair
+    ECDF via cumulative windows over distinct values, per-pair max-diff agg.
+    """
+    if alternative != "two-sided":
+        raise NotImplementedError("only two-sided implemented")
+    e = df.select(F.col(group_col).alias("__g"), F.col(value_col).alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    types = e.select(F.col("__g").alias("t")).distinct()
+    pairs = (
+        types.alias("x")
+        .join(types.alias("y"), F.col("x.t") < F.col("y.t"))
+        .select(F.col("x.t").alias("group_a"), F.col("y.t").alias("group_b"))
+    )
+    tagged = e.join(
+        F.broadcast(pairs), (F.col("__g") == F.col("group_a")) | (F.col("__g") == F.col("group_b"))
+    ).select(
+        "group_a",
+        "group_b",
+        "__v",
+        F.when(F.col("__g") == F.col("group_a"), 1).otherwise(0).alias("a"),
+        F.when(F.col("__g") == F.col("group_b"), 1).otherwise(0).alias("b"),
+    )
+    pervalue = tagged.groupBy("group_a", "group_b", "__v").agg(
+        F.sum("a").alias("ca"), F.sum("b").alias("cb")
+    )
+    w = (
+        Window.partitionBy("group_a", "group_b")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("group_a", "group_b")
+    ecdf = pervalue.select(
+        "group_a",
+        "group_b",
+        (F.sum("ca").over(w) / F.sum("ca").over(wp)).alias("fa"),
+        (F.sum("cb").over(w) / F.sum("cb").over(wp)).alias("fb"),
+        F.sum("ca").over(wp).alias("na"),
+        F.sum("cb").over(wp).alias("nb"),
+    )
+    d = F.max(F.abs(F.col("fa") - F.col("fb")))
+    en = F.first("na") * F.first("nb") / (F.first("na") + F.first("nb"))
+    return ecdf.groupBy("group_a", "group_b").agg(
+        d.alias("ks_stat"),
+        F.least(F.lit(1.0), 2 * F.exp(-2 * d * d * en)).alias("p_asymptotic"),
+        F.first("na").cast("long").alias("n_a"),
+        F.first("nb").cast("long").alias("n_b"),
+    )
