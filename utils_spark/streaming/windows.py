@@ -1,0 +1,97 @@
+"""Streaming window operators (tumbling, sliding, session) + stateful dedup.
+
+Scale design: watermarks bound state; aggregations are partial+final like
+batch; session windows use Spark's native session_window state store. At
+100 TB/day the same code runs against Kafka/file sources — only the
+readStream source line changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# events parquet schema as stored (ts = TIMESTAMP(NANOS) read as long nanos;
+# see utils_spark.io.load_table for the batch twin of this conversion)
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over the events table (stand-in for Kafka in this
+    environment). ts arrives as long nanos → µs-truncated timestamp,
+    matching the batch loader exactly."""
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).option("pathGlobFilter", "events.parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # the file source needs a DIRECTORY; select just the events file by glob
+    df = reader.parquet(sf_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts_stream(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling (or sliding, if `slide` given) event-time windowed
+    aggregation with a watermark bounding late data and state size.
+    Identical expressions to the batch `tumbling_window` query."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value", "avg_value")
+    )
+
+
+def sessionized_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows with an inactivity gap — the streaming twin
+    of the batch `sessionize` query. Spark's native session_window merges
+    events whose gaps are < `gap`; state is bounded by the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def stateful_dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stateful exact dedup on event_id within the watermark horizon
+    (dropDuplicatesWithinWatermark): duplicates arriving within the state
+    window are dropped; state is purged as the watermark advances — the
+    streaming form of hash-groupBy exact dedup with bounded memory."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
