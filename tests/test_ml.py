@@ -1,0 +1,109 @@
+"""Property tests for ML/graph operators (SURVEY §5: variance ordering,
+partition validity, monotone pseudotime — no exact-label oracles)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def blobs(spark):
+    """3 well-separated Gaussian blobs along a 1-D path (FIXTURES.md B7)."""
+    rng = np.random.default_rng(290)
+    centers = np.array([[0.0] * 8, [10.0] + [0.0] * 7, [20.0] + [0.0] * 7])
+    rows = []
+    for ci, c in enumerate(centers):
+        for j in range(40):
+            v = c + rng.normal(scale=0.5, size=8)
+            rows.append((ci * 40 + j, f"c{ci}", [float(x) for x in v]))
+    return spark.createDataFrame(rows, ["id", "cluster", "vec"])
+
+
+def test_pca_variance_ordering_and_reconstruction(blobs):
+    from utils_spark.operators.ml import pca_embed
+
+    out, ratios = pca_embed(blobs, "vec", n_components=3)
+    assert all(ratios[i] >= ratios[i + 1] for i in range(len(ratios) - 1))
+    assert ratios[0] > 0.9  # blobs vary along one axis → PC1 dominates
+    assert out.select(F.size("pca")).distinct().collect()[0][0] == 3
+
+
+def test_kmeans_recovers_blobs(blobs):
+    from utils_spark.operators.ml import kmeans_clusters
+
+    out = kmeans_clusters(blobs, "vec", k=3, out_col="pred")
+    # every true blob maps to exactly one predicted cluster (purity 1.0)
+    purity = out.groupBy("cluster").agg(F.countDistinct("pred").alias("n")).collect()
+    assert all(r["n"] == 1 for r in purity)
+
+
+def test_knn_graph_neighbors_are_same_blob(blobs):
+    from utils_spark.operators.ml import knn_graph
+
+    edges = knn_graph(blobs, "id", "vec", k=5, bucket_length=4.0)
+    per_src = edges.groupBy("src").agg(F.count("*").alias("n")).collect()
+    assert all(r["n"] <= 5 for r in per_src)
+    assert len(per_src) == 120  # every node got neighbors
+    # blob membership by id range: same-blob neighbors for >95% of edges
+    same = edges.filter((F.col("src") / 40).cast("int") == (F.col("dst") / 40).cast("int")).count()
+    assert same / edges.count() > 0.95
+
+
+def test_snn_and_label_propagation_partition_blobs(spark, blobs):
+    from pyspark.sql import Window
+
+    from utils_spark.operators.ml import knn_graph, label_propagation, snn_graph
+
+    edges = knn_graph(blobs, "id", "vec", k=8, bucket_length=4.0)
+    snn = snn_graph(edges, min_shared=2)
+    labels = label_propagation(snn, blobs, "id", max_iter=6)
+    # validity: every node labeled exactly once
+    assert labels.count() == 120
+    assert labels.groupBy("node").count().filter("count > 1").count() == 0
+    # communities align with blobs: each blob dominated by one label
+    joined = labels.join(blobs.select(F.col("id").alias("node"), "cluster"), "node")
+    w = Window.partitionBy("cluster").orderBy(F.desc("count"))
+    top = (
+        joined.groupBy("cluster", "label").count()
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    )
+    for r in top:
+        assert r["count"] >= 30  # ≥75% of each 40-node blob shares one label
+
+
+def test_lisi_low_for_separated_blobs(blobs):
+    from utils_spark.operators.ml import knn_graph, lisi_score
+
+    edges = knn_graph(blobs, "id", "vec", k=8, bucket_length=4.0)
+    lisi = lisi_score(edges, blobs, "id", "cluster")
+    med = lisi.agg(F.expr("percentile(lisi, 0.5)")).collect()[0][0]
+    assert med < 1.2  # neighborhoods are label-pure → LISI ≈ 1
+
+
+def test_pseudotime_monotone_along_path(blobs):
+    from utils_spark.operators.ml import centroid_mst_pseudotime
+
+    out = centroid_mst_pseudotime(blobs, "vec", "cluster", start_cluster="c0")
+    med = {
+        r["cluster"]: r["m"]
+        for r in out.groupBy("cluster").agg(F.expr("percentile(pseudotime, 0.5)").alias("m")).collect()
+    }
+    assert med["c0"] < med["c1"] < med["c2"], med
+    # start-cluster entities sit near zero
+    assert med["c0"] < 2.0
+
+
+def test_cluster_transition_counts(spark):
+    from utils_spark.operators.ml import cluster_transition_counts
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", "y"), ("b", "y")], ["res1", "res2"]
+    )
+    out = {(r["from_label"], r["to_label"]): r["n"] for r in cluster_transition_counts(df, "res1", "res2").collect()}
+    assert out == {("a", "x"): 2, ("a", "y"): 1, ("b", "y"): 1}
