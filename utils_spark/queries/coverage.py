@@ -1,0 +1,293 @@
+"""Coverage batch: the remaining SURVEY §2 inventory lines not already
+exercised — projection variants, per-column quantiles, pipeline stage
+tallies, aligned column-binds, seeded global subsets, mean-variance
+feature modeling, and sample-distance / MA analyses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+from utils_spark.functions import det_order_key
+from utils_spark.io import load_table
+from utils_spark.registry import register
+
+
+@register(
+    "projection_variants",
+    oracle="""
+    SELECT c_custkey, c_acctbal, CAST(c_nationkey AS INT) AS c_nationkey
+    FROM customer
+    """,
+    tags=("relational", "P2", "P3", "P4"),
+)
+def projection_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column drop + numeric-type selection + regex name selection composed
+    (reference P2: R/reference.R:238 column drop; P3:
+    R/compare_annotation.R:122 numeric-column subset; P4: R/wrapper.R:189
+    regex column selection). Schema-only operations — zero compute."""
+    import re
+
+    c = load_table(spark, sf_dir, "customer")
+    dropped = c.drop("c_name")  # P2
+    numeric_cols = [
+        f.name for f in dropped.schema.fields if isinstance(f.dataType, NumericType)
+    ]  # P3
+    keep = [col for col in numeric_cols if re.search(r"^c_(custkey|acctbal|nationkey)$", col)]  # P4
+    return dropped.select(*keep)
+
+
+@register(
+    "per_column_quantiles",
+    oracle="""
+    SELECT 'c_acctbal' AS metric,
+           ROUND(quantile_cont(c_acctbal, 0.25), 4) AS q25,
+           ROUND(quantile_cont(c_acctbal, 0.50), 4) AS q50,
+           ROUND(quantile_cont(c_acctbal, 0.75), 4) AS q75
+    FROM customer
+    UNION ALL
+    SELECT 'o_totalprice' AS metric,
+           ROUND(quantile_cont(o_totalprice, 0.25), 4) AS q25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 4) AS q50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 4) AS q75
+    FROM orders
+    """,
+    tags=("aggregates", "A19"),
+)
+def per_column_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column quantile summaries (reference A19:
+    R/compare_annotation.R:158-160 `apply(mx, 2, quantile)`), long-format
+    output (one row per metric — the wide apply becomes a union of aggs)."""
+    def q(df, col):
+        pct = F.expr(f"percentile({col}, array(0.25, 0.5, 0.75))")
+        return df.agg(pct.alias("_p")).select(
+            F.lit(col).alias("metric"),
+            F.round(F.col("_p")[0], 4).alias("q25"),
+            F.round(F.col("_p")[1], 4).alias("q50"),
+            F.round(F.col("_p")[2], 4).alias("q75"),
+        )
+
+    return q(load_table(spark, sf_dir, "customer"), "c_acctbal").unionByName(
+        q(load_table(spark, sf_dir, "orders"), "o_totalprice")
+    )
+
+
+@register(
+    "stage_tally",
+    oracle="""
+    SELECT 'input' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM orders
+    UNION ALL
+    SELECT 'after_status_filter' AS stage, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders WHERE o_orderstatus <> 'F'
+    UNION ALL
+    SELECT 'after_price_filter' AS stage, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders WHERE o_orderstatus <> 'F' AND o_totalprice > 50000
+    """,
+    tags=("aggregates", "A20"),
+)
+def stage_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline stage tallies (reference A20: R/funx_enrichment.R:56-77
+    original/cleaned/converted length diffs) — row counts surviving each
+    filter stage, as one unioned result."""
+    o = load_table(spark, sf_dir, "orders")
+    s1 = o.filter(F.col("o_orderstatus") != "F")
+    s2 = s1.filter(F.col("o_totalprice") > 50000)
+    return (
+        o.agg(F.count("*").alias("n")).select(F.lit("input").alias("stage"), "n")
+        .unionByName(s1.agg(F.count("*").alias("n")).select(F.lit("after_status_filter").alias("stage"), "n"))
+        .unionByName(s2.agg(F.count("*").alias("n")).select(F.lit("after_price_filter").alias("stage"), "n"))
+    )
+
+
+@register(
+    "aligned_cbind",
+    oracle="""
+    WITH a AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders GROUP BY o_custkey),
+    b AS (SELECT o_custkey,
+                 CAST(ROUND(SUM(o_totalprice * 10000)) AS BIGINT) / 10000.0 / COUNT(*) AS avg_price
+          FROM orders WHERE o_orderstatus <> 'P' GROUP BY o_custkey)
+    SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+           a.n_orders, b.avg_price,
+           CASE WHEN a.o_custkey IS NULL OR b.o_custkey IS NULL THEN 1 ELSE 0 END AS misaligned
+    FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+    """,
+    tags=("joins", "J6", "J7"),
+)
+def aligned_cbind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aligned column-bind as a key-based full outer join with a mismatch
+    indicator (reference J6/J7: R/wrapper.R:111 cbind on implicit row keys,
+    R/reference.R:249-256 identity-check-then-combine). Design rule: NEVER
+    positional — alignment is always by key, mismatches are data, not
+    errors (the reference's stop() becomes a filterable flag).
+
+    Float note: per-customer averages of decimal-quantized prices with
+    power-of-2 group counts land EXACTLY on round-half boundaries, where
+    engines' last-ulp sum differences flip the rounding. The avg is
+    therefore computed as exact-integer-numerator division
+    (round(sum(price·1e4)) recovers the true integer because accumulated
+    float error ≪ 0.5), giving bit-identical doubles with no rounding."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    b = (
+        o.filter(F.col("o_orderstatus") != "P")
+        .groupBy("o_custkey")
+        .agg(
+            (F.round(F.sum(F.col("o_totalprice") * 10000)).cast("long") / 10000.0 / F.count("*")).alias(
+                "avg_price"
+            )
+        )
+    )
+    return (
+        a.alias("a")
+        .join(b.alias("b"), F.col("a.o_custkey") == F.col("b.o_custkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("a.o_custkey"), F.col("b.o_custkey")).alias("o_custkey"),
+            "n_orders",
+            "avg_price",
+            F.when(F.col("a.o_custkey").isNull() | F.col("b.o_custkey").isNull(), 1)
+            .otherwise(0)
+            .alias("misaligned"),
+        )
+    )
+
+
+@register(
+    "random_subset",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(p_partkey) AS BIGINT) AS key_checksum,
+           ROUND(SUM(p_retailprice), 4) AS price_sum
+    FROM (SELECT * FROM part
+          ORDER BY md5(concat(CAST(p_partkey AS VARCHAR), ':', '290')) LIMIT 50)
+    """,
+    tags=("windows", "W8", "sampling"),
+)
+def random_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded global random subset of n rows (reference W8:
+    R/tradeseq.R:24 nGenes=500 random genes), deterministic via md5
+    ordering (SURVEY §7.2); checksummed so the oracle proves the exact
+    same rows were selected. TakeOrderedAndProject — no full sort."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.orderBy(det_order_key("p_partkey", 290))
+        .limit(50)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("p_partkey").cast("long").alias("key_checksum"),
+            F.round(F.sum("p_retailprice"), 4).alias("price_sum"),
+        )
+    )
+
+
+@register(
+    "mean_var_topk",
+    oracle="""
+    SELECT l_partkey, CAST(n AS BIGINT) AS n,
+           ROUND(mean_qty, 6) AS mean_qty, ROUND(var_qty, 6) AS var_qty
+    FROM (
+      SELECT l_partkey, COUNT(*) AS n, AVG(l_quantity) AS mean_qty,
+             var_samp(l_quantity) AS var_qty,
+             row_number() OVER (ORDER BY ROUND(var_samp(l_quantity), 6) DESC, l_partkey) AS rnk
+      FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 5
+    ) WHERE rnk <= 20
+    """,
+    tags=("stats", "M2", "M20"),
+)
+def mean_var_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feature mean-variance modeling + top-k variable-feature selection
+    (reference M2: R/wrapper.R:259-264 modelGeneVar → denoised PCs; M20:
+    R/bitfam.R:3-13 top-5000 variable genes). Hash agg then a top-k window
+    over the aggregated (small) side; variance rounded before ranking so
+    ordering is engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("l_quantity").alias("mean_qty"),
+            F.var_samp("l_quantity").alias("var_qty"),
+        )
+        .filter(F.col("n") >= 5)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc(F.round("var_qty", 6)), F.asc("l_partkey"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select(
+            "l_partkey",
+            "n",
+            F.round("mean_qty", 6).alias("mean_qty"),
+            F.round("var_qty", 6).alias("var_qty"),
+        )
+    )
+
+
+@register(
+    "sample_distances",
+    oracle="""
+    WITH prof AS (
+      SELECT c_mktsegment AS seg, AVG(c_acctbal) AS mu, stddev_samp(c_acctbal) AS sd
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT a.seg AS seg_a, b.seg AS seg_b,
+           ROUND(sqrt((a.mu - b.mu) * (a.mu - b.mu) + (a.sd - b.sd) * (a.sd - b.sd)), 6)
+             AS euclidean
+    FROM prof a JOIN prof b ON a.seg < b.seg
+    """,
+    tags=("stats", "M21"),
+)
+def sample_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise sample-distance matrix over per-group summary profiles
+    (reference M21: R/qc_rna.R:93-115 plot_sample_clustering euclidean) —
+    the profile table is tiny after aggregation; the O(k²) self-join is on
+    k = #groups, never on raw rows."""
+    c = load_table(spark, sf_dir, "customer")
+    prof = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.avg("c_acctbal").alias("mu"), F.stddev_samp("c_acctbal").alias("sd")
+    )
+    a, b = prof.alias("a"), prof.alias("b")
+    dist = F.sqrt(
+        (F.col("a.mu") - F.col("b.mu")) * (F.col("a.mu") - F.col("b.mu"))
+        + (F.col("a.sd") - F.col("b.sd")) * (F.col("a.sd") - F.col("b.sd"))
+    )
+    return a.join(b, F.col("a.seg") < F.col("b.seg")).select(
+        F.col("a.seg").alias("seg_a"), F.col("b.seg").alias("seg_b"), F.round(dist, 6).alias("euclidean")
+    )
+
+
+@register(
+    "ma_pairs",
+    oracle="""
+    WITH g AS (
+      SELECT l_partkey,
+             AVG(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END) AS price_a,
+             AVG(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END) AS price_r
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey,
+           ROUND(LOG2(price_a / price_r), 6) AS m_log_ratio,
+           ROUND(0.5 * (LOG2(price_a) + LOG2(price_r)), 6) AS a_mean_log
+    FROM g WHERE price_a IS NOT NULL AND price_r IS NOT NULL
+    """,
+    tags=("stats", "M21", "P18"),
+)
+def ma_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MA-style comparison between two conditions per feature (reference
+    M21: R/qc_rna.R plot_sample_MAs): M = log2 ratio, A = mean log2 —
+    one conditional-aggregation pass, map-side math."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_partkey").agg(
+        F.avg(F.when(F.col("l_returnflag") == "A", F.col("l_extendedprice"))).alias("price_a"),
+        F.avg(F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice"))).alias("price_r"),
+    )
+    return (
+        g.filter(F.col("price_a").isNotNull() & F.col("price_r").isNotNull())
+        .select(
+            "l_partkey",
+            F.round(F.log2(F.col("price_a") / F.col("price_r")), 6).alias("m_log_ratio"),
+            F.round(0.5 * (F.log2("price_a") + F.log2("price_r")), 6).alias("a_mean_log"),
+        )
+    )
