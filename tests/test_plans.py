@@ -1,0 +1,85 @@
+"""Plan-shape contracts: the physical plans behind headline queries must
+keep the properties the 100 TB design depends on — predicate pushdown into
+the parquet scan, column pruning, broadcast joins for dimension tables,
+bounded shuffle counts. A regression here is a performance bug even when
+results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from utils_spark.plans import plan_summary
+from utils_spark.registry import load_all
+
+REGISTRY = load_all()
+
+
+def _plan(spark, sf_dir, name):
+    return plan_summary(REGISTRY[name].fn(spark, sf_dir))
+
+
+def test_filter_scan_pushdown(spark, sf_dir):
+    p = _plan(spark, sf_dir, "filter_scan_agg")
+    # all range predicates must reach the parquet reader
+    joined = ";".join(p.pushed_filters)
+    assert "l_discount" in joined and "l_quantity" in joined and "l_shipdate" in joined, p.pushed_filters
+    # projection pruned to the 4 referenced columns
+    assert p.read_schemas and all(len(s.split(",")) <= 4 for s in p.read_schemas), p.read_schemas
+    assert p.n_exchanges <= 1  # single final-agg exchange, no join shuffles
+
+
+def test_filter_project_is_scan_only(spark, sf_dir):
+    p = _plan(spark, sf_dir, "filter_project")
+    assert p.n_exchanges == 0, "pure filter+project must not shuffle"
+    assert p.pushed_filters, "predicates must push into the scan"
+
+
+def test_multiway_join_broadcasts_dims(spark, sf_dir):
+    p = _plan(spark, sf_dir, "multiway_join_revenue")
+    # customer, nation, region broadcast; only lineitem⋈orders may shuffle-join
+    assert p.n_broadcast_joins >= 3, p.text[:2000]
+    assert p.n_sortmerge_joins <= 1
+
+
+def test_lookup_join_zero_shuffle(spark, sf_dir):
+    p = _plan(spark, sf_dir, "lookup_join")
+    assert p.n_broadcast_joins == 1
+    assert p.n_exchanges == 0, "broadcast lookup join must not shuffle either side"
+
+
+def test_grouped_quantiles_single_shuffle(spark, sf_dir):
+    p = _plan(spark, sf_dir, "grouped_quantiles")
+    assert p.n_exchanges == 1, "one hash-agg shuffle on the group key"
+    # only the 4 referenced lineitem columns are read
+    assert p.read_schemas and all(len(s.split(",")) <= 4 for s in p.read_schemas), p.read_schemas
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    p = _plan(spark, sf_dir, "sessionize")
+    # one shuffle for the per-user window; the session agg reuses that
+    # partitioning (plus AQE may add a final coalesce read) — at most 2
+    assert p.n_exchanges <= 2, p.text[:1500]
+
+
+def test_minhash_signature_no_shuffle(spark, sf_dir):
+    p = _plan(spark, sf_dir, "minhash_signature")
+    assert p.n_exchanges == 0, "signature computation must be map-only"
+
+
+def test_mad_outliers_broadcasts_thresholds(spark, sf_dir):
+    p = _plan(spark, sf_dir, "mad_outliers")
+    assert p.n_broadcast_joins >= 2, "median/MAD threshold tables must broadcast"
+
+
+def test_codegen_everywhere(spark, sf_dir):
+    # whole-stage codegen must cover the hot paths (no interpreted gaps).
+    # grouped_quantiles is exempt: exact `percentile` is a
+    # TypedImperativeAggregate → ObjectHashAggregate (no codegen) — the
+    # documented cost of exact quantiles on the correctness path; the
+    # approx_percentile variant would restore codegen at scale.
+    for name in ("filter_scan_agg", "pseudobulk_sum", "filter_project", "string_ops"):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        df.collect()  # AQE finalizes stage plans (and codegen info) on execution
+        p = plan_summary(df)
+        assert p.n_codegen_stages >= 1, f"{name} lost codegen"
