@@ -29,9 +29,12 @@ BENCH_QUERIES = [
     "tumbling_window",        # event-time windows
     "monthly_rollup",         # date_trunc rollup + count distinct
     "ks_test",                # ECDF windows over pooled distinct values
+    "pairwise_ks",            # all-pairs KS (broadcast pair table)
+    "asof_join",              # as-of via last-non-null ordered windows
     "ngram_jaccard_pairs",    # shingle self-join (dedup hot path)
     "minhash_lsh_pairs",      # signature + band join (dedup scale path)
     "cosine_topk",            # brute-force ANN baseline
+    "mean_var_topk",          # feature-variance modeling + top-k
 ]
 
 
