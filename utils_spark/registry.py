@@ -50,6 +50,7 @@ def load_all() -> dict[str, QueryDef]:
     from utils_spark.queries import (  # noqa: F401
         advanced,
         aggregates,
+        composite,
         coverage,
         relational,
         stats,
