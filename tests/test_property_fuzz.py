@@ -1,0 +1,129 @@
+"""Hypothesis fuzz tests: operator semantics vs pure-Python references on
+arbitrary generated inputs (SURVEY §5 industrialization of the reference's
+oracle-comparison practice).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+pytestmark = pytest.mark.filterwarnings("ignore")
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@given(
+    pvals=st.lists(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False), min_size=1, max_size=40
+    )
+)
+@settings(**SETTINGS)
+def test_bh_adjust_fuzz(spark, pvals):
+    from tests.test_operators import _bh_reference
+
+    from utils_spark.operators import bh_adjust
+
+    df = spark.createDataFrame([(i, p) for i, p in enumerate(pvals)], ["id", "p"])
+    got = {r["id"]: r["p_adjusted"] for r in bh_adjust(df, "p", tiebreak_col="id").collect()}
+    want = _bh_reference(pvals)
+    for i, w in enumerate(want):
+        assert math.isclose(got[i], w, rel_tol=1e-9, abs_tol=1e-12)
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=3, max_size=50
+    )
+)
+@settings(**SETTINGS)
+def test_mad_outliers_fuzz(spark, vals):
+    import numpy as np
+
+    from utils_spark.operators import mad_outlier_flags
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], ["id", "x"])
+    got = {r["id"]: r["is_outlier"] for r in mad_outlier_flags(df, "x").collect()}
+    med = float(np.median(vals))
+    mad = float(np.median(np.abs(np.array(vals) - med))) * 1.4826
+    for i, v in enumerate(vals):
+        want = v < med - 3 * mad or v > med + 3 * mad
+        # skip knife-edge cases where float assoc. could differ
+        if mad > 0 and min(abs(v - (med - 3 * mad)), abs(v - (med + 3 * mad))) < 1e-9 * max(1, abs(v)):
+            continue
+        assert got[i] == want, (i, v, med, mad)
+
+
+@given(
+    names=st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=30)
+)
+@settings(**SETTINGS)
+def test_make_unique_fuzz(spark, names):
+    from utils_spark.operators import with_unique_names
+
+    df = spark.createDataFrame([(i, n) for i, n in enumerate(names)], ["id", "name"])
+    got = {r["id"]: r["u"] for r in with_unique_names(df, "name", "id", "u").collect()}
+    # python reference: R make.unique over id-sorted order
+    seen: dict[str, int] = {}
+    for i, n in enumerate(names):
+        k = seen.get(n, 0)
+        want = n if k == 0 else f"{n}.{k}"
+        seen[n] = k + 1
+        assert got[i] == want
+    # uniqueness guaranteed
+    assert len(set(got.values())) == len(names)
+
+
+@given(n_per=st.integers(min_value=1, max_value=8), seed=st.integers(min_value=0, max_value=5))
+@settings(**SETTINGS)
+def test_stratified_sample_fuzz(spark, n_per, seed):
+    from utils_spark.operators import stratified_sample_exact
+
+    rows = [(f"k{i}", f"g{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, ["key", "grp"])
+    out = stratified_sample_exact(df, "grp", "key", n_per, seed=seed).collect()
+    from collections import Counter
+
+    c = Counter(r["grp"] for r in out)
+    for g in ("g0", "g1", "g2"):
+        assert c[g] == min(n_per, 10)
+    # python reference of the same md5 ordering: exact row-level agreement
+    import hashlib
+
+    by_g: dict[str, list[str]] = {}
+    for k, g in rows:
+        by_g.setdefault(g, []).append(k)
+    want = set()
+    for g, ks in by_g.items():
+        ordered = sorted(ks, key=lambda k: hashlib.md5(f"{k}:{seed}".encode()).hexdigest())
+        want |= {(g, k) for k in ordered[:n_per]}
+    assert {(r["grp"], r["key"]) for r in out} == want
+
+
+def test_salted_join_matches_plain(spark):
+    from utils_spark.operators.skew import salted_join
+
+    # hot key: 500 rows of key=1, few of others
+    big = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, i) for i in range(5)] + [(3, i) for i in range(5)],
+        ["k", "v"],
+    )
+    small = spark.createDataFrame([(1, "hot"), (2, "cold"), (4, "unused")], ["k", "name"])
+    got = salted_join(big, small, "k").groupBy("k", "name").count().collect()
+    want = {(1, "hot"): 500, (2, "cold"): 5}
+    assert {(r["k"], r["name"]): r["count"] for r in got} == want
+
+
+def test_skewed_group_count_matches_plain(spark):
+    from utils_spark.operators.skew import skewed_group_count
+
+    big = spark.createDataFrame([(i % 3,) for i in range(300)], ["k"])
+    got = {r["k"]: r["n"] for r in skewed_group_count(big, "k").collect()}
+    assert got == {0: 100, 1: 100, 2: 100}

@@ -22,15 +22,6 @@ from utils_spark.registry import register
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
 
-def _seeded_hasher(i: int):
-    """Hash-function factory for MinHash: shingle -> md5int(f'{i}:{shingle}').
-
-    Must be a factory (NOT a two-arg lambda with a default): F.transform
-    treats a two-parameter lambda as (element, index).
-    """
-    return lambda s: md5_long(F.concat_ws(":", F.lit(str(i)), s))
-
-
 # MinHash universal-hash family: ONE md5 per shingle, then cheap affine
 # permutations h_i = (a_i * h30 + b_i) mod P30 in 30-bit space — products
 # stay < 2^60 so the arithmetic is overflow-free and bit-identical in every
