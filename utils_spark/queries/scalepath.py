@@ -1,0 +1,146 @@
+"""Scale-path and streaming-twin queries: sliding event-time windows,
+native session_window certified against pure SQL, embedding-cosine
+near-duplicate detection, and the approx-sketch variants that replace
+exact aggregates at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from utils_spark.functions import cosine_similarity, to_double_array
+from utils_spark.io import load_table
+from utils_spark.registry import register
+
+
+@register(
+    "sliding_window",
+    oracle="""
+    WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+    expanded AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - j.off * INTERVAL '30 minutes' AS window_start,
+             event_type, value
+      FROM ev, (SELECT unnest(range(0, 2)) AS off) j
+    )
+    SELECT window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 4) AS total_value
+    FROM expanded
+    GROUP BY window_start, event_type
+    """,
+    tags=("temporal", "streaming-batch", "sliding"),
+)
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h window, 30 min slide): every event
+    lands in window/slide = 2 overlapping windows. Same F.window operator
+    the streaming path uses; the oracle replicates the semantics by
+    explicit window-offset expansion."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+@register(
+    "session_window_native",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ),
+    gaps AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM gaps
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS session_value
+    FROM sess GROUP BY user_id, sid
+    """,
+    tags=("temporal", "streaming-batch", "session"),
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window operator run in batch and certified
+    against first-principles SQL sessionization — proving the streaming
+    session operator's exact semantics (session end = last event + gap;
+    a gap of exactly 30 min starts a NEW session, hence >= in the oracle)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("session_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@register(
+    "embedding_near_dup",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+             AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.95
+    """,
+    tags=("vector", "dedup", "near-dup"),
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.95) — the
+    semantic-dedup primitive of the north star. Exact all-pairs here
+    (oracle-checkable); at 100 TB the same threshold runs over LSH/IVF
+    candidate pairs instead of the full cross join (see ann_ivf_bucketed
+    and minhash_lsh_pairs for the candidate generators)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = cosine_similarity(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("__cos"),
+        )
+        .filter(F.col("__cos") >= 0.95)
+        .select("vec_a", "vec_b", F.round("__cos", 6).alias("cosine"))
+    )
+
+
+@register(
+    "approx_sketch_aggs",
+    oracle=None,  # approximate by design: sketch results differ per engine;
+    # tests/test_scalepath.py bounds them against the exact answers instead
+    tags=("aggregates", "approx", "scale-path"),
+)
+def approx_sketch_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented 100 TB switch for the exact correctness-path aggs:
+    percentile_approx (mergeable t-digest-style sketch) replacing exact
+    percentile, approx_count_distinct (HyperLogLog++) replacing exact
+    count-distinct. Fully mergeable → single partial+final pass, codegen
+    intact, bounded memory per group at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_approx"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("orders_approx"),
+        F.count("*").alias("n"),
+    )

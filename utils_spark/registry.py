@@ -53,6 +53,7 @@ def load_all() -> dict[str, QueryDef]:
         composite,
         coverage,
         relational,
+        scalepath,
         stats,
         temporal,
         text,
