@@ -56,10 +56,12 @@ def main() -> None:
         qd = registry[name]
         t0 = time.perf_counter()
         df = qd.fn(spark, sf_dir)
-        n = df.count() if name not in () else len(df.collect())
+        # noop sink fully materializes EVERY output column (a bare count()
+        # would let Catalyst prune unaggregated projections → fake timings)
+        df.write.mode("overwrite").format("noop").save()
         elapsed = time.perf_counter() - t0
         timings[name] = round(elapsed, 4)
-        print(f"# {name}: {elapsed:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {elapsed:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     print(

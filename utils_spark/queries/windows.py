@@ -137,7 +137,14 @@ def bh_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wo = Window.partitionBy("event_type").orderBy("pvalue", "event_id")
     wn = Window.partitionBy("event_type")
-    wmin = wo.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    # running min in REVERSE order — a streaming frame; the naive
+    # [current, unboundedFollowing] frame is O(n²) per partition in Spark
+    # (26 s vs 0.4 s at 100k rows; see operators.stats.bh_adjust)
+    wmin = (
+        Window.partitionBy("event_type")
+        .orderBy(F.desc("pvalue"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return (
         p.withColumn("r", F.row_number().over(wo))
         .withColumn("n", F.count("*").over(wn))
