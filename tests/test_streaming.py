@@ -78,3 +78,21 @@ def test_stateful_dedup_stream(spark, sf_dir):
     n = spark.sql("SELECT count(*) AS n FROM dedup").collect()[0]["n"]
     n_batch = load_table(spark, sf_dir, "events").count()
     assert n == n_batch
+
+
+def test_sliding_window_stream_matches_batch(spark, sf_dir):
+    stream = windowed_counts_stream(
+        read_events_stream(spark, sf_dir), window="1 hour", slide="30 minutes"
+    )
+    _run_stream(stream, "slide_counts")
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM slide_counts").collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    want = {(r["w"]["start"], r["event_type"]): r["n"] for r in batch.collect()}
+    assert got == want

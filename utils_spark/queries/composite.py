@@ -76,3 +76,66 @@ def batch_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corrected = harmony_lite(d, "vec_id", "vec", "batch", k=4, n_iter=2)
     return corrected.select("vec_id", "batch", F.round(F.element_at("corrected", 1), 6).alias("c1"))
+
+
+@register(
+    "pca_embedding",
+    oracle=None,  # eigenvector sign/rotation is implementation-defined;
+    # variance ordering property-tested in tests/test_ml.py
+    tags=("composite", "M1", "ml"),
+)
+def pca_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib truncated PCA over the embeddings table (reference M1):
+    returns (vec_id, label, pc1, pc2) with explained-variance-ordered
+    components."""
+    from utils_spark.operators.ml import pca_embed
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out, _ratios = pca_embed(e, "embedding", n_components=2)
+    return out.select(
+        "vec_id",
+        "label",
+        F.round(F.element_at("pca", 1), 6).alias("pc1"),
+        F.round(F.element_at("pca", 2), 6).alias("pc2"),
+    )
+
+
+@register(
+    "clustree_transitions",
+    oracle=None,  # kmeans labels are seed-stable but arbitrary; structure
+    # checked by the property tests on blobs
+    tags=("composite", "M5", "M6", "M7", "ml"),
+)
+def clustree_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution clustering sweep + cluster-tree transition edges
+    (reference M5/M7: FindClusters at several resolutions → clustree):
+    KMeans at k=3 and k=6 on embeddings, then (k3 label → k6 label)
+    transition counts."""
+    from utils_spark.operators.ml import cluster_transition_counts, kmeans_clusters
+
+    e = load_table(spark, sf_dir, "embeddings")
+    k3 = kmeans_clusters(e, "embedding", k=3, out_col="k3")
+    k6 = kmeans_clusters(k3, "embedding", k=6, out_col="k6")
+    return cluster_transition_counts(k6, "k3", "k6")
+
+
+@register(
+    "knn_snn_lisi",
+    oracle=None,  # LSH neighbor sets are seed-stable approximations;
+    # purity/LISI properties tested on blobs in tests/test_ml.py
+    tags=("composite", "M4", "M11", "ml"),
+)
+def knn_snn_lisi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN graph → label-diversity (LISI) per node over embeddings
+    (reference M4/M11): per-label median LISI — how label-mixed each
+    vector's neighborhood is."""
+    from utils_spark.operators.ml import knn_graph, lisi_score
+
+    e = load_table(spark, sf_dir, "embeddings")
+    edges = knn_graph(e, "vec_id", "embedding", k=10, bucket_length=8.0)
+    lisi = lisi_score(edges, e, "vec_id", "label")
+    labeled = lisi.join(e.select(F.col("vec_id").alias("src"), "label"), "src")
+    return labeled.groupBy("label").agg(
+        F.round(F.expr("percentile(lisi, 0.5)"), 4).alias("median_lisi"),
+        F.count("*").alias("n"),
+    )
