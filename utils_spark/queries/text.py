@@ -397,3 +397,63 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(F.col("est_jaccard") >= 0.5).select(
         "doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard")
     )
+
+
+@register(
+    "dup_cluster_assignments",
+    oracle="""
+    WITH RECURSIVE shingled AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, GREATEST(length(text) - 4, 1) + 1),
+                                          i -> substr(text, i, 5))) AS grams
+      FROM documents WHERE doc_id < 200
+    ),
+    exploded AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS gram FROM shingled),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             ANY_VALUE(a.sz) AS sz_a, ANY_VALUE(b.sz) AS sz_b, COUNT(*) AS n_common
+      FROM exploded a JOIN exploded b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      WHERE CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common) >= 0.3
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, via) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.via FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(via) AS BIGINT) AS component
+    FROM reach GROUP BY node
+    """,
+    tags=("text", "dedup", "connected-components", "M19"),
+)
+def dup_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: 5-gram Jaccard >= 0.3 pairs (docs
+    < 200) -> connected components -> (doc_id, component=min doc id).
+    The distributed min-label propagation (operators.dedup.
+    duplicate_clusters) is verified here against a DuckDB RECURSIVE-CTE
+    reachability oracle -- an exact cross-engine check of an iterative
+    graph algorithm. Also the shape of reference M19's similarity-
+    threshold term clustering (R/funx_enrichment.R:174-234)."""
+    from utils_spark.operators.dedup import duplicate_clusters
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    shingled = d.select("doc_id", char_shingles("text", 5).alias("grams"))
+    exploded = shingled.select("doc_id", F.size("grams").alias("sz"), F.explode("grams").alias("gram"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.first(F.col("a.sz")).alias("sz_a"), F.first(F.col("b.sz")).alias("sz_b"),
+             F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    pairs = inter.filter(jac >= 0.3).select("doc_a", "doc_b")
+    cc = duplicate_clusters(pairs, "doc_a", "doc_b")
+    return cc.select(F.col("key").cast("long").alias("doc_id"), F.col("component").cast("long").alias("component"))
