@@ -389,3 +389,36 @@ def freq_ordered_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = o.groupBy(F.col("o_orderpriority").alias("level")).agg(F.count("*").alias("n"))
     w = Window.orderBy(F.desc("n"), F.asc("level"))
     return counts.withColumn("level_rank", F.dense_rank().over(w).cast("long"))
+
+
+@register(
+    "top_orders_by_revenue",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate > TIMESTAMP '1997-06-01'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+    tags=("joins", "tpch", "W6", "bench"),
+)
+def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: join + grouped revenue + global top-k
+    (TakeOrderedAndProject — no full sort; deterministic tiebreak on the
+    key). Date filters push into both scans before the join."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
