@@ -83,3 +83,26 @@ def test_param_sweep(spark):
     # quadratic data: degree-2 fit is perfect, degree-1 is not
     assert out[2]["r2"] > 0.999999
     assert out[1]["r2"] < 0.5
+
+
+def test_loess_trend_recovers_shape(spark):
+    import numpy as np
+
+    from utils_spark.operators.modelfit import loess_trend
+
+    # technical trend: var = 2*mean + 1; plant 5 high-variance features
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(200):
+        m = float(rng.uniform(0.5, 10))
+        v = 2 * m + 1 + float(rng.normal(scale=0.1))
+        if i < 5:
+            v += 25.0  # biological signal
+        rows.append((f"f{i}", m, v))
+    df = spark.createDataFrame(rows, ["feature", "mean", "var"])
+    out = {r["feature"]: r for r in loess_trend(df, "feature", "mean", "var").collect()}
+    planted = sorted(out, key=lambda f: -out[f]["bio_var"])[:5]
+    assert set(planted) == {f"f{i}" for i in range(5)}
+    # trend approximates 2m+1 for non-planted features
+    errs = [abs(out[f]["trend"] - (2 * out[f]["mean"] + 1)) for f in out if f not in planted]
+    assert float(np.median(errs)) < 0.5

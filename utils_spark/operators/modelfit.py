@@ -178,3 +178,95 @@ def param_sweep_fits(
         )
         out = fit if out is None else out.unionByName(fit)
     return out
+
+
+LOESS_SCHEMA = StructType(
+    [
+        StructField("feature", StringType()),
+        StructField("mean", DoubleType()),
+        StructField("variance", DoubleType()),
+        StructField("trend", DoubleType()),
+        StructField("bio_var", DoubleType()),
+    ]
+)
+
+
+def loess_trend(
+    df: DataFrame,
+    feature_col: str,
+    mean_col: str,
+    var_col: str,
+    span: float = 0.3,
+) -> DataFrame:
+    """Mean-variance technical-trend modeling (reference M2:
+    R/wrapper.R:259-264 scran::modelGeneVar - loess fit of variance
+    against mean; biological variance = total - trend).
+
+    The input is the per-feature AGGREGATE table (one row per feature -
+    small by construction), so the loess runs as a single-group
+    applyInPandas: data stays in DataFrames, the quadratic local-
+    regression cost is bounded by feature count, never row count.
+    Tricube-weighted local linear regression (standard loess, degree 1).
+    """
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[mean_col].to_numpy(dtype=float)
+        y = pdf[var_col].to_numpy(dtype=float)
+        n = len(x)
+        k = max(2, int(np.ceil(span * n)))
+        order = np.argsort(x)
+        xs, ys = x[order], y[order]
+
+        def one_pass(robust_w):
+            t = np.empty(n)
+            for i in range(n):
+                d = np.abs(xs - xs[i])
+                idx = np.argpartition(d, min(k - 1, n - 1))[:k]
+                dk = d[idx].max()
+                w = (1 - np.minimum(d[idx] / max(dk, 1e-300), 1.0) ** 3) ** 3
+                w = w * robust_w[idx]
+                xw, yw = xs[idx], ys[idx]
+                sw = w.sum()
+                if sw <= 1e-300:
+                    t[i] = ys[idx].mean()
+                    continue
+                xm = (w * xw).sum() / sw
+                ym = (w * yw).sum() / sw
+                den = (w * (xw - xm) ** 2).sum()
+                slope = (w * (xw - xm) * (yw - ym)).sum() / den if den > 1e-300 else 0.0
+                t[i] = ym + slope * (xs[i] - xm)
+            return t
+
+        # robust loess: bisquare re-weighting downweights outliers (the
+        # biological-signal features) so they don't drag the technical trend
+        rw = np.ones(n)
+        trend_sorted = one_pass(rw)
+        for _ in range(2):
+            resid = ys - trend_sorted
+            s = np.median(np.abs(resid))
+            if s <= 1e-300:
+                break
+            rw = np.clip(1 - (resid / (6 * s)) ** 2, 0, None) ** 2
+            trend_sorted = one_pass(rw)
+        trend = np.empty(n)
+        trend[order] = trend_sorted
+        return pd.DataFrame(
+            {
+                "feature": pdf[feature_col].astype(str),
+                "mean": x,
+                "variance": y,
+                "trend": trend,
+                "bio_var": y - trend,
+            }
+        )
+
+    return (
+        df.select(
+            F.col(feature_col).alias(feature_col),
+            F.col(mean_col).cast("double").alias(mean_col),
+            F.col(var_col).cast("double").alias(var_col),
+        )
+        .withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(lambda pdf: fit(pdf.drop(columns="__g")), LOESS_SCHEMA)
+    )

@@ -139,3 +139,35 @@ def knn_snn_lisi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(lisi, 0.5)"), 4).alias("median_lisi"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "denoised_feature_selection",
+    oracle=None,  # loess trend is an iterative robust fit; recovery
+    # properties tested in tests/test_modelfit.py
+    tags=("composite", "M2", "modelfit"),
+)
+def denoised_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full modelGeneVar pipeline (reference M2: R/wrapper.R:259-264):
+    per-feature mean/variance -> robust loess technical trend ->
+    biological variance = total - trend -> top-20 features by bio_var."""
+    from pyspark.sql import Window
+
+    from utils_spark.operators.modelfit import loess_trend
+
+    li = load_table(spark, sf_dir, "lineitem")
+    mv = (
+        li.groupBy(F.col("l_partkey").cast("string").alias("feature"))
+        .agg(F.avg("l_quantity").alias("mean"), F.var_samp("l_quantity").alias("var"))
+        .filter(F.col("var").isNotNull())
+    )
+    fitted = loess_trend(mv, "feature", "mean", "var")
+    w = Window.orderBy(F.desc("bio_var"), F.asc("feature"))
+    return (
+        fitted.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("feature", F.round("mean", 4).alias("mean"),
+                F.round("variance", 4).alias("variance"),
+                F.round("trend", 4).alias("trend"),
+                F.round("bio_var", 4).alias("bio_var"))
+    )
