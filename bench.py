@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",      # signature + band join (dedup scale path)
     "cosine_topk",            # brute-force ANN baseline
     "mean_var_topk",          # feature-variance modeling + top-k
+    "atlas_loader_pipeline",  # E1: filter→map-join→sample→normalize chain
+    "qc_filter_pipeline",     # E2: metrics→MAD flags→support filter chain
 ]
 
 
