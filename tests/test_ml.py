@@ -144,3 +144,35 @@ def test_harmony_lite_reduces_batch_separation(spark):
     after = batch_gap(corrected, "corrected")
     assert before > 2.5
     assert after < before * 0.2, (before, after)
+
+
+def test_cca_integrate_lite_removes_batch_shift(spark):
+    import numpy as np
+
+    from utils_spark.operators.ml import cca_integrate_lite
+
+    # batch B = batch A's structure shifted and scaled in every dim;
+    # after per-batch standardization + joint PCA the batches must overlap
+    rng = np.random.default_rng(5)
+    rows = []
+    for b, (shift, scale) in (("A", (0.0, 1.0)), ("B", (5.0, 3.0))):
+        for ci, center in enumerate([0.0, 8.0]):
+            for j in range(30):
+                v = rng.normal(scale=0.5, size=6)
+                v[0] += center
+                v = v * scale + shift
+                rows.append((f"{b}{ci}{j}", b, f"c{ci}", [float(x) for x in v]))
+    df = spark.createDataFrame(rows, ["id", "batch", "cluster", "vec"])
+    out, ratios = cca_integrate_lite(df, "id", "vec", "batch", n_components=2)
+    rows_out = out.select("batch", "cluster", F.element_at("integrated", 1).alias("p1")).collect()
+    import statistics
+
+    by_batch = {}
+    by_cluster = {}
+    for r in rows_out:
+        by_batch.setdefault(r["batch"], []).append(r["p1"])
+        by_cluster.setdefault(r["cluster"], []).append(r["p1"])
+    batch_gap = abs(statistics.mean(by_batch["A"]) - statistics.mean(by_batch["B"]))
+    cluster_gap = abs(statistics.mean(by_cluster["c0"]) - statistics.mean(by_cluster["c1"]))
+    # biological separation must dominate batch separation post-integration
+    assert cluster_gap > 5 * batch_gap, (cluster_gap, batch_gap)

@@ -275,3 +275,41 @@ def harmony_lite(
         work = corrected.localCheckpoint()
     out = work.select(F.col("__key").alias(key_col), F.col("__v").alias("corrected"))
     return df.join(out, key_col)
+
+
+def cca_integrate_lite(
+    df: DataFrame,
+    key_col: str,
+    array_col: str,
+    batch_col: str,
+    n_components: int = 10,
+) -> tuple[DataFrame, list[float]]:
+    """CCA-style integration, simplified (reference M9: R/integrate.R:125-153
+    Seurat IntegrateLayers CCAIntegration — per-batch split, scale, joint
+    reduction; anchor matching is NOT reproduced, flagged non-parity per
+    SURVEY §2.8 M9).
+
+    Steps: (1) per-batch per-dimension standardization (removes batch
+    location/scale effects — the reference's per-layer ScaleData), then
+    (2) joint PCA over the standardized vectors (the shared low-rank
+    space CCA approximates when batches share structure). Returns
+    (df + `integrated` array column, explained variance ratios)."""
+    comp = df.select(
+        F.col(key_col).alias("__key"),
+        F.col(batch_col).alias("__batch"),
+        F.posexplode(to_double_array(array_col)).alias("__d", "__x"),
+    )
+    wb = Window.partitionBy("__batch", "__d")
+    std = comp.withColumn(
+        "__z",
+        (F.col("__x") - F.avg("__x").over(wb))
+        / F.coalesce(F.nullif(F.stddev_samp("__x").over(wb), F.lit(0.0)), F.lit(1.0)),
+    )
+    assembled = (
+        std.groupBy("__key")
+        .agg(F.array_sort(F.collect_list(F.struct("__d", "__z"))).alias("__pairs"))
+        .select("__key", F.transform("__pairs", lambda p: p["__z"]).alias("__zv"))
+    )
+    embedded, ratios = pca_embed(assembled, "__zv", n_components=n_components, out_col="integrated")
+    out = embedded.select(F.col("__key").alias(key_col), "integrated")
+    return df.join(out, key_col), ratios
