@@ -457,3 +457,47 @@ def dup_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = inter.filter(jac >= 0.3).select("doc_a", "doc_b")
     cc = duplicate_clusters(pairs, "doc_a", "doc_b")
     return cc.select(F.col("key").cast("long").alias("doc_id"), F.col("component").cast("long").alias("component"))
+
+
+@register(
+    "fuzzy_name_pairs",
+    oracle="""
+    WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey < 300)
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM p a JOIN p b ON a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 12
+      AND abs(length(a.p_name) - length(b.p_name)) <= 12
+    """,
+    tags=("text", "dedup", "fuzzy", "levenshtein"),
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) near-duplicate matching on names: pairs with
+    levenshtein <= 12 among a bounded key range. Integer edit distances are
+    bit-identical across engines (no float hazards).
+
+    Scale note: raw pairwise levenshtein is O(n^2 * len^2); the length-
+    difference prefilter (|len_a - len_b| <= k is a lower bound on edit
+    distance) prunes candidates before the expensive kernel, and at real
+    scale the pair generator should be an LSH/shingle candidate stage
+    (minhash_lsh_pairs) rather than a cross join."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 300)
+        .select("p_partkey", "p_name", F.length("p_name").alias("ln"))
+    )
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            # cheap lower-bound prefilter before the O(len^2) kernel
+            & (F.abs(F.col("a.ln") - F.col("b.ln")) <= 12),
+        )
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 12)
+    )
