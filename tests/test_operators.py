@@ -255,3 +255,41 @@ def test_zscore_per_group(spark):
     mu, sd = np.mean(vals), np.std(vals, ddof=1)
     for i, v in enumerate(vals):
         assert math.isclose(out[i], (v - mu) / sd, rel_tol=1e-12)
+
+
+def test_reorder_to_input(spark):
+    from utils_spark.operators.relational import reorder_to_input
+
+    df = spark.createDataFrame([(2, "b"), (0, "z"), (1, "m")], ["pos", "v"])
+    out = [r["v"] for r in reorder_to_input(df, "pos").collect()]
+    assert out == ["z", "m", "b"]
+
+
+def test_pairwise_distances_euclidean_and_cosine(spark):
+    import math
+
+    from utils_spark.operators.similarity import pairwise_distances
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0]), ("c", [2.0, 0.0])], ["k", "embedding"]
+    )
+    eu = {(r["key_a"], r["key_b"]): r["euclidean"] for r in pairwise_distances(df, "k", metric="euclidean").collect()}
+    assert math.isclose(eu[("a", "b")], math.sqrt(2))
+    assert math.isclose(eu[("a", "c")], 1.0)
+    cos = {(r["key_a"], r["key_b"]): r["cosine"] for r in pairwise_distances(df, "k", metric="cosine").collect()}
+    assert math.isclose(cos[("a", "c")], 1.0)
+    assert math.isclose(cos[("a", "b")], 0.0, abs_tol=1e-12)
+
+
+def test_split_train_holdout_deterministic_partition(spark):
+    from utils_spark.operators.sampling import split_train_holdout
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(500)], ["key"])
+    train, hold = split_train_holdout(df, "key", holdout_fraction=0.2, seed=3)
+    t1 = {r["key"] for r in train.collect()}
+    h1 = {r["key"] for r in hold.collect()}
+    assert t1.isdisjoint(h1) and len(t1) + len(h1) == 500
+    assert 0.1 < len(h1) / 500 < 0.3  # hash split approximates the fraction
+    # repartition must not change membership
+    t2 = {r["key"] for r in split_train_holdout(df.repartition(7), "key", 0.2, seed=3)[0].collect()}
+    assert t1 == t2
