@@ -176,3 +176,19 @@ def test_cca_integrate_lite_removes_batch_shift(spark):
     cluster_gap = abs(statistics.mean(by_cluster["c0"]) - statistics.mean(by_cluster["c1"]))
     # biological separation must dominate batch separation post-integration
     assert cluster_gap > 5 * batch_gap, (cluster_gap, batch_gap)
+
+
+def test_classical_mds_preserves_blob_structure(spark, blobs):
+    from utils_spark.operators.ml import classical_mds_2d
+
+    out = classical_mds_2d(blobs.withColumn("id", F.col("id").cast("string")), "id", "vec", sample_n=120)
+    rows = out.collect()
+    assert len(rows) == 120
+    # blobs live along one axis → mds1 separates them; blob of each id
+    coords = {int(r["key"]): r["mds1"] for r in rows}
+    import statistics
+
+    mean_by_blob = [statistics.mean(v for k, v in coords.items() if k // 40 == b) for b in range(3)]
+    ordered = sorted(mean_by_blob)
+    # the 3 blob means are distinct and well separated in MDS-1
+    assert ordered[1] - ordered[0] > 3 and ordered[2] - ordered[1] > 3

@@ -313,3 +313,65 @@ def cca_integrate_lite(
     embedded, ratios = pca_embed(assembled, "__zv", n_components=n_components, out_col="integrated")
     out = embedded.select(F.col("__key").alias(key_col), "integrated")
     return df.join(out, key_col), ratios
+
+
+def classical_mds_2d(
+    df: DataFrame,
+    key_col: str,
+    array_col: str,
+    sample_n: int = 500,
+    seed: int = 290,
+) -> DataFrame:
+    """2-D embedding for visualization via classical MDS on a seeded
+    deterministic sample (reference M10: R/integrate.R:161-177 RunUMAP —
+    SURVEY defers exact UMAP [no native lib] and prescribes a sampled
+    applyInPandas embedding as the plot-path fallback; classical MDS is
+    the deterministic choice).
+
+    The sample (≤ sample_n rows, md5-seeded per SURVEY §7.2) is embedded
+    by double-centering its Gram matrix and taking the top-2 eigenvectors
+    (numpy eigh inside a single-group applyInPandas — bulk data never
+    leaves DataFrames, the O(n²) matrix is bounded by sample_n).
+    Returns (key, mds1, mds2) for the sampled rows."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+    from utils_spark.operators.sampling import random_subset
+
+    sampled = random_subset(df.select(key_col, array_col), key_col, sample_n, seed=seed)
+    schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("mds1", DoubleType()),
+            StructField("mds2", DoubleType()),
+        ]
+    )
+
+    def embed(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = pdf[key_col].astype(str).to_numpy()
+        X = np.array([np.asarray(v, dtype=float) for v in pdf[array_col]])
+        n = len(X)
+        if n < 3:
+            return pd.DataFrame({"key": keys, "mds1": 0.0, "mds2": 0.0})
+        sq = (X * X).sum(axis=1)
+        d2 = sq[:, None] + sq[None, :] - 2 * (X @ X.T)
+        j = np.eye(n) - np.ones((n, n)) / n
+        b = -0.5 * j @ d2 @ j
+        vals, vecs = np.linalg.eigh(b)
+        top = np.argsort(vals)[::-1][:2]
+        coords = vecs[:, top] * np.sqrt(np.clip(vals[top], 0, None))
+        # deterministic sign convention: largest-|coord| entry positive
+        for c in range(2):
+            i = int(np.argmax(np.abs(coords[:, c])))
+            if coords[i, c] < 0:
+                coords[:, c] = -coords[:, c]
+        return pd.DataFrame({"key": keys, "mds1": coords[:, 0], "mds2": coords[:, 1]})
+
+    from pyspark.sql import functions as _F
+
+    return (
+        sampled.withColumn("__g", _F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(lambda pdf: embed(pdf.drop(columns="__g")), schema)
+    )
