@@ -29,7 +29,7 @@ from utils_spark.registry import register
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_total,
            CAST(COUNT(CASE WHEN v IS NOT NULL AND uid IS NOT NULL THEN 1 END) AS BIGINT) AS n_complete,
-           ROUND(AVG(v), 6) AS avg_v_null_skipped
+           CAST(ROUND(SUM(v * 100)) AS BIGINT) / 100.0 / COUNT(v) AS avg_v_null_skipped
     FROM e GROUP BY event_type
     """,
     tags=("advanced", "P8", "nulls"),
@@ -45,10 +45,12 @@ def na_drop_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("user_id") % 7 == 0, None).otherwise(F.col("user_id")).alias("uid"),
     )
     complete = F.col("v").isNotNull() & F.col("uid").isNotNull()
+    # exact-integer-numerator avg (2dp-quantized data; see tumbling_window)
+    exact_avg = F.round(F.sum(F.col("v") * 100)).cast("long") / 100.0 / F.count("v")
     return e.groupBy("event_type").agg(
         F.count("*").alias("n_total"),
         F.count(F.when(complete, 1)).alias("n_complete"),
-        F.round(F.avg("v"), 6).alias("avg_v_null_skipped"),
+        exact_avg.alias("avg_v_null_skipped"),
     )
 
 
@@ -389,11 +391,13 @@ def knee_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH scores AS (
       SELECT user_id,
-             AVG(CASE WHEN event_type = 'purchase' THEN value END) AS set_avg,
-             AVG(CASE WHEN event_type = 'view' THEN value END) AS ctrl_avg
+             CAST(ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END * 100)) AS BIGINT)
+               / 100.0 / COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS set_avg,
+             CAST(ROUND(SUM(CASE WHEN event_type = 'view' THEN value END * 100)) AS BIGINT)
+               / 100.0 / COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS ctrl_avg
       FROM events GROUP BY user_id
     )
-    SELECT user_id, ROUND(set_avg - ctrl_avg, 6) AS module_score,
+    SELECT user_id, set_avg - ctrl_avg AS module_score,
            CASE WHEN set_avg - ctrl_avg > 0 THEN 'active' ELSE 'inactive' END AS phase
     FROM scores WHERE set_avg IS NOT NULL AND ctrl_avg IS NOT NULL
     """,
@@ -404,16 +408,21 @@ def module_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean over a feature set minus mean over a control set per entity, then
     classify by sign/max). One conditional aggregation pass per entity."""
     e = load_table(spark, sf_dir, "events")
+    # exact-integer-numerator avgs: per-user counts are small and often
+    # powers of 2, putting naive averages of 2dp data on round-half
+    # boundaries (see tumbling_window)
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    cv = F.when(F.col("event_type") == "view", F.col("value"))
     scores = e.groupBy("user_id").agg(
-        F.avg(F.when(F.col("event_type") == "purchase", F.col("value"))).alias("set_avg"),
-        F.avg(F.when(F.col("event_type") == "view", F.col("value"))).alias("ctrl_avg"),
+        (F.round(F.sum(pv * 100)).cast("long") / 100.0 / F.count(pv)).alias("set_avg"),
+        (F.round(F.sum(cv * 100)).cast("long") / 100.0 / F.count(cv)).alias("ctrl_avg"),
     )
     diff = F.col("set_avg") - F.col("ctrl_avg")
     return (
         scores.filter(F.col("set_avg").isNotNull() & F.col("ctrl_avg").isNotNull())
         .select(
             "user_id",
-            F.round(diff, 6).alias("module_score"),
+            diff.alias("module_score"),
             F.when(diff > 0, "active").otherwise("inactive").alias("phase"),
         )
     )

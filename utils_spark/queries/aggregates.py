@@ -22,7 +22,7 @@ from utils_spark.registry import register
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 4) AS sum_qty,
            ROUND(SUM(l_extendedprice), 2) AS sum_price,
-           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           CAST(ROUND(SUM(l_extendedprice * 100)) AS BIGINT) / 100.0 / COUNT(*) AS avg_price,
            ROUND(MAX(l_extendedprice), 4) AS max_price,
            ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
            ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS q75_price,
@@ -48,7 +48,10 @@ def grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            # exact-integer-numerator avg (2dp-quantized prices)
+            (F.round(F.sum(F.col("l_extendedprice") * 100)).cast("long") / 100.0 / F.count("*")).alias(
+                "avg_price"
+            ),
             F.round(F.max("l_extendedprice"), 4).alias("max_price"),
             pct.alias("_pct"),
             F.count("*").alias("n"),
@@ -141,7 +144,7 @@ def crosstab_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment,
            ROUND(stddev_samp(c_acctbal) / AVG(c_acctbal), 6) AS cv,
-           ROUND(AVG(c_acctbal), 4) AS mean_bal,
+           CAST(ROUND(SUM(c_acctbal * 100)) AS BIGINT) / 100.0 / COUNT(*) AS mean_bal,
            ROUND(stddev_samp(c_acctbal), 4) AS sd_bal
     FROM customer GROUP BY c_mktsegment
     """,
@@ -153,7 +156,8 @@ def group_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     return c.groupBy("c_mktsegment").agg(
         F.round(F.stddev_samp("c_acctbal") / F.avg("c_acctbal"), 6).alias("cv"),
-        F.round(F.avg("c_acctbal"), 4).alias("mean_bal"),
+        # exact-integer-numerator avg (2dp-quantized balances)
+        (F.round(F.sum(F.col("c_acctbal") * 100)).cast("long") / 100.0 / F.count("*")).alias("mean_bal"),
         F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
     )
 
@@ -215,7 +219,7 @@ def support_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(LEAST(FLOOR(o_totalprice / 30000.0), 19) AS INT) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(AVG(o_totalprice), 4) AS avg_price,
+           CAST(ROUND(SUM(o_totalprice * 100)) AS BIGINT) / 100.0 / COUNT(*) AS avg_price,
            ROUND(100.0 * COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) / COUNT(*), 6)
              AS pct_finished
     FROM orders GROUP BY 1
@@ -233,7 +237,10 @@ def binned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            # exact-integer-numerator avg of 2dp-quantized prices
+            (F.round(F.sum(F.col("o_totalprice") * 100)).cast("long") / 100.0 / F.count("*")).alias(
+                "avg_price"
+            ),
             F.round(
                 100.0 * F.count(F.when(F.col("o_orderstatus") == "F", 1)) / F.count("*"), 6
             ).alias("pct_finished"),

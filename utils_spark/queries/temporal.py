@@ -46,7 +46,7 @@ def monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(SUM(value), 4) AS total_value,
-           ROUND(AVG(value), 6) AS avg_value
+           CAST(ROUND(SUM(value * 100)) AS BIGINT) / 100.0 / COUNT(value) AS avg_value
     FROM events GROUP BY 1, 2
     """,
     tags=("temporal", "streaming-batch", "bench"),
@@ -57,12 +57,17 @@ def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression behind readStream + watermark); running it in batch proves
     semantic equivalence of the two paths."""
     e = load_table(spark, sf_dir, "events")
+    # avg via exact-integer-numerator division: events.value is 2-decimal
+    # quantized, so sum/count with power-of-2 counts lands exactly on
+    # round-half boundaries where engines disagree at the last ulp (found
+    # at sf0.1: a 32-event window hit avg=...8125 → 6dp boundary)
+    exact_avg = F.round(F.sum(F.col("value") * 100)).cast("long") / 100.0 / F.count("value")
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
             F.round(F.sum("value"), 4).alias("total_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            exact_avg.alias("avg_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value", "avg_value")
     )
