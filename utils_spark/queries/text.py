@@ -501,3 +501,36 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= 12)
     )
+
+
+@register(
+    "bpe_style_tokens",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]') AS toks
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+           CAST(len(list_filter(toks, x -> x ~ '^[0-9]+$')) AS BIGINT) AS n_numeric
+    FROM t
+    """,
+    tags=("text", "tokens", "bpe"),
+)
+def bpe_style_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style regex tokenization (task brief: 'token counting —
+    whitespace + a BPE-ish regex'): alpha runs | digit runs | single
+    punctuation, the pre-tokenizer split rule of BPE vocabularies
+    (restricted to char classes shared exactly by Java and RE2 regex
+    engines for oracle parity). Map-only counts per document."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.expr(r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+        F.size(F.filter(toks, lambda x: x.rlike("^[0-9]+$"))).cast("long").alias("n_numeric"),
+    )
