@@ -106,3 +106,22 @@ def test_loess_trend_recovers_shape(spark):
     # trend approximates 2m+1 for non-planted features
     errs = [abs(out[f]["trend"] - (2 * out[f]["mean"] + 1)) for f in out if f not in planted]
     assert float(np.median(errs)) < 0.5
+
+
+def test_condition_diff_test(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = []
+    # group 'diff': slopes 2.0 (A) vs -1.0 (B); group 'same': 1.0 both
+    for g, (sa, sb) in {"diff": (2.0, -1.0), "same": (1.0, 1.0)}.items():
+        for t in range(30):
+            rows.append((g, "A", float(t), sa * t + float(rng.normal(scale=0.3))))
+            rows.append((g, "B", float(t), sb * t + float(rng.normal(scale=0.3))))
+    df = spark.createDataFrame(rows, ["g", "cond", "x", "y"])
+    from utils_spark.operators.modelfit import condition_diff_test
+
+    out = {r["group"]: r for r in condition_diff_test(df, "g", "cond", "x", "y", "A", "B").collect()}
+    assert abs(out["diff"]["slope_diff"] - 3.0) < 0.1
+    assert abs(out["diff"]["z_stat"]) > 20
+    assert abs(out["same"]["z_stat"]) < 4

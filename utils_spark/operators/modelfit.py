@@ -270,3 +270,66 @@ def loess_trend(
         .groupBy("__g")
         .applyInPandas(lambda pdf: fit(pdf.drop(columns="__g")), LOESS_SCHEMA)
     )
+
+
+COND_SCHEMA = StructType(
+    [
+        StructField("group", StringType()),
+        StructField("slope_a", DoubleType()),
+        StructField("slope_b", DoubleType()),
+        StructField("slope_diff", DoubleType()),
+        StructField("z_stat", DoubleType()),
+        StructField("n_a", LongType()),
+        StructField("n_b", LongType()),
+    ]
+)
+
+
+def condition_diff_test(
+    df: DataFrame,
+    group_col: str,
+    condition_col: str,
+    x_col: str,
+    y_col: str,
+    cond_a: str,
+    cond_b: str,
+) -> DataFrame:
+    """Between-condition trajectory test per group (reference M14
+    conditionTest / diffEndTest shape, R/tradeseq.R:65-93): fit y ~ x
+    separately under each condition within every group, then z-test the
+    slope difference using the analytic slope standard errors
+    (se² = σ̂²/Σ(x−x̄)²). One applyInPandas pass per group."""
+
+    def fit_one(x, y):
+        n = len(x)
+        if n < 3 or np.ptp(x) == 0:
+            return None
+        xm, ym = x.mean(), y.mean()
+        sxx = float(((x - xm) ** 2).sum())
+        slope = float(((x - xm) * (y - ym)).sum()) / sxx
+        resid = y - (ym + slope * (x - xm))
+        sigma2 = float((resid**2).sum()) / (n - 2)
+        return slope, math.sqrt(sigma2 / sxx), n
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = str(pdf[group_col].iloc[0])
+        out = {"group": g, "slope_a": np.nan, "slope_b": np.nan, "slope_diff": np.nan,
+               "z_stat": np.nan, "n_a": 0, "n_b": 0}
+        fits = {}
+        for cond in (cond_a, cond_b):
+            sub = pdf[pdf[condition_col] == cond]
+            fits[cond] = fit_one(sub[x_col].to_numpy(float), sub[y_col].to_numpy(float))
+        fa, fb = fits[cond_a], fits[cond_b]
+        if fa and fb:
+            se = math.sqrt(fa[1] ** 2 + fb[1] ** 2)
+            out.update(
+                slope_a=fa[0], slope_b=fb[0], slope_diff=fa[0] - fb[0],
+                z_stat=(fa[0] - fb[0]) / se if se > 0 else float("inf"),
+                n_a=fa[2], n_b=fb[2],
+            )
+        return pd.DataFrame([out]).astype(
+            {"group": "object", "slope_a": "float64", "slope_b": "float64",
+             "slope_diff": "float64", "z_stat": "float64", "n_a": "int64", "n_b": "int64"}
+        )
+
+    return df.groupBy(group_col).applyInPandas(fit, COND_SCHEMA)
