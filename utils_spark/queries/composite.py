@@ -16,14 +16,65 @@ from utils_spark.registry import register
 
 @register(
     "ora_enrichment",
-    oracle=None,  # hypergeometric sf is a pandas_udf; math unit-tested vs exact comb
+    # full SQL oracle: the hypergeometric survival function is reproduced in
+    # DuckDB via lgamma sums (term counts are small), BH via windows —
+    # upgrading this from rows-only to an exact cross-engine check of the
+    # entire enrichment stack
+    oracle="""
+    WITH mem AS (
+      SELECT DISTINCT p_partkey AS item, unnest(string_split(p_type, ' ')) AS term FROM part
+    ),
+    fg AS (SELECT DISTINCT p_partkey AS item FROM part WHERE p_size < 10),
+    u AS (SELECT COUNT(DISTINCT p_partkey) AS m FROM part),
+    nfg AS (SELECT COUNT(*) AS n FROM fg),
+    sizes AS (
+      SELECT term, COUNT(DISTINCT item) AS n_term FROM mem GROUP BY term
+      HAVING COUNT(DISTINCT item) BETWEEN 2 AND 5000
+    ),
+    hits AS (
+      SELECT m.term, COUNT(DISTINCT m.item) AS k_hits
+      FROM mem m JOIN fg f ON m.item = f.item GROUP BY m.term
+    ),
+    res AS (
+      SELECT s.term, s.n_term, COALESCE(h.k_hits, 0) AS k_hits,
+             (SELECT m FROM u) AS m_universe, (SELECT n FROM nfg) AS n_foreground
+      FROM sizes s LEFT JOIN hits h ON s.term = h.term
+    ),
+    pv AS (
+      SELECT term, n_term, k_hits, m_universe, n_foreground,
+             LEAST(1.0, COALESCE(list_sum(list_transform(
+               range(k_hits, LEAST(n_term, n_foreground) + 1),
+               x -> exp(  lgamma(n_term + 1.0) - lgamma(x + 1.0) - lgamma(n_term - x + 1.0)
+                        + lgamma(m_universe - n_term + 1.0) - lgamma(n_foreground - x + 1.0)
+                        - lgamma(m_universe - n_term - n_foreground + x + 1.0)
+                        - (lgamma(m_universe + 1.0) - lgamma(n_foreground + 1.0)
+                           - lgamma(m_universe - n_foreground + 1.0))))), 0.0)) AS pvalue
+      FROM res
+    ),
+    adj AS (
+      SELECT *,
+             LEAST(1.0, MIN(pvalue * cnt / rnk)
+               OVER (ORDER BY pvalue DESC, term DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS p_adjusted
+      FROM (SELECT *, row_number() OVER (ORDER BY pvalue, term) AS rnk,
+                   COUNT(*) OVER () AS cnt
+            FROM pv)
+    )
+    SELECT term, CAST(n_term AS BIGINT) AS n_term, CAST(k_hits AS BIGINT) AS k_hits,
+           CAST(m_universe AS BIGINT) AS m_universe, CAST(n_foreground AS BIGINT) AS n_foreground,
+           ROUND(pvalue, 6) AS pvalue, ROUND(p_adjusted, 6) AS p_adjusted
+    FROM adj
+    """,
     tags=("composite", "M17", "enrichment"),
 )
 def ora_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Over-representation analysis on the star schema (reference M17:
     R/funx_enrichment.R:89-140): items = parts, terms = words of p_type
     ('PROMO', 'BRUSHED', ...), foreground = small parts (p_size < 10).
-    Which type-words are over-represented among small parts?"""
+    Which type-words are over-represented among small parts? The
+    hypergeometric p-values (Python lgamma pandas_udf) are hash-compared
+    against a DuckDB lgamma-sum oracle — exact cross-engine verification
+    of a UDF-backed statistical operator."""
     from utils_spark.operators.enrichment import over_representation
 
     p = load_table(spark, sf_dir, "part")
@@ -32,7 +83,16 @@ def ora_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     foreground = p.filter(F.col("p_size") < 10).select(F.col("p_partkey").alias("item"))
     universe = p.select(F.col("p_partkey").alias("item"))
-    return over_representation(foreground, memberships, universe=universe)
+    res = over_representation(foreground, memberships, universe=universe)
+    return res.select(
+        "term",
+        F.col("n_term").cast("long").alias("n_term"),
+        F.col("k_hits").cast("long").alias("k_hits"),
+        F.col("m_universe").cast("long").alias("m_universe"),
+        F.col("n_foreground").cast("long").alias("n_foreground"),
+        F.round("pvalue", 6).alias("pvalue"),
+        F.round("p_adjusted", 6).alias("p_adjusted"),
+    )
 
 
 @register(

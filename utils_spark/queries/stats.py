@@ -277,3 +277,30 @@ def log_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "grouped_regression",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("stats", "M14", "regression"),
+)
+def grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple linear regression via BUILT-IN regression
+    aggregates (regr_slope/intercept/r2) — the JVM-side, partial-
+    aggregatable fast path for the M14 association-fit family (the
+    applyInPandas grouped_polyfit covers arbitrary degree + p-values;
+    this covers the degree-1 hot path with zero Python)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.expr("regr_count(l_extendedprice, l_quantity)").cast("long").alias("n"),
+        F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 4).alias("slope"),
+        F.round(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4).alias("intercept"),
+        F.round(F.expr("regr_r2(l_extendedprice, l_quantity)"), 6).alias("r2"),
+    )
