@@ -336,12 +336,45 @@ def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", *[sig[i].alias(f"h{i}") for i in range(4)])
 
 
+_LSH_ORACLE = """
+    WITH shingled AS (
+      SELECT doc_id,
+             list_transform(
+               list_distinct(list_transform(range(1, GREATEST(length(text) - 4, 1) + 1),
+                                            i -> substr(text, i, 5))),
+               s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 1073741824) AS base
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, [{sig_elems}] AS sig FROM shingled
+    ),
+    bands AS (
+      SELECT doc_id, sig, b.band_id,
+             md5(array_to_string(sig[b.band_id * 4 + 1 : b.band_id * 4 + 4], ',')) AS band_hash
+      FROM sig, (SELECT unnest(range(0, 4)) AS band_id) b
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             len(list_filter(range(1, 17), i -> x.sig[i] = y.sig[i])) / 16.0 AS est
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b, ROUND(est, 6) AS est_jaccard FROM cand WHERE est >= 0.5
+"""
+
+
 @register(
     "minhash_lsh_pairs",
-    # rows-only check: the banding join is not reasonably expressible in
-    # one oracle SQL, but the signature math is oracled by minhash_signature
-    oracle=None,
-    tags=("text", "dedup", "minhash", "lsh"),
+    # FULLY ORACLED: DuckDB reproduces the entire pipeline — signatures
+    # (affine family over md5 bases), band hashing via list slicing, the
+    # band-bucket self-join, and component-equality Jaccard estimates
+    oracle=_LSH_ORACLE.format(
+        sig_elems=", ".join(
+            f"CAST(list_min(list_transform(base, h -> ({a} * h + {b}) % {MINHASH_P30})) AS BIGINT)"
+            for a, b in _minhash_constants(16)
+        )
+    ),
+    tags=("text", "dedup", "minhash", "lsh", "bench"),
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding candidate pairs: 16 hashes, 4 bands × 4 rows.
