@@ -192,3 +192,27 @@ def test_classical_mds_preserves_blob_structure(spark, blobs):
     ordered = sorted(mean_by_blob)
     # the 3 blob means are distinct and well separated in MDS-1
     assert ordered[1] - ordered[0] > 3 and ordered[2] - ordered[1] > 3
+
+
+def test_knn_graph_recall_vs_brute_force(spark, blobs):
+    """ANN quality: LSH KNN must recover >80% of the exact top-5 neighbor
+    sets (recall), not merely same-blob membership."""
+    import numpy as np
+
+    from utils_spark.operators.ml import knn_graph
+
+    edges = knn_graph(blobs, "id", "vec", k=5, bucket_length=4.0)
+    approx = {}
+    for r in edges.collect():
+        approx.setdefault(r["src"], set()).add(r["dst"])
+    rows = blobs.orderBy("id").collect()
+    X = np.array([r["vec"] for r in rows])
+    d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    hits = total = 0
+    for i in range(len(X)):
+        exact = set(np.argsort(d2[i])[:5].tolist())
+        got = approx.get(i, set())
+        hits += len(exact & got)
+        total += 5
+    assert hits / total > 0.8, f"recall {hits/total:.2f}"

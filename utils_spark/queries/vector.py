@@ -119,11 +119,41 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.groupBy("label", "dim").agg(F.round(F.avg("x"), 6).alias("centroid_x"))
 
 
+_IVF_ORACLE = """
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cent AS (SELECT label, [{cent_elems}] AS c FROM v GROUP BY label),
+    q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 10),
+    routed AS (
+      SELECT query_id, qv, label AS probed_label,
+             row_number() OVER (PARTITION BY query_id ORDER BY
+               ROUND(list_dot_product(qv, c)
+                     / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c, c))), 6) DESC,
+               label) AS rn
+      FROM q CROSS JOIN cent
+    ),
+    r1 AS (SELECT query_id, qv, probed_label FROM routed WHERE rn = 1),
+    sims AS (
+      SELECT r.query_id, v.vec_id AS neighbor_id, r.probed_label,
+             ROUND(list_dot_product(r.qv, v.e)
+                   / (sqrt(list_dot_product(r.qv, r.qv)) * sqrt(list_dot_product(v.e, v.e))), 6)
+               AS cosine
+      FROM r1 r JOIN v ON v.label = r.probed_label AND v.vec_id <> r.query_id
+    )
+    SELECT query_id, neighbor_id, probed_label, cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn FROM sims)
+    WHERE rn <= 5
+"""
+
+
 @register(
     "ann_ivf_bucketed",
-    # rows-only: IVF routing (nearest-centroid assignment then in-bucket
-    # search) is checked structurally; the exact-baseline above is oracled
-    oracle=None,
+    # FULLY ORACLED: DuckDB rebuilds 64-dim centroids (generated SQL),
+    # routes queries by rounded centroid-cosine argmax, and searches the
+    # probed bucket — exact cross-engine check of the IVF path
+    oracle=_IVF_ORACLE.format(
+        cent_elems=", ".join(f"AVG(e[{d}])" for d in range(1, 65))
+    ),
     tags=("vector", "similarity", "ann", "ivf"),
 )
 def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -156,7 +186,8 @@ def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "qv",
             F.col("label").alias("probed_label"),
-            cosine_similarity(F.col("qv"), F.col("centroid")).alias("csim"),
+            # rounded before argmax so routing is engine-stable (oracle parity)
+            F.round(cosine_similarity(F.col("qv"), F.col("centroid")), 6).alias("csim"),
         )
     )
     wroute = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("probed_label"))
