@@ -1,0 +1,199 @@
+"""Seeded random differential testing (mini-SQLancer): generate random
+filter + group-by + aggregate queries over the star schema, run them
+through BOTH the Spark DataFrame API and DuckDB SQL, and compare exactly.
+
+Complements the hand-written oracle suite with breadth: each seed yields a
+different query shape, so engine-semantics differences (null handling,
+predicate edge cases, type coercion) surface without hand-writing cases.
+All generated aggregates follow the repo's cross-engine float conventions
+(counts, min/max of stored values, 4dp-rounded sums — no boundary-prone
+averages).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+TABLES = {
+    "lineitem": {
+        "numeric": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "cat": ["l_returnflag", "l_linestatus"],
+        "key": "l_orderkey",
+    },
+    "orders": {
+        "numeric": ["o_totalprice"],
+        "cat": ["o_orderstatus", "o_orderpriority"],
+        "key": "o_orderkey",
+    },
+    "customer": {
+        "numeric": ["c_acctbal"],
+        "cat": ["c_mktsegment"],
+        "key": "c_custkey",
+    },
+}
+
+CAT_VALUES = {
+    "l_returnflag": ["A", "N", "R"],
+    "l_linestatus": ["O", "F"],
+    "o_orderstatus": ["O", "F", "P"],
+    "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+    "c_mktsegment": ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"],
+}
+
+NUM_RANGES = {
+    "l_quantity": (1, 50),
+    "l_extendedprice": (900, 100000),
+    "l_discount": (0.0, 0.1),
+    "l_tax": (0.0, 0.08),
+    "o_totalprice": (800, 550000),
+    "c_acctbal": (-1000, 10000),
+}
+
+
+def _gen_query(rng: random.Random):
+    """Returns (table, predicates, group_col_or_None, agg_specs)."""
+    table = rng.choice(list(TABLES))
+    meta = TABLES[table]
+    preds = []
+    for _ in range(rng.randint(0, 3)):
+        if rng.random() < 0.5:
+            col = rng.choice(meta["numeric"])
+            lo, hi = NUM_RANGES[col]
+            a = round(rng.uniform(lo, hi), 2)
+            op = rng.choice([">", "<", ">=", "<="])
+            preds.append((col, op, a))
+        else:
+            col = rng.choice(meta["cat"])
+            vals = rng.sample(CAT_VALUES[col], rng.randint(1, len(CAT_VALUES[col])))
+            neg = rng.random() < 0.3
+            preds.append((col, "not in" if neg else "in", vals))
+    group = rng.choice(meta["cat"] + [None])
+    num = rng.choice(meta["numeric"])
+    aggs = rng.sample(
+        [
+            ("count", "*"),
+            ("sum4", num),
+            ("min", num),
+            ("max", num),
+            ("count_distinct", rng.choice(meta["cat"])),
+        ],
+        rng.randint(1, 3),
+    )
+    return table, preds, group, aggs
+
+
+def _spark_run(spark, sf_dir, table, preds, group, aggs):
+    from utils_spark.io import load_table
+
+    df = load_table(spark, sf_dir, table)
+    for col, op, val in preds:
+        c = F.col(col)
+        if op == "in":
+            df = df.filter(c.isin(val))
+        elif op == "not in":
+            df = df.filter(~c.isin(val))
+        elif op == ">":
+            df = df.filter(c > val)
+        elif op == "<":
+            df = df.filter(c < val)
+        elif op == ">=":
+            df = df.filter(c >= val)
+        else:
+            df = df.filter(c <= val)
+    exprs = []
+    for i, (kind, col) in enumerate(aggs):
+        name = f"a{i}"
+        if kind == "count":
+            exprs.append(F.count("*").alias(name))
+        elif kind == "sum4":
+            exprs.append(F.round(F.sum(col), 4).alias(name))
+        elif kind == "min":
+            exprs.append(F.min(col).alias(name))
+        elif kind == "max":
+            exprs.append(F.max(col).alias(name))
+        else:
+            exprs.append(F.countDistinct(col).alias(name))
+    return (df.groupBy(group) if group else df.groupBy()).agg(*exprs)
+
+
+def _sql_lit(v):
+    return f"'{v}'" if isinstance(v, str) else repr(v)
+
+
+def _duck_sql(table, preds, group, aggs):
+    where = []
+    for col, op, val in preds:
+        if op in ("in", "not in"):
+            where.append(f"{col} {op.upper()} ({', '.join(_sql_lit(v) for v in val)})")
+        else:
+            where.append(f"{col} {op} {val}")
+    sel = []
+    for i, (kind, col) in enumerate(aggs):
+        name = f"a{i}"
+        if kind == "count":
+            sel.append(f"CAST(COUNT(*) AS BIGINT) AS {name}")
+        elif kind == "sum4":
+            sel.append(f"ROUND(SUM({col}), 4) AS {name}")
+        elif kind == "min":
+            sel.append(f"MIN({col}) AS {name}")
+        elif kind == "max":
+            sel.append(f"MAX({col}) AS {name}")
+        else:
+            sel.append(f"CAST(COUNT(DISTINCT {col}) AS BIGINT) AS {name}")
+    cols = ([group] if group else []) + sel
+    sql = f"SELECT {', '.join(cols)} FROM {table}"
+    if where:
+        sql += " WHERE " + " AND ".join(where)
+    if group:
+        sql += f" GROUP BY {group}"
+    return sql
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_random_differential(spark, duck, sf_dir, seed):
+    rng = random.Random(1000 + seed)
+    table, preds, group, aggs = _gen_query(rng)
+    sdf = _spark_run(spark, sf_dir, table, preds, group, aggs)
+    srows = sorted(tuple(str(x) for x in r) for r in sdf.collect())
+    drows = sorted(tuple(str(x) for x in r) for r in duck.execute(_duck_sql(table, preds, group, aggs)).fetchall())
+    assert srows == drows, (
+        f"seed={seed} table={table} preds={preds} group={group} aggs={aggs}\n"
+        f"spark={srows[:3]}\nduck={drows[:3]}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_random_differential_joins(spark, duck, sf_dir, seed):
+    """Join-shaped differential queries: orders ⋈ customer with random
+    filters on both sides, grouped on a random side's category."""
+    from utils_spark.io import load_table
+
+    rng = random.Random(9000 + seed)
+    o_pred = round(rng.uniform(*NUM_RANGES["o_totalprice"]), 2)
+    c_pred = round(rng.uniform(*NUM_RANGES["c_acctbal"]), 2)
+    group = rng.choice(["c_mktsegment", "o_orderpriority", "o_orderstatus"])
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > o_pred)
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") < c_pred)
+    sdf = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(group)
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("s"),
+            F.countDistinct("o_custkey").alias("cd"),
+        )
+    )
+    sql = f"""
+        SELECT {group}, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(o_totalprice), 4) AS s,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS cd
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o_totalprice > {o_pred} AND c_acctbal < {c_pred}
+        GROUP BY {group}
+    """
+    srows = sorted(tuple(str(x) for x in r) for r in sdf.collect())
+    drows = sorted(tuple(str(x) for x in r) for r in duck.execute(sql).fetchall())
+    assert srows == drows, f"seed={seed} group={group} o>{o_pred} c<{c_pred}"
