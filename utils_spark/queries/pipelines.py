@@ -155,3 +155,25 @@ def qc_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(passing, 1)).alias("n_pass"),
         F.round(F.sum(F.when(passing, F.col("total"))), 2).alias("passing_total"),
     )
+
+
+@register(
+    "cluster_pipeline",
+    oracle=None,  # eigen/ML stages (PCA, KMeans) are not SQL-expressible;
+    # every stage is individually property-tested in tests/test_ml.py
+    tags=("pipeline", "E3", "ml"),
+)
+def cluster_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cluster pipeline E3 end-to-end (SURVEY §3:
+    get_denoisedPCs → get_clusters → get_clustree,
+    R/wrapper.R:259-264 → 267-324 → 350-359): PCA on embeddings →
+    KMeans at two resolutions → cross-resolution transition counts with
+    per-edge mean PC1 (the clustree edge table)."""
+    from utils_spark.operators.ml import cluster_transition_counts, kmeans_clusters, pca_embed
+
+    e = load_table(spark, sf_dir, "embeddings")
+    embedded, _ratios = pca_embed(e, "embedding", n_components=8)
+    k3 = kmeans_clusters(embedded, "pca", k=3, out_col="res_lo")
+    k6 = kmeans_clusters(k3, "pca", k=6, out_col="res_hi")
+    edges = cluster_transition_counts(k6, "res_lo", "res_hi")
+    return edges.orderBy(F.desc("n"), "from_label", "to_label")
