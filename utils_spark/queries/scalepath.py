@@ -144,3 +144,86 @@ def approx_sketch_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey", 0.01).alias("orders_approx"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "weighted_sample",
+    oracle="""
+    WITH scored AS (
+      SELECT p_partkey, p_brand, p_retailprice,
+             -ln((CAST(('0x' || substr(md5(concat(CAST(p_partkey AS VARCHAR), ':', '290')), 1, 15)) AS BIGINT) + 1.0)
+                 / 1152921504606846976.0) / p_retailprice AS score
+      FROM part
+    ),
+    picked AS (
+      SELECT p_brand, p_partkey, p_retailprice FROM (
+        SELECT *, row_number() OVER (PARTITION BY p_brand ORDER BY score, p_partkey) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    )
+    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(p_partkey) AS BIGINT) AS key_checksum,
+           ROUND(SUM(p_retailprice), 4) AS price_sum
+    FROM picked GROUP BY p_brand
+    """,
+    tags=("sampling", "weighted", "W7"),
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (Efraimidis-Spirakis exponential
+    race, price-proportional inclusion) of 5 parts per brand, checksummed
+    per stratum so the oracle proves the exact same rows were chosen —
+    the distributed weighted-reservoir primitive (extends the reference's
+    uniform stratified sampling W7)."""
+    from utils_spark.operators.sampling import weighted_sample_exact
+
+    p = load_table(spark, sf_dir, "part")
+    picked = weighted_sample_exact(p, "p_brand", "p_partkey", "p_retailprice", 5, seed=290)
+    return picked.groupBy("p_brand").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum("p_partkey").cast("long").alias("key_checksum"),
+        F.round(F.sum("p_retailprice"), 4).alias("price_sum"),
+    )
+
+
+@register(
+    "group_entropy",
+    oracle="""
+    WITH counts AS (
+      SELECT c_mktsegment, n_name, COUNT(*) AS n
+      FROM customer c JOIN nation nn ON c.c_nationkey = nn.n_nationkey
+      GROUP BY c_mktsegment, n_name
+    ),
+    p AS (
+      SELECT c_mktsegment, n,
+             CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY c_mktsegment) AS prob
+      FROM counts
+    )
+    SELECT c_mktsegment,
+           ROUND(-SUM(prob * ln(prob)), 6) AS shannon_entropy,
+           ROUND(1.0 / SUM(prob * prob), 6) AS inv_simpson,
+           CAST(COUNT(*) AS BIGINT) AS n_categories
+    FROM p GROUP BY c_mktsegment
+    """,
+    tags=("stats", "entropy", "M11"),
+)
+def group_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group categorical diversity: Shannon entropy and inverse
+    Simpson index over the nation mix of each market segment — the
+    global form of the reference's LISI neighborhood diversity (M11:
+    R/integrate.R:188-212, inverse Simpson over label mixes)."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    counts = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_mktsegment", "n_name")
+        .agg(F.count("*").alias("n"))
+    )
+    wp = Window.partitionBy("c_mktsegment")
+    p = counts.withColumn("prob", F.col("n").cast("double") / F.sum("n").over(wp))
+    return p.groupBy("c_mktsegment").agg(
+        F.round(-F.sum(F.col("prob") * F.log("prob")), 6).alias("shannon_entropy"),
+        F.round(1.0 / F.sum(F.col("prob") * F.col("prob")), 6).alias("inv_simpson"),
+        F.count("*").alias("n_categories"),
+    )
