@@ -302,3 +302,71 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.round(F.sum("value"), 4).alias("session_value"),
     )
+
+
+@register(
+    "rolling_time_range",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_s
+      FROM events
+    )
+    SELECT user_id, event_id, ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+           ROUND(SUM(value) OVER w, 4) AS value_last_hour
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("windows", "W10", "range-frame"),
+)
+def rolling_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per user, events/value within the PRECEDING
+    HOUR of event time (not row count) — the time-decayed rolling metric
+    of activity feeds. Ordering on integer epoch-seconds makes the range
+    frame semantics (ties included) identical across engines."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts_s", (F.unix_micros("ts") / 1_000_000).cast("long")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s").rangeBetween(-3600, 0)
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 4).alias("value_last_hour"),
+    )
+
+
+@register(
+    "equidepth_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT CAST(bucket AS INT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 4) AS lo, ROUND(MAX(o_totalprice), 4) AS hi
+    FROM t GROUP BY bucket
+    """,
+    tags=("windows", "A14", "equidepth"),
+)
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (quantile bucketing): ntile(10) over a fully
+    deterministic ordering → per-bucket extent and count. Complements the
+    fixed-width histogram (binned_agg) with the equal-mass variant used
+    for robust binning and data profiling. Both engines implement SQL
+    ntile's larger-first remainder rule, so buckets match exactly."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.withColumn("bucket", F.ntile(10).over(w))
+        .groupBy(F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+        )
+    )
