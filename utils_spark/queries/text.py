@@ -567,3 +567,53 @@ def bpe_style_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
         F.size(F.filter(toks, lambda x: x.rlike("^[0-9]+$"))).cast("long").alias("n_numeric"),
     )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+    scored AS (
+      SELECT t.doc_id, t.term,
+             ROUND(t.tf * ln((SELECT n_docs FROM n) / CAST(d.df AS DOUBLE)), 6) AS tfidf
+      FROM tf t JOIN df d ON t.term = d.term
+    )
+    SELECT doc_id, term, tfidf FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+    tags=("text", "tfidf", "tokens"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document: term frequency x ln(N/df), the
+    classic distinctive-term extractor of text curation pipelines.
+
+    Scale shape: token explode shuffles (doc, term) pairs once; the df
+    table is vocabulary-sized and broadcast back; per-doc top-k is a
+    bounded window. Rounded before ranking for engine-stable ordering."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(word_tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = tf.select("doc_id").distinct().count()
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")), 6).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).drop("rn")

@@ -1,0 +1,137 @@
+"""Additional TPC-H-shaped query patterns: correlated-minimum join-back
+(Q2), HAVING-threshold semi-aggregation (Q18), attribute-level distinct
+counting (Q16), and date arithmetic — realistic composite shapes over the
+star schema that exercise optimizer paths the simpler queries don't
+(aggregate-then-self-join, having pushback, multi-column distinct).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from utils_spark.io import load_table
+from utils_spark.registry import register
+
+
+@register(
+    "min_per_group_join_back",
+    oracle="""
+    WITH mins AS (
+      SELECT p_type, MIN(p_retailprice) AS min_price FROM part GROUP BY p_type
+    )
+    SELECT p.p_type, p.p_partkey, p.p_brand, ROUND(p.p_retailprice, 4) AS p_retailprice
+    FROM part p JOIN mins m
+      ON p.p_type = m.p_type AND p.p_retailprice = m.min_price
+    """,
+    tags=("tpch", "joins", "Q2-shape"),
+)
+def min_per_group_join_back(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the correlated-subquery 'row achieving the group
+    minimum' decorrelated into aggregate + join-back (what Catalyst's
+    subquery decorrelation produces). All rows tying the minimum are kept
+    — identical semantics to the correlated form, exact float equality on
+    stored values."""
+    p = load_table(spark, sf_dir, "part")
+    # alias the aggregate's key to avoid self-join column ambiguity
+    mins = p.groupBy(F.col("p_type").alias("mt")).agg(F.min("p_retailprice").alias("min_price"))
+    return (
+        p.join(
+            F.broadcast(mins),
+            (F.col("p_type") == F.col("mt")) & (F.col("p_retailprice") == F.col("min_price")),
+        )
+        .select("p_type", "p_partkey", "p_brand", F.round("p_retailprice", 4).alias("p_retailprice"))
+    )
+
+
+@register(
+    "having_threshold_join",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    )
+    SELECT o.o_orderkey, o.o_orderdate, ROUND(o.o_totalprice, 4) AS o_totalprice,
+           ROUND(b.total_qty, 4) AS total_qty
+    FROM big b JOIN orders o ON b.l_orderkey = o.o_orderkey
+    """,
+    tags=("tpch", "joins", "Q18-shape"),
+)
+def having_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate with a HAVING threshold, then join the
+    (small) surviving key set back to the dimension fact — the aggregate
+    acts as a semi-join reducer, so the orders join input is tiny."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return big.join(o, big.l_orderkey == o.o_orderkey).select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round("o_totalprice", 4).alias("o_totalprice"),
+        F.round("total_qty", 4).alias("total_qty"),
+    )
+
+
+@register(
+    "distinct_suppliers_per_attr",
+    oracle="""
+    SELECT p.p_brand, split_part(p.p_type, ' ', 1) AS type_head,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(COUNT(DISTINCT p.p_partkey) AS BIGINT) AS n_parts
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size >= 10
+    GROUP BY p.p_brand, split_part(p.p_type, ' ', 1)
+    """,
+    tags=("tpch", "aggregates", "Q16-shape"),
+)
+def distinct_suppliers_per_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: exact multi-column distinct counting per attribute
+    combination after a dimension join+filter (supplier diversity per
+    brand/type). Distinct aggregation expands then hash-dedups — the
+    expensive-but-exact path; approx_count_distinct is the scale switch."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 10)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", F.split(F.col("p_type"), " ").getItem(0).alias("type_head"))
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("p_partkey").alias("n_parts"),
+        )
+    )
+
+
+@register(
+    "date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
+           CAST(EXTRACT(dow FROM o_orderdate) AS INT) AS day_of_week,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT)
+             AS days_to_y2k
+    FROM orders
+    """,
+    tags=("temporal", "scalar", "dates"),
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date scalar surface (SURVEY §2.7: free from Spark, exposed over the
+    driver's timestamps): extract year/month/day-of-week, interval
+    arithmetic, day differences. DuckDB dow and Spark dayofweek differ by
+    convention (Sunday=0 vs Sunday=1) — normalized to Sunday=0."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("day_of_week"),
+        F.to_date(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.to_date("o_orderdate"))
+        .cast("int")
+        .alias("days_to_y2k"),
+    )

@@ -58,6 +58,7 @@ def load_all() -> dict[str, QueryDef]:
         stats,
         temporal,
         text,
+        tpch_shapes,
         vector,
         windows,
     )
