@@ -291,3 +291,95 @@ def ma_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(0.5 * (F.log2("price_a") + F.log2("price_r")), 6).alias("a_mean_log"),
         )
     )
+
+
+@register(
+    "grouping_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("aggregates", "A21", "rollup"),
+)
+def grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP (subtotals + grand total) completing the
+    grouping-sets family next to the full cube (grouping_sets_cube)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("sum_price")
+    )
+
+
+@register(
+    "nth_event_snapshot",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+    )
+    SELECT DISTINCT user_id,
+           first_value(event_type) OVER w AS first_type,
+           nth_value(event_type, 3) OVER w AS third_type,
+           last_value(event_type) OVER w AS last_type
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("windows", "nth-value"),
+)
+def nth_event_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity timeline snapshot via first/nth/last_value over the full
+    partition frame — the 'user journey' summary (first touch, third
+    touch, latest state) in one pass."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        e.select(
+            "user_id",
+            F.first("event_type").over(w).alias("first_type"),
+            F.nth_value("event_type", 3).over(w).alias("third_type"),
+            F.last("event_type").over(w).alias("last_type"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "null_ordering",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, NULLIF(value, 0.0) AS v, event_type FROM events WHERE event_id < 500
+    )
+    SELECT event_id, v,
+           CAST(row_number() OVER (ORDER BY v ASC NULLS FIRST, event_id) AS BIGINT) AS rn_nulls_first,
+           CAST(row_number() OVER (ORDER BY v DESC NULLS LAST, event_id) AS BIGINT) AS rn_nulls_last
+    FROM e
+    """,
+    tags=("windows", "nulls", "ordering"),
+)
+def null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLICIT null-ordering semantics: Spark defaults to NULLS FIRST on
+    ASC while DuckDB defaults to NULLS LAST — cross-engine sorts must
+    always spell the placement out (asc_nulls_first / desc_nulls_last).
+    This query pins both conventions under ranking."""
+    from pyspark.sql import Window
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 500)
+        .select("event_id", F.nullif(F.col("value"), F.lit(0.0)).alias("v"))
+    )
+    w1 = Window.orderBy(F.asc_nulls_first("v"), F.asc("event_id"))
+    w2 = Window.orderBy(F.desc_nulls_last("v"), F.asc("event_id"))
+    return e.select(
+        "event_id",
+        "v",
+        F.row_number().over(w1).cast("long").alias("rn_nulls_first"),
+        F.row_number().over(w2).cast("long").alias("rn_nulls_last"),
+    )
