@@ -173,3 +173,30 @@ def test_watermark_drops_too_late_events(spark, tmp_path):
     # event 5 (10:50, window state still live) WAS merged into 10:30 window
     assert got["2024-01-01 10:30:00"] == 2, got
     assert got["2024-01-01 11:00:00"] == 2, got  # events 3 and 6
+
+
+def test_custom_stateful_operator_matches_batch(spark, sf_dir):
+    """applyInPandasWithState running per-user profile must converge to the
+    batch aggregation after consuming the whole stream."""
+    from utils_spark.streaming.windows import read_events_stream, running_user_stats_stream
+
+    stream = running_user_stats_stream(read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("user_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM user_state").collect()
+    # update-mode emits one row per user per trigger; the LAST emission per
+    # user is the converged profile (here: single trigger → unique rows)
+    got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in rows}
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("t"))
+    )
+    want = {r["user_id"]: (r["n"], r["t"]) for r in batch.collect()}
+    assert got == want

@@ -95,3 +95,64 @@ def stateful_dedup_stream(events: DataFrame, watermark: str = "2 hours") -> Data
     window are dropped; state is purged as the watermark advances — the
     streaming form of hash-groupBy exact dedup with bounded memory."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def running_user_stats_stream(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """CUSTOM stateful streaming operator via applyInPandasWithState: a
+    per-user running profile (event count, value total, max single value)
+    maintained in explicit GroupState across micro-batches — the escape
+    hatch for stateful logic that windowed aggregation can't express
+    (task brief: 'applyInPandasWithState for custom stateful operators').
+
+    Each trigger emits the user's updated running totals. State is a
+    3-tuple (n, total, vmax) per user — O(1) per key, no event retention."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+    import pandas as pd
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+            StructField("max_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+            StructField("vmax", DoubleType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state: "GroupState"):
+        (user_id,) = key
+        if state.exists:
+            n, total, vmax = state.get
+        else:
+            n, total, vmax = 0, 0.0, float("-inf")
+        for pdf in pdf_iter:
+            vals = pd.to_numeric(pdf["value"], errors="coerce").dropna()
+            n += len(pdf)
+            total += float(vals.sum())
+            if len(vals):
+                vmax = max(vmax, float(vals.max()))
+        state.update((n, total, vmax))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [round(total, 4)],
+                "max_value": [vmax if vmax != float("-inf") else None],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
