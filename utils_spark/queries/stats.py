@@ -304,3 +304,50 @@ def grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4).alias("intercept"),
         F.round(F.expr("regr_r2(l_extendedprice, l_quantity)"), 6).alias("r2"),
     )
+
+
+@register(
+    "quantile_normalize",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey) AS rnk
+      FROM customer
+    ),
+    ref AS (
+      SELECT rnk, AVG(c_acctbal) AS ref_val, COUNT(*) AS n_samples
+      FROM ranked GROUP BY rnk
+    )
+    SELECT r.c_mktsegment, r.c_custkey,
+           ROUND(r.c_acctbal, 4) AS original,
+           ROUND(f.ref_val, 6) AS normalized
+    FROM ranked r JOIN ref f ON r.rnk = f.rnk
+    WHERE f.n_samples = 5
+    """,
+    tags=("stats", "M21", "quantile-normalize"),
+)
+def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across samples (the bulk-RNA bioinformatics
+    classic adjacent to reference M21's vst/sample-QC): rank values within
+    each sample, replace each value with the cross-sample mean at its
+    rank → all samples share an identical distribution. Two windows + one
+    join; ranks where some sample is exhausted (unequal sizes) are
+    dropped, matching the strict definition."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    ranked = c.withColumn("rnk", F.row_number().over(w))
+    ref = ranked.groupBy("rnk").agg(
+        F.avg("c_acctbal").alias("ref_val"), F.count("*").alias("n_samples")
+    )
+    n_segments = 5
+    return (
+        ranked.join(ref, "rnk")
+        .filter(F.col("n_samples") == n_segments)
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            F.round("c_acctbal", 4).alias("original"),
+            F.round("ref_val", 6).alias("normalized"),
+        )
+    )

@@ -617,3 +617,50 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).drop("rn")
+
+
+@register(
+    "chunk_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, s.start_idx,
+             array_to_string(t[s.start_idx : LEAST(s.start_idx + 49, len(t))], ' ') AS chunk_text,
+             LEAST(s.start_idx + 49, len(t)) - s.start_idx + 1 AS n_tokens
+      FROM toks,
+           LATERAL (SELECT unnest(range(1, GREATEST(len(t) - 24, 1) + 1, 25)) AS start_idx) s
+      WHERE s.start_idx <= len(t)
+    )
+    SELECT doc_id, CAST(start_idx AS INT) AS start_idx,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           md5(chunk_text) AS chunk_hash
+    FROM chunks
+    """,
+    tags=("text", "chunking", "llm-pipeline"),
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (size 50, stride 25) — THE
+    pre-training data preparation primitive: each document becomes
+    position-annotated chunks, hashed for downstream chunk-level dedup.
+
+    Zero-UDF: token array → start-index sequence → slice + array_join,
+    all JVM expressions; explode is the only row-generating step. At
+    100 TB this is embarrassingly parallel map work."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = word_tokens("text")
+    starts = F.sequence(F.lit(1), F.greatest(F.col("n") - 24, F.lit(1)), F.lit(25))
+    chunked = (
+        d.select("doc_id", toks.alias("t"), F.size(toks).alias("n"))
+        .select("doc_id", "t", "n", F.explode(starts).alias("start_idx"))
+        .filter(F.col("start_idx") <= F.col("n"))
+    )
+    chunk_len = F.least(F.col("start_idx") + 49, F.col("n")) - F.col("start_idx") + 1
+    chunk_text = F.array_join(F.slice(F.col("t"), F.col("start_idx"), chunk_len), " ")
+    return chunked.select(
+        "doc_id",
+        F.col("start_idx").cast("int").alias("start_idx"),
+        chunk_len.cast("long").alias("n_tokens"),
+        F.md5(chunk_text).alias("chunk_hash"),
+    )
