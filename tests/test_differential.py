@@ -152,7 +152,10 @@ def _duck_sql(table, preds, group, aggs):
     return sql
 
 
-@pytest.mark.parametrize("seed", range(25))
+N_SEEDS = int(__import__("os").environ.get("SPARK_GRAFT_DIFF_SEEDS", "25"))
+
+
+@pytest.mark.parametrize("seed", range(N_SEEDS))
 def test_random_differential(spark, duck, sf_dir, seed):
     rng = random.Random(1000 + seed)
     table, preds, group, aggs = _gen_query(rng)
@@ -165,7 +168,7 @@ def test_random_differential(spark, duck, sf_dir, seed):
     )
 
 
-@pytest.mark.parametrize("seed", range(15))
+@pytest.mark.parametrize("seed", range(max(15, N_SEEDS // 2)))
 def test_random_differential_joins(spark, duck, sf_dir, seed):
     """Join-shaped differential queries: orders ⋈ customer with random
     filters on both sides, grouped on a random side's category."""
