@@ -88,11 +88,10 @@ def top2_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-minus-second value per group (reference W2 `delta.next`:
     R/compare_annotation.R:37-48: sorted scores, first − second).
 
-    Implemented with max_by-style ordered collection: a single hash agg
-    taking the two largest values per group (no full sort)."""
+    Window top-2 then a tiny aggregate; Spark's rank-limit pushdown
+    (WindowGroupLimit) keeps only two rows per group per partition before
+    the shuffle — no full sort of the fact table."""
     c = load_table(spark, sf_dir, "customer")
-    # top-2 via sort of a bounded collected array is fine when groups are
-    # huge only if we pre-aggregate; here the idiomatic scalable form:
     w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
     top2 = c.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
     return (
