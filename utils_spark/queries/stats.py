@@ -351,3 +351,71 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("ref_val", 6).alias("normalized"),
         )
     )
+
+
+@register(
+    "grouped_correlation",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+           ROUND(covar_samp(l_extendedprice, l_quantity), 4) AS price_qty_covar,
+           ROUND(corr(l_discount, l_tax), 6) AS disc_tax_corr
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("stats", "correlation"),
+)
+def grouped_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation and sample covariance — built-in
+    JVM-side two-pass-free aggregates (partial+final mergeable moments)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("price_qty_covar"),
+        F.round(F.corr("l_discount", "l_tax"), 6).alias("disc_tax_corr"),
+    )
+
+
+@register(
+    "grouped_moments",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             AVG(l_quantity) AS m1,
+             AVG(l_quantity * l_quantity) AS m2,
+             AVG(l_quantity * l_quantity * l_quantity) AS m3,
+             AVG(l_quantity * l_quantity * l_quantity * l_quantity) AS m4
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           ROUND((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
+                 / pow(m2 - m1 * m1, 1.5), 6) AS skewness_pop,
+           ROUND((m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1)
+                 / pow(m2 - m1 * m1, 2) - 3, 6) AS excess_kurtosis_pop
+    FROM m
+    """,
+    tags=("stats", "moments"),
+)
+def grouped_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis from explicit power sums —
+    built BOTH engines from the same raw-moment formulas (engines'
+    built-in skewness/kurtosis differ in bias-correction conventions, so
+    the portable form computes E[x^k] moments and combines identically)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.avg(q).alias("m1"),
+        F.avg(q * q).alias("m2"),
+        F.avg(q * q * q).alias("m3"),
+        F.avg(q * q * q * q).alias("m4"),
+    )
+    m1, m2, m3, m4 = F.col("m1"), F.col("m2"), F.col("m3"), F.col("m4")
+    var = m2 - m1 * m1
+    skew = (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(var, 1.5)
+    kurt = (m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1) / F.pow(var, 2) - 3
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round(skew, 6).alias("skewness_pop"),
+        F.round(kurt, 6).alias("excess_kurtosis_pop"),
+    )
