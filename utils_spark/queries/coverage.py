@@ -383,3 +383,32 @@ def null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w1).cast("long").alias("rn_nulls_first"),
         F.row_number().over(w2).cast("long").alias("rn_nulls_last"),
     )
+
+
+@register(
+    "grouped_mode",
+    oracle="""
+    SELECT o_orderpriority, modal_status, CAST(n AS BIGINT) AS n
+    FROM (
+      SELECT o_orderpriority, o_orderstatus AS modal_status, COUNT(*) AS n,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY COUNT(*) DESC, o_orderstatus) AS rn
+      FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ) WHERE rn = 1
+    """,
+    tags=("aggregates", "mode", "P21"),
+)
+def grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (most frequent value, ties broken by
+    value): count + rank rather than the built-in mode() aggregate, whose
+    tie behavior is engine-defined — the portable formulation."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderpriority", F.col("o_orderstatus").alias("modal_status")).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("n"), F.asc("modal_status"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
