@@ -96,3 +96,93 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(k), 6).alias("avg_k"),
         F.round(F.max(k), 4).alias("max_k"),
     )
+
+
+@register(
+    "hierarchical_time_rollup",
+    oracle="""
+    WITH minute AS (
+      SELECT time_bucket(INTERVAL '1 minute', CAST(ts AS TIMESTAMP)) AS b,
+             COUNT(*) AS n, ROUND(SUM(value), 4) AS v
+      FROM events GROUP BY 1
+    ),
+    hour AS (
+      SELECT time_bucket(INTERVAL '1 hour', b) AS b, SUM(n) AS n, ROUND(SUM(v), 4) AS v
+      FROM minute GROUP BY 1
+    ),
+    day AS (
+      SELECT time_bucket(INTERVAL '1 day', b) AS b, SUM(n) AS n, ROUND(SUM(v), 4) AS v
+      FROM hour GROUP BY 1
+    )
+    SELECT 'hour' AS granularity, b AS bucket_start, CAST(n AS BIGINT) AS n, v
+    FROM hour
+    UNION ALL
+    SELECT 'day' AS granularity, b AS bucket_start, CAST(n AS BIGINT) AS n, v
+    FROM day
+    """,
+    tags=("temporal", "hypertable", "rollup"),
+)
+def hierarchical_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup (task brief's 'hypertable
+    rollup'): minute aggregates roll up into hours, hours into days —
+    each level re-aggregates the PREVIOUS level, never the raw events
+    (the continuous-aggregate pattern: at 100 TB the minute layer is the
+    only raw scan; coarser layers cost ~nothing and stay consistent
+    because sums/counts re-aggregate losslessly)."""
+    e = load_table(spark, sf_dir, "events")
+    minute = e.groupBy(F.window("ts", "1 minute").alias("w")).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("v")
+    ).select(F.col("w.start").alias("b"), "n", "v")
+    hour = minute.groupBy(F.window("b", "1 hour").alias("w")).agg(
+        F.sum("n").alias("n"), F.round(F.sum("v"), 4).alias("v")
+    ).select(F.col("w.start").alias("b"), "n", "v")
+    day = hour.groupBy(F.window("b", "1 day").alias("w")).agg(
+        F.sum("n").alias("n"), F.round(F.sum("v"), 4).alias("v")
+    ).select(F.col("w.start").alias("b"), "n", "v")
+    return (
+        hour.select(F.lit("hour").alias("granularity"), F.col("b").alias("bucket_start"), "n", "v")
+        .unionByName(
+            day.select(F.lit("day").alias("granularity"), F.col("b").alias("bucket_start"), "n", "v")
+        )
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+      FROM events
+    ),
+    firsts AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day, e.day) AS day_offset
+      FROM ev e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, CAST(day_offset AS INT) AS day_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+    FROM activity WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+    tags=("temporal", "cohort", "retention"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity day,
+    counted as active at each day-offset since (first week) — the
+    standard event-analytics retention query. First-day table is small
+    per cohort and broadcast back onto activity."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    )
+    firsts = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        e.join(firsts, "user_id")
+        .select("user_id", "cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", F.col("day_offset").cast("int").alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
