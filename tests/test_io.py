@@ -51,3 +51,21 @@ def test_gz_scan_transparent(spark):
             f.write("a\tb\n1\tx\n2\ty\n")
         df = read_delimited(spark, p, sep="\t")
         assert df.count() == 2 and dict(df.dtypes)["a"] == "int"
+
+
+def test_events_reads_on_vanilla_session(spark):
+    """Driver-environment regression guard (VERDICT r1 item 1).
+
+    The driver supplies its OWN SparkSession, not our session factory, so
+    load_table must set spark.sql.legacy.parquet.nanosAsLong at runtime.
+    newSession() shares the JVM but gets a FRESH SQLConf — exactly the
+    vanilla-session scenario that broke 6 queries in round 1.
+    """
+    vanilla = spark.newSession()
+    # newSession inherits builder-time conf from the SparkContext; unset to
+    # reproduce a session that never saw our factory at all.
+    vanilla.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    assert vanilla.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true"
+    e = load_table(vanilla, "/root/testdata/sf0.001", "events")
+    assert dict(e.dtypes)["ts"] == "timestamp"
+    assert e.count() > 0

@@ -42,7 +42,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     converted here to a µs-truncated TimestampType (floor division — the
     same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP, so
     oracle comparisons stay bit-identical).
+
+    The nanos config is set here (runtime-settable, idempotent) rather than
+    only at session build, so any caller-supplied vanilla SparkSession can
+    read the file — not just sessions built by our own factory.
     """
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
