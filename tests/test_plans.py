@@ -83,3 +83,11 @@ def test_codegen_everywhere(spark, sf_dir):
         df.collect()  # AQE finalizes stage plans (and codegen info) on execution
         p = plan_summary(df)
         assert p.n_codegen_stages >= 1, f"{name} lost codegen"
+
+
+def test_embedding_near_dup_no_cartesian(spark, sf_dir):
+    """VERDICT r1 item 2: the near-dup path must be LSH candidates + verify,
+    never an all-pairs theta join (cartesian-class at 100 TB)."""
+    p = _plan(spark, sf_dir, "embedding_near_dup")
+    assert "BroadcastNestedLoopJoin" not in p.text, "all-pairs join reappeared"
+    assert "CartesianProduct" not in p.text

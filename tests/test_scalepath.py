@@ -26,3 +26,39 @@ def test_approx_sketches_within_tolerance(spark, sf_dir):
         e = exact[flag]
         assert abs(a["median_approx"] - e["median_exact"]) / e["median_exact"] < 0.02
         assert abs(a["orders_approx"] - e["orders_exact"]) / e["orders_exact"] < 0.05
+
+
+def test_lsh_near_dup_recall_on_planted_pairs(spark):
+    """The LSH candidate path must recall every planted near-dup pair and
+    report the same cosines as the numpy brute-force oracle."""
+    import numpy as np
+
+    rs = np.random.RandomState(42)
+    base = rs.standard_normal((300, 64))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(300)]
+    # plant 10 near-dup partners: small additive noise => cosine ~0.95-0.99
+    for j in range(10):
+        noisy = base[j] + rs.standard_normal(64) * (0.05 + 0.02 * j)
+        rows.append((1000 + j, [float(x) for x in noisy]))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    from utils_spark.operators.similarity import lsh_near_dup_pairs
+
+    got = {
+        (r["key_a"], r["key_b"]): r["cosine"]
+        for r in lsh_near_dup_pairs(df, "vec_id", "embedding", threshold=0.9, dim=64).collect()
+    }
+    M = np.array([r[1] for r in rows])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    C = Mn @ Mn.T
+    ids = [r[0] for r in rows]
+    want = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = sorted((ids[i], ids[j]))
+            if C[i, j] >= 0.9:
+                want[(a, b)] = round(float(C[i, j]), 6)
+    assert len(want) >= 10  # the planted pairs qualify
+    assert set(got) == set(want), (set(want) - set(got), set(got) - set(want))
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-5

@@ -69,3 +69,93 @@ def pairwise_distances(
     else:
         raise ValueError(f"unknown metric: {metric}")
     return joined.select(F.col("a.k").alias("key_a"), F.col("b.k").alias("key_b"), m.alias(metric))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, d: acc + d)
+
+
+def hyperplane_lsh_candidates(
+    df: DataFrame,
+    key_col: str,
+    vec_col: str = "embedding",
+    bands: int = 16,
+    rows_per_band: int = 8,
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-cosine) LSH candidate pairs:
+    (key_a, key_b) distinct, key_a < key_b.
+
+    Charikar's cosine LSH: sign bits of dot products with bands*rows_per_band
+    fixed random hyperplanes (seeded numpy normals → deterministic, literal
+    arrays, all JVM-side). Two vectors collide in a band iff all that band's
+    bits agree; P(bit differs) = angle/pi, so a cosine-0.95 pair misses all
+    16 bands w.p. (1-(1-.101)^8)^16 ≈ 1e-4 while random pairs (cos≈0) land
+    in the same 256-way bucket w.p. 2^-8 per band.
+
+    Scale shape: signatures are map-only (each band keys off its OWN plane
+    subset — no shared subexpression for CollapseProject to duplicate);
+    the only shuffles are the banded equi-self-join on (band_id, band_key)
+    and the pair distinct. Vectors are NOT carried through the explode —
+    join them back by key for the verify step. Never all-pairs.
+    """
+    import numpy as np
+
+    arr = to_double_array(vec_col)
+    if dim is None:  # one-row probe; pass dim explicitly to stay action-free
+        dim = df.select(F.size(arr).alias("d")).first()["d"]
+    planes = np.random.RandomState(seed).standard_normal((bands * rows_per_band, dim))
+    band_keys = []
+    for b in range(bands):
+        planes_b = F.array(
+            *[
+                F.array(*[F.lit(float(w)) for w in planes[b * rows_per_band + j]])
+                for j in range(rows_per_band)
+            ]
+        )
+        bits_b = F.transform(planes_b, lambda p: (_dot(p, arr) >= 0).cast("int"))
+        band_keys.append(F.array_join(bits_b, ""))
+    sig = df.select(
+        F.col(key_col).alias("__k"),
+        F.posexplode(F.array(*band_keys)).alias("band_id", "band_key"),
+    )
+    a, b2 = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b2,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.__k") < F.col("b.__k")),
+        )
+        .select(F.col("a.__k").alias("key_a"), F.col("b.__k").alias("key_b"))
+        .distinct()
+    )
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    key_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bands: int = 16,
+    rows_per_band: int = 8,
+    seed: int = 7,
+    dim: int | None = None,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Embedding near-duplicate pairs at scale: hyperplane-LSH candidate
+    generation + exact-cosine verification on candidates only
+    (key_a, key_b, cosine). The 100 TB shape of `pairwise_distances` +
+    threshold: no cartesian anywhere in the plan — candidates come from the
+    banded equi-join, and the exact cosine touches only candidate pairs."""
+    cand = hyperplane_lsh_candidates(df, key_col, vec_col, bands, rows_per_band, seed, dim)
+    v = df.select(F.col(key_col).alias("__vk"), to_double_array(vec_col).alias("__v"))
+    joined = (
+        cand.join(v.alias("va"), F.col("key_a") == F.col("va.__vk"))
+        .join(v.alias("vb"), F.col("key_b") == F.col("vb.__vk"))
+    )
+    cos = cosine_similarity(F.col("va.__v"), F.col("vb.__v"))
+    out = joined.select("key_a", "key_b", cos.alias("__cos")).filter(F.col("__cos") >= threshold)
+    final = F.round("__cos", round_digits) if round_digits is not None else F.col("__cos")
+    return out.select("key_a", "key_b", final.alias("cosine"))
