@@ -387,10 +387,16 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic md5 hashing and explicit banding)."""
     n_hashes, n_bands = 16, 4
     rows_per_band = n_hashes // n_bands
-    # local testdata is a single parquet file → 1 scan partition; spread the
-    # (CPU-bound) shingling+hashing across all cores. On a real cluster the
-    # source is many files and this repartition is a near-no-op.
-    d = load_table(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+    # local testdata is ONE parquet file with ONE row group, so the scan is
+    # a single partition no matter what spark.sql.files.maxPartitionBytes
+    # says (parquet splits at row-group granularity) — repartition is the
+    # only way to spread the CPU-bound shingling+hashing locally. Guard it
+    # on the actual scan parallelism so a real cluster read (many files)
+    # provably has no extra Exchange in this plan.
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < max(2, par // 2):
+        d = d.repartition(par)
     sig = d.select("doc_id", _minhash_sig_col(char_shingles("text", 5), n_hashes).alias("sig"))
     bands = sig.select(
         "doc_id",
