@@ -9,10 +9,13 @@ approximate by nature (SURVEY §7.3).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve under
+# `from __future__ import annotations` (get_type_hints looks in module globals)
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from utils_spark.functions import to_double_array
+from utils_spark.plans import cut_lineage
 
 
 def _to_vector_col(df: DataFrame, array_col: str, out: str = "features") -> DataFrame:
@@ -120,7 +123,15 @@ def label_propagation(
     tests instead). Each round: adopt the most frequent neighbor label
     (ties → smallest label, deterministic). Lineage checkpointed."""
     lbl = nodes.select(F.col(key_col).alias("node"), (F.col(seed_col) if seed_col else F.col(key_col)).alias("label"))
-    und = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    # cut the upstream lineage once: the edge list is re-read every round
+    # (and the round plans reference lbl twice), so an expensive producer
+    # like an LSH KNN join would otherwise be re-planned 2^iters times
+    und = (
+        edges.select("u", "v")
+        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
     for i in range(max_iter):
         neigh = (
             und.join(lbl.withColumnRenamed("node", "v"), "v")
@@ -137,9 +148,179 @@ def label_propagation(
             lbl.join(new_lbl.withColumnRenamed("label", "__new"), "node", "left")
             .select("node", F.coalesce("__new", "label").alias("label"))
         )
-        if (i + 1) % 5 == 0:
-            lbl = lbl.localCheckpoint()
+        if (i + 1) % 2 == 0:
+            lbl = cut_lineage(lbl)
     return lbl
+
+
+def _symmetrize(edges: DataFrame, weight_col: str | None) -> DataFrame:
+    """Undirected edge list → both-direction representation (u, v, w),
+    self-loops dropped. Each undirected edge appears exactly twice."""
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    e = edges.select(F.col("u").cast("long"), F.col("v").cast("long"), w.alias("w")).filter(
+        F.col("u") != F.col("v")
+    )
+    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+
+
+def modularity(
+    edges: DataFrame, assignment: DataFrame, weight_col: str | None = None, resolution: float = 1.0
+) -> float:
+    """Newman modularity Q = Σ_c (W_c/2m − γ·(tot_c/2m)²) of a partition
+    (assignment: node → community) over an undirected edge list. W_c sums
+    directed in-community weight (each undirected edge twice); tot_c is
+    community strength. Two joins + one agg; only the per-community sums
+    reach the driver."""
+    und = _symmetrize(edges, weight_col)
+    a = assignment.select(F.col("node").cast("long"), F.col("community").cast("long"))
+    lab = und.join(a.withColumnRenamed("node", "u").withColumnRenamed("community", "cu"), "u").join(
+        a.withColumnRenamed("node", "v").withColumnRenamed("community", "cv"), "v"
+    )
+    m2 = und.agg(F.sum("w")).first()[0]
+    per_c = (
+        lab.groupBy("cu")
+        .agg(
+            F.sum(F.when(F.col("cu") == F.col("cv"), F.col("w")).otherwise(0.0)).alias("w_in"),
+            F.sum("w").alias("tot"),
+        )
+        .agg(
+            F.sum(F.col("w_in") / m2).alias("lhs"),
+            F.sum((F.col("tot") / m2) * (F.col("tot") / m2)).alias("rhs"),
+        )
+        .first()
+    )
+    return float(per_c["lhs"] - resolution * per_c["rhs"])
+
+
+def louvain_communities(
+    edges: DataFrame,
+    nodes: DataFrame,
+    key_col: str,
+    weight_col: str | None = None,
+    resolution: float = 1.0,
+    max_iter: int = 20,
+    levels: int = 2,
+) -> DataFrame:
+    """Louvain modularity community detection (reference M5:
+    R/wrapper.R:296-303 FindClusters algorithm 1 — Blondel et al. 2008),
+    distributed as synchronous local moving + graph contraction.
+
+    Each sweep every (parity-eligible) node evaluates, per neighboring
+    community C, the resolution-scaled modularity gain
+    ΔQ(i→C) = w(i→C)/2m − γ·k_i·tot(C∖i)/(2m)² and adopts the argmax if it
+    strictly beats staying (ties → smallest community id). Synchronous
+    moves can oscillate in bipartite-ish structures, so only nodes with
+    xxhash64(node)%2 == iter%2 may move each sweep — deterministic and
+    convergent. After the sweeps converge, the graph is contracted
+    (communities become super-nodes, parallel edges summed) and the next
+    level repeats on the quotient graph; final labels compose the levels.
+
+    Scale shape: pure aggregate-messages — each sweep is one join of edges
+    with the assignment plus two bounded aggs; no per-node driver loop;
+    lineage cut by localCheckpoint per sweep. Keys must be integral.
+
+    Returns (node, community)."""
+    und = cut_lineage(_symmetrize(edges, weight_col))
+    base = nodes.select(F.col(key_col).cast("long").alias("node")).distinct()
+    # node → final community, composed across levels
+    mapping = base.select("node", F.col("node").alias("community"))
+
+    for level in range(levels):
+        m2_row = und.agg(F.sum("w")).first()[0]
+        if not m2_row:
+            break
+        m2 = float(m2_row)
+        deg = und.groupBy("u").agg(F.sum("w").alias("k"))
+        # isolated super-nodes keep strength 0
+        cur_nodes = und.select(F.col("u").alias("node")).distinct()
+        asg = cut_lineage(cur_nodes.select("node", F.col("node").alias("community")))
+        quiet = 0
+
+        for it in range(max_iter):
+            ctot = (
+                asg.join(deg.withColumnRenamed("u", "node"), "node", "left")
+                .na.fill({"k": 0.0})
+                .groupBy("community")
+                .agg(F.sum("k").alias("tot"))
+            )
+            # per node: weight into each neighboring community. Self-loops
+            # (super-node internal weight after contraction) are excluded —
+            # they travel with the node, so they cancel in gain comparisons
+            # and must not inflate the stay option.
+            nbr = (
+                und.filter(F.col("u") != F.col("v"))
+                .join(asg.withColumnRenamed("node", "v").withColumnRenamed("community", "c"), "v")
+                .groupBy("u", "c")
+                .agg(F.sum("w").alias("w_ic"))
+            )
+            own = asg.select(F.col("node").alias("u"), F.col("community").alias("c_own"))
+            # ensure the stay option exists even with zero in-community weight
+            cand = (
+                nbr.join(own, "u", "right")
+                .unionByName(
+                    own.select("u", F.col("c_own").alias("c"), F.lit(0.0).alias("w_ic"), "c_own")
+                )
+                .groupBy("u", "c", "c_own")
+                .agg(F.max("w_ic").alias("w_ic"))
+            )
+            scored = (
+                cand.join(ctot.withColumnRenamed("community", "c"), "c")
+                .join(deg, "u")
+                .withColumn(
+                    "tot_excl",
+                    F.col("tot") - F.when(F.col("c") == F.col("c_own"), F.col("k")).otherwise(0.0),
+                )
+                .withColumn(
+                    "gain",
+                    F.col("w_ic") / m2
+                    - F.lit(resolution) * F.col("k") * F.col("tot_excl") / (m2 * m2),
+                )
+            )
+            wbest = Window.partitionBy("u").orderBy(F.desc("gain"), F.asc("c"))
+            best = (
+                scored.withColumn("__rn", F.row_number().over(wbest))
+                .filter(F.col("__rn") == 1)
+                .select(
+                    F.col("u").alias("node"),
+                    F.col("c").alias("c_best"),
+                    F.col("c_own"),
+                    (F.pmod(F.xxhash64("u"), F.lit(2)) == F.lit(it % 2)).alias("eligible"),
+                )
+            )
+            moved = best.withColumn(
+                "new_c",
+                F.when(F.col("eligible") & (F.col("c_best") != F.col("c_own")), F.col("c_best")).otherwise(
+                    F.col("c_own")
+                ),
+            )
+            # checkpoint FIRST (one job), then the move count and the next
+            # sweep's reads all hit the materialized partitions
+            moved = cut_lineage(moved.select("node", "new_c", "c_own"))
+            n_moves = moved.filter(F.col("new_c") != F.col("c_own")).count()
+            asg = moved.select("node", F.col("new_c").alias("community"))
+            quiet = quiet + 1 if n_moves == 0 else 0
+            if quiet >= 2:  # both parities saw a quiet sweep
+                break
+
+        level_map = asg.select(F.col("node").alias("community"), F.col("community").alias("__c2"))
+        mapping = (
+            mapping.join(level_map, "community", "left")
+            .select("node", F.coalesce("__c2", "community").alias("community"))
+        )
+        mapping = cut_lineage(mapping)
+        if level + 1 < levels:
+            # contract: communities become super-nodes, parallel edges summed.
+            # Intra-community weight becomes a SELF-LOOP row (cu == cv) so the
+            # next level's node strengths and 2m stay exact (Blondel et al.
+            # phase 2); the local-moving sweep above skips self-edges itself.
+            und = (
+                und.join(asg.withColumnRenamed("node", "u").withColumnRenamed("community", "cu"), "u")
+                .join(asg.withColumnRenamed("node", "v").withColumnRenamed("community", "cv"), "v")
+                .groupBy(F.col("cu").alias("u"), F.col("cv").alias("v"))
+                .agg(F.sum("w").alias("w"))
+            )
+            und = cut_lineage(und)
+    return mapping
 
 
 def cluster_transition_counts(df: DataFrame, label_a: str, label_b: str) -> DataFrame:
@@ -228,6 +409,184 @@ def centroid_mst_pseudotime(
     return df.withColumn("pseudotime", base[F.col(cluster_col)] + local)
 
 
+def _centroid_mst(df: DataFrame, array_col: str, cluster_col: str, start_cluster):
+    """Cluster centroids + Prim MST + BFS distances (shared by the
+    centroid-pseudotime and principal-curve operators). Only the (k × d)
+    centroid matrix reaches the driver."""
+    comp = df.select(cluster_col, F.posexplode(to_double_array(array_col)).alias("dim", "x"))
+    cent_long = comp.groupBy(cluster_col, "dim").agg(F.avg("x").alias("cx"))
+    cent_rows = (
+        cent_long.groupBy(cluster_col)
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("pairs"))
+        .select(cluster_col, F.transform("pairs", lambda p: p["cx"]).alias("centroid"))
+        .collect()
+    )
+    import math as _math
+
+    cents = {r[cluster_col]: r["centroid"] for r in cent_rows}
+    ks = sorted(cents)
+    if start_cluster not in cents:
+        raise ValueError(f"start_cluster {start_cluster!r} not found")
+
+    def d(a, b):
+        return _math.sqrt(sum((x - y) ** 2 for x, y in zip(cents[a], cents[b])))
+
+    in_tree, edges = {start_cluster}, []
+    while len(in_tree) < len(ks):
+        best = min(
+            ((a, b, d(a, b)) for a in in_tree for b in ks if b not in in_tree),
+            key=lambda t: (t[2], str(t[1])),
+        )
+        in_tree.add(best[1])
+        edges.append(best)
+    adj: dict = {}
+    for a, b, w in edges:
+        adj.setdefault(a, []).append((b, w))
+        adj.setdefault(b, []).append((a, w))
+    dist = {start_cluster: 0.0}
+    frontier = [start_cluster]
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v, w in adj.get(u, []):
+                if v not in dist:
+                    dist[v] = dist[u] + w
+                    nxt.append(v)
+        frontier = nxt
+    return cents, adj, dist
+
+
+def principal_curve_pseudotime(
+    df: DataFrame,
+    key_col: str,
+    array_col: str,
+    cluster_col: str,
+    start_cluster,
+    approx_points: int = 50,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Per-lineage principal-curve pseudotime (reference M12:
+    R/slingshot.R:8-55 — getLineages + getCurves with ``approx_points``).
+
+    Lineages are the MST paths from the start cluster to each leaf. Each
+    lineage's curve starts as the piecewise-linear centroid path resampled
+    to `approx_points` vertices, then iterates the principal-curve loop:
+    (1) project every lineage cell onto the polyline (vectorized Arrow
+    pandas_udf — ~approx_points segment projections per cell, numpy
+    batched, no row expansion), (2) refit the curve as the per-bin mean of
+    cells ordered by current pseudotime (`approx_points` rank bins — the
+    distributed analog of the scatterplot smoother; only the new P × d
+    vertex matrix is collected). Pseudotime is cumulative arclength of the
+    projection foot.
+
+    Exact rank-binning uses one global sort per lineage; at 100 TB switch
+    the binning to percentile_approx boundaries (mergeable sketch, same
+    convergence) — the projection step is embarrassingly parallel either
+    way. Returns one row per (cell, lineage it belongs to):
+    (key, lineage_id, pseudotime).
+
+    Deterministic: no RNG anywhere; ties in the rank sort break on the key.
+    tests/test_ml.py checks monotonicity along planted paths and exact
+    agreement with a small-N numpy replica of the same algorithm.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cents, adj, _dist = _centroid_mst(df, array_col, cluster_col, start_cluster)
+    # lineages: start → each leaf (deg-1 node other than start)
+    leaves = [k for k, nb in adj.items() if len(nb) == 1 and k != start_cluster]
+    if not leaves and len(cents) == 1:
+        leaves = [start_cluster]
+    lineages = []
+    for leaf in sorted(leaves, key=str):
+        # unique tree path start→leaf by DFS
+        path, seen = [start_cluster], {start_cluster}
+        def walk(u):
+            if u == leaf:
+                return True
+            for v, _w in sorted(adj.get(u, []), key=lambda t: str(t[0])):
+                if v not in seen:
+                    seen.add(v)
+                    path.append(v)
+                    if walk(v):
+                        return True
+                    path.pop()
+            return False
+        walk(start_cluster)
+        lineages.append(path)
+
+    def resample(points: "np.ndarray", P: int) -> "np.ndarray":
+        seg = np.linalg.norm(np.diff(points, axis=0), axis=1)
+        cum = np.concatenate([[0.0], np.cumsum(seg)])
+        if cum[-1] == 0:
+            return np.repeat(points[:1], P, axis=0)
+        t = np.linspace(0.0, cum[-1], P)
+        out = np.empty((P, points.shape[1]))
+        for j in range(points.shape[1]):
+            out[:, j] = np.interp(t, cum, points[:, j])
+        return out
+
+    work = df.select(F.col(key_col).alias("__key"), F.col(cluster_col).alias("__c"),
+                     to_double_array(array_col).alias("__v"))
+    results = []
+    for li, path in enumerate(lineages):
+        cells = cut_lineage(work.filter(F.col("__c").isin(list(path))))
+        curve = resample(np.array([cents[c] for c in path]), approx_points)
+        for _it in range(n_iter + 1):  # final pass projects onto the last refit
+            A = curve[:-1]
+            D = curve[1:] - A
+            seglen = np.linalg.norm(D, axis=1)
+            arc = np.concatenate([[0.0], np.cumsum(seglen)])
+            denom = np.where(seglen > 0, (seglen ** 2), 1.0)
+
+            @pandas_udf("double")
+            def project(vs: pd.Series) -> pd.Series:
+                V = np.array(vs.tolist(), dtype=float)
+                best_d = np.full(len(V), np.inf)
+                best_t = np.zeros(len(V))
+                for s in range(len(A)):
+                    t = np.clip(((V - A[s]) @ D[s]) / denom[s], 0.0, 1.0)
+                    foot = A[s] + t[:, None] * D[s]
+                    dd = np.einsum("ij,ij->i", V - foot, V - foot)
+                    upd = dd < best_d - 1e-12
+                    best_d = np.where(upd, dd, best_d)
+                    best_t = np.where(upd, arc[s] + t * seglen[s], best_t)
+                return pd.Series(best_t)
+
+            cells = cells.select("__key", "__c", "__v", project("__v").alias("__pt"))
+            if _it == n_iter:
+                break
+            cells = cut_lineage(cells)  # 3 downstream actions reuse the projection
+            # refit: per-rank-bin mean vectors become the new polyline
+            wrk = Window.orderBy(F.asc("__pt"), F.asc("__key"))
+            n = cells.count()
+            P = min(approx_points, max(2, n))
+            binned = (
+                cells.withColumn("__bin", ((F.row_number().over(wrk) - 1) * P / n).cast("int"))
+                .select("__bin", F.posexplode("__v").alias("dim", "x"))
+                .groupBy("__bin", "dim")
+                .agg(F.avg("x").alias("cx"))
+                .groupBy("__bin")
+                .agg(F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("pairs"))
+                .select("__bin", F.transform("pairs", lambda p: p["cx"]).alias("pt"))
+                .orderBy("__bin")
+                .collect()
+            )
+            curve = resample(np.array([r["pt"] for r in binned]), approx_points)
+        results.append(
+            cells.select(
+                F.col("__key").alias(key_col),
+                F.lit(li).alias("lineage_id"),
+                F.col("__pt").alias("pseudotime"),
+            )
+        )
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def harmony_lite(
     df: DataFrame,
     key_col: str,
@@ -272,7 +631,7 @@ def harmony_lite(
                 "__key", "__batch", F.transform("__pairs", lambda p: p["__xc"]).alias("__v")
             )
         )
-        work = corrected.localCheckpoint()
+        work = cut_lineage(corrected)
     out = work.select(F.col("__key").alias(key_col), F.col("__v").alias("corrected"))
     return df.join(out, key_col)
 

@@ -41,3 +41,31 @@ def plan_summary(df: DataFrame) -> PlanSummary:
         n_codegen_stages=int(m.group(1)) if m else 0,
         text=text,
     )
+
+
+def cut_lineage(df: DataFrame) -> DataFrame:
+    """``localCheckpoint`` + plan-statistics reset, for iterative algorithms.
+
+    ``Dataset.localCheckpoint`` truncates the lineage but copies the child
+    plan's ``sizeInBytes`` statistic into the resulting ``LogicalRDD``.
+    Join-heavy iterative plans then MULTIPLY those carried BigIntegers every
+    round (``SizeInBytesOnlyStatsPlanVisitor.visitJoin``), so the stat's
+    digit count grows geometrically with the iteration count and the driver
+    ends up burning unbounded CPU on BigInteger Karatsuba/Toom-Cook math
+    (observed: 3× digits and ~3× planning time per sweep in Louvain by
+    sweep 15). Rebuilding the DataFrame over the already-checkpointed
+    internal RDD drops the carried stat to the bounded default; AQE
+    re-derives true sizes at runtime, so join strategies are unaffected.
+
+    Falls back to the plain checkpoint if the internal constructor moves.
+    """
+    ck = df.localCheckpoint()
+    try:
+        spark = ck.sparkSession
+        jrdd = ck._jdf.queryExecution().toRdd()  # type: ignore[attr-defined]
+        jdf = spark._jsparkSession.internalCreateDataFrame(  # type: ignore[attr-defined]
+            jrdd, ck._jdf.schema(), False  # type: ignore[attr-defined]
+        )
+        return DataFrame(jdf, spark)
+    except Exception:
+        return ck

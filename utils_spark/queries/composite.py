@@ -180,6 +180,36 @@ def clustree_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "louvain_communities",
+    oracle=None,  # modularity optimization is iterative/graph-global;
+    # properties (Q >= label-prop's Q, blob purity) tested in tests/test_ml.py
+    tags=("composite", "M5", "ml", "louvain"),
+)
+def louvain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain modularity communities over the embeddings KNN→SNN graph
+    (reference M5: R/wrapper.R:296-303 FindClusters algorithm 1 = Louvain).
+    Deterministic end-to-end (seeded LSH neighbors, parity-gated sweeps,
+    smallest-id tie-breaks): returns the community-size histogram — one row
+    per community size with the number of communities at that size — plus
+    the per-size member checksum, so the driver's rows-only check is stable
+    across runs."""
+    from utils_spark.operators.ml import knn_graph, louvain_communities as louvain
+    from utils_spark.operators.ml import snn_graph
+
+    e = load_table(spark, sf_dir, "embeddings")
+    edges = knn_graph(e, "vec_id", "embedding", k=10, bucket_length=8.0)
+    snn = snn_graph(edges, min_shared=2).withColumnRenamed("shared", "weight")
+    asg = louvain(snn, e, "vec_id", weight_col="weight", max_iter=10, levels=1)
+    sizes = asg.groupBy("community").agg(
+        F.count("*").alias("size"), F.sum("node").alias("member_checksum")
+    )
+    return sizes.groupBy("size").agg(
+        F.count("*").alias("n_communities"),
+        F.sum("member_checksum").cast("long").alias("checksum"),
+    )
+
+
+@register(
     "knn_snn_lisi",
     oracle=None,  # LSH neighbor sets are seed-stable approximations;
     # purity/LISI properties tested on blobs in tests/test_ml.py
