@@ -180,6 +180,37 @@ def clustree_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pseudotime_lineages",
+    oracle=None,  # iterative curve fitting; exact numpy-replica + monotone
+    # property tests in tests/test_ml.py
+    tags=("composite", "M12", "ml", "trajectory"),
+)
+def pseudotime_lineages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lineage principal-curve pseudotime over embeddings (reference
+    M12: R/slingshot.R:8-55 getLineages + getCurves): KMeans clusters →
+    MST lineages from cluster 0 → iterative principal-curve fit →
+    per-(lineage, cluster) pseudotime profile. Deterministic (seeded
+    KMeans, tie-broken binning)."""
+    from utils_spark.operators.ml import kmeans_clusters, principal_curve_pseudotime
+
+    e = load_table(spark, sf_dir, "embeddings")
+    clustered = kmeans_clusters(e, "embedding", k=4, out_col="cl")
+    pt = principal_curve_pseudotime(
+        clustered, "vec_id", "embedding", "cl", start_cluster=0, approx_points=20, n_iter=2
+    )
+    lab = clustered.select(F.col("vec_id"), "cl")
+    return (
+        pt.join(lab, "vec_id")
+        .groupBy("lineage_id", "cl")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("pseudotime"), 4).alias("mean_pt"),
+            F.round(F.expr("percentile(pseudotime, 0.5)"), 4).alias("median_pt"),
+        )
+    )
+
+
+@register(
     "louvain_communities",
     oracle=None,  # modularity optimization is iterative/graph-global;
     # properties (Q >= label-prop's Q, blob purity) tested in tests/test_ml.py
