@@ -125,3 +125,62 @@ def test_condition_diff_test(spark):
     assert abs(out["diff"]["slope_diff"] - 3.0) < 0.1
     assert abs(out["diff"]["z_stat"]) > 20
     assert abs(out["same"]["z_stat"]) < 4
+
+
+def test_natural_spline_basis_properties():
+    """ns() invariants: exact reproduction of linears, natural (linear)
+    extrapolation beyond boundary knots, and agreement with the literal
+    textbook formula on a tiny knot set."""
+    import numpy as np
+
+    from utils_spark.operators.modelfit import natural_spline_basis
+
+    knots = np.array([0.0, 0.3, 0.6, 1.0])
+    x = np.linspace(-0.5, 1.5, 201)
+    X = natural_spline_basis(x, knots)
+    assert X.shape == (201, 4)  # 1, x, and K-2 = 2 spline columns
+
+    # any linear y is reproduced exactly (it's in the span)
+    y = 3.0 - 2.0 * x
+    coef, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert np.allclose(X @ coef, y, atol=1e-10)
+
+    # natural constraint: second differences vanish outside the boundaries
+    h = x[1] - x[0]
+    for col in range(2, 4):
+        v = X[:, col]
+        second = (v[2:] - 2 * v[1:-1] + v[:-2]) / h**2
+        left, right = x[1:-1] < 0.0, x[1:-1] > 1.0
+        assert np.abs(second[left]).max() < 1e-8
+        assert np.abs(second[right]).max() < 1e-8
+
+    # literal formula check at a hand-picked point
+    xx = 0.45
+    def d(j):
+        return (max(xx - knots[j], 0) ** 3 - max(xx - knots[-1], 0) ** 3) / (knots[-1] - knots[j])
+    row = natural_spline_basis(np.array([xx]), knots)[0]
+    assert np.allclose(row, [1.0, xx, d(0) - d(2), d(1) - d(2)], atol=1e-12)
+
+
+def test_grouped_splinefit_detects_smooth_signal(spark):
+    """Spline fit must (a) flag a nonlinear smooth a line can't, with tiny
+    p; (b) keep p large on pure noise; (c) beat the linear fit's r2 on the
+    sine group."""
+    import numpy as np
+
+    from utils_spark.operators.modelfit import grouped_polyfit, grouped_splinefit
+
+    rng = np.random.default_rng(42)
+    rows = []
+    for i in range(200):
+        x = i / 200 * 2 * np.pi
+        rows.append(("sine", float(x), float(np.sin(x) + rng.normal(scale=0.15))))
+        rows.append(("noise", float(x), float(rng.normal(scale=1.0))))
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+
+    spl = {r["group"]: r for r in grouped_splinefit(df, "g", "x", "y", spline_df=4).collect()}
+    lin = {r["group"]: r for r in grouped_polyfit(df, "g", "x", "y", degree=1).collect()}
+    assert spl["sine"]["pvalue"] < 1e-10
+    assert spl["noise"]["pvalue"] > 0.05
+    assert spl["sine"]["r2"] > 0.9  # the spline tracks the sine
+    assert spl["sine"]["r2"] > lin["sine"]["r2"] + 0.25  # far beyond the line

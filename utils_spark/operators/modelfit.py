@@ -136,6 +136,85 @@ def grouped_polyfit(
     return df.groupBy(group_col).applyInPandas(fit, FIT_SCHEMA)
 
 
+def natural_spline_basis(x: "np.ndarray", knots: "np.ndarray") -> "np.ndarray":
+    """Natural cubic spline design matrix, R ``splines::ns`` formulation
+    (reference M14: R/tradeseq.R:43-128 fits smooths, not raw polynomials).
+
+    For knots k_1 < … < k_K (first/last = boundary knots), with
+    d_j(x) = ((x−k_j)₊³ − (x−k_K)₊³)/(k_K − k_j), the basis columns are
+    [1, x, d_1−d_{K−1}, …, d_{K−2}−d_{K−1}] — cubic between knots, linear
+    beyond the boundaries (the natural constraint). K knots → K columns
+    (including intercept), i.e. K−1 spline df. numpy-only.
+    """
+    x = np.asarray(x, dtype=float)
+    k = np.asarray(knots, dtype=float)
+    K = len(k)
+    if K < 3:
+        return np.column_stack([np.ones_like(x), x])
+
+    def d(j):
+        num = np.clip(x - k[j], 0, None) ** 3 - np.clip(x - k[-1], 0, None) ** 3
+        return num / (k[-1] - k[j])
+
+    dK1 = d(K - 2)
+    cols = [np.ones_like(x), x] + [d(j) - dK1 for j in range(K - 2)]
+    return np.column_stack(cols)
+
+
+def grouped_splinefit(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    spline_df: int = 4,
+) -> DataFrame:
+    """Per-group natural-cubic-spline least-squares fit with the exact
+    F-test of association (reference M14: R/tradeseq.R:43-128
+    associationTest on fitted smooths — upgraded from the polynomial basis
+    per VERDICT r1 item 5; same applyInPandas fan-out and scipy-free
+    F machinery as `grouped_polyfit`).
+
+    Knots: boundary at min/max of x, interior at evenly-spaced quantiles
+    (the ``ns(df=)`` convention), per group — so `spline_df` columns beyond
+    the intercept. Returns (group, n, r2, f_stat, pvalue, slope, intercept)
+    where slope/intercept come from the basis' linear part (the curve's
+    average direction), keeping FIT_SCHEMA compatibility."""
+
+    n_knots = spline_df  # K knots -> K-1 spline df beyond intercept... see below
+
+    colnames = [f.name for f in FIT_SCHEMA.fields]
+    dtypes = {"group": "object", "n": "int64", "r2": "float64", "f_stat": "float64",
+              "pvalue": "float64", "slope": "float64", "intercept": "float64"}
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = str(pdf[group_col].iloc[0])
+        x = pdf[x_col].to_numpy(dtype=float)
+        y = pdf[y_col].to_numpy(dtype=float)
+        n = len(x)
+        # ns(df=spline_df): spline_df basis columns beyond intercept needs
+        # df+1 knots (2 boundary + df-1 interior at quantiles)
+        qs = np.linspace(0.0, 1.0, n_knots + 1)
+        knots = np.unique(np.quantile(x, qs))
+        X = natural_spline_basis(x, knots)
+        p = X.shape[1]
+        row = {"group": g, "n": n, "r2": float("nan"), "f_stat": float("nan"),
+               "pvalue": 1.0, "slope": float("nan"), "intercept": float("nan")}
+        if n <= p or np.ptp(x) == 0:
+            return pd.DataFrame([row], columns=colnames).astype(dtypes)
+        coef, *_ = np.linalg.lstsq(X, y, rcond=None)
+        resid = y - X @ coef
+        ss_res = float(resid @ resid)
+        ss_tot = float(((y - y.mean()) ** 2).sum())
+        r2 = 1.0 - ss_res / ss_tot if ss_tot > 0 else 0.0
+        d1, d2 = p - 1, n - p
+        f_stat = (r2 / d1) / ((1 - r2) / d2) if r2 < 1.0 else float("inf")
+        row.update(r2=r2, f_stat=f_stat, pvalue=_f_sf(f_stat, d1, d2),
+                   slope=float(coef[1]), intercept=float(coef[0]))
+        return pd.DataFrame([row], columns=colnames).astype(dtypes)
+
+    return df.groupBy(group_col).applyInPandas(fit, FIT_SCHEMA)
+
+
 def start_vs_end_test(
     df: DataFrame, group_col: str, order_col: str, y_col: str, frac: float = 0.25
 ) -> DataFrame:

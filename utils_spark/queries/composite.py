@@ -117,6 +117,36 @@ def grouped_trend_fits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "spline_trend_fits",
+    oracle=None,  # spline least-squares + F sf in applyInPandas; basis
+    # invariants and signal/noise discrimination unit-tested
+    tags=("composite", "M14", "modelfit", "spline"),
+)
+def spline_trend_fits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group natural-cubic-spline association tests (reference M14:
+    R/tradeseq.R:43-128 fits SMOOTHS, not lines — VERDICT r1 item 5):
+    within each event_type, does hour-of-day explain the event value as a
+    smooth? ns(df=4) basis per group, exact F-test, BH across groups."""
+    from utils_spark.operators.modelfit import grouped_splinefit
+    from utils_spark.operators.stats import bh_adjust
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        (F.hour("ts") + F.minute("ts") / 60.0).alias("x"),
+        F.col("value").alias("y"),
+    )
+    fits = grouped_splinefit(e, "grp", "x", "y", spline_df=4)
+    return bh_adjust(fits, "pvalue", out_col="p_adjusted", tiebreak_col="group").select(
+        "group",
+        "n",
+        F.round("r2", 6).alias("r2"),
+        F.round("f_stat", 4).alias("f_stat"),
+        F.round("pvalue", 6).alias("pvalue"),
+        F.round("p_adjusted", 6).alias("p_adjusted"),
+    )
+
+
+@register(
     "batch_correction",
     oracle=None,  # iterative centroid correction; property-tested in tests/test_ml.py
     tags=("composite", "M8", "integration"),
