@@ -5,6 +5,8 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from utils_spark.io import load_table, read_delimited, write_csv, write_parquet
@@ -69,3 +71,69 @@ def test_events_reads_on_vanilla_session(spark):
     e = load_table(vanilla, "/root/testdata/sf0.001", "events")
     assert dict(e.dtypes)["ts"] == "timestamp"
     assert e.count() > 0
+
+
+def test_converter_contract_and_pseudobulk(spark):
+    """S5/S6 converter surface: the parquet-side contract is validated and
+    consumable regardless of which tool wrote it; h5py-dependent paths
+    raise the documented escape hatch when the lib is absent."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from utils_spark.converters import (
+        ConverterUnavailable,
+        load_matrix_tables,
+        loom_to_parquet,
+        pseudobulk_from_matrix,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table({"cell_id": pa.array([0, 0, 1, 2], pa.int64()),
+                      "gene_id": pa.array([0, 1, 1, 0], pa.int64()),
+                      "value": pa.array([2.0, 1.0, 3.0, 4.0], pa.float64())}),
+            os.path.join(d, "matrix.parquet"))
+        pq.write_table(
+            pa.table({"cell_id": pa.array([0, 1, 2], pa.int64()),
+                      "label": ["a", "a", "b"]}),
+            os.path.join(d, "cells.parquet"))
+        pq.write_table(
+            pa.table({"gene_id": pa.array([0, 1], pa.int64()), "symbol": ["g0", "g1"]}),
+            os.path.join(d, "genes.parquet"))
+
+        tables = load_matrix_tables(spark, d)
+        pb = {(r["label"], r["gene_id"]): (r["total"], r["n_cells_expressing"])
+              for r in pseudobulk_from_matrix(tables, "label").collect()}
+        assert pb == {("a", 0): (2.0, 1), ("a", 1): (4.0, 2), ("b", 0): (4.0, 1)}
+
+        # off-contract schema must be rejected
+        pq.write_table(
+            pa.table({"cell_id": pa.array([0], pa.int32()),
+                      "gene_id": pa.array([0], pa.int64()),
+                      "value": pa.array([1.0], pa.float64())}),
+            os.path.join(d, "matrix.parquet"))
+        with pytest.raises(ValueError, match="dtypes off-contract"):
+            load_matrix_tables(spark, d)
+
+    try:
+        import h5py  # noqa: F401
+
+        have_h5py = True
+    except ImportError:
+        have_h5py = False
+    if not have_h5py:
+        with pytest.raises(ConverterUnavailable, match="h5py"):
+            loom_to_parquet("/nonexistent.loom", "/tmp/never")
+    else:  # exercised on hosts that do ship h5py
+        import numpy as np
+
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "tiny.loom")
+            with h5py.File(path, "w") as f:
+                f.create_dataset("/matrix", data=np.array([[0.0, 2.0], [1.0, 0.0]]))
+                f.create_dataset("/row_attrs/Gene", data=np.array([b"g0", b"g1"]))
+                f.create_dataset("/col_attrs/CellID", data=np.array([b"c0", b"c1"]))
+            stats = loom_to_parquet(path, os.path.join(d, "out"), chunk_cols=1)
+            assert stats == {"cells": 2, "genes": 2, "nnz": 2}
+            tables = load_matrix_tables(spark, os.path.join(d, "out"))
+            assert tables["matrix"].count() == 2
