@@ -11,6 +11,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from utils_spark.functions import char_shingles, md5_long
+from utils_spark.plans import cut_lineage
 
 
 def exact_dedup(df: DataFrame, subset: list[str], key_col: str) -> DataFrame:
@@ -106,7 +107,8 @@ def duplicate_clusters(edges: DataFrame, src: str = "key_a", dst: str = "key_b",
     large diameters ever appear. Deterministic.
     """
     # neighbor pairs in both directions
-    e = (
+    e = cut_lineage(  # edge producers can be expensive (LSH joins) and are
+        # re-read every round — materialize once
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
@@ -120,7 +122,10 @@ def duplicate_clusters(edges: DataFrame, src: str = "key_a", dst: str = "key_b",
             .groupBy("u")
             .agg(F.min("p").alias("np"))
         )
-        new_parent = (
+        new_parent = cut_lineage(  # checkpoint FIRST: the convergence probe and
+            # next round then reuse the materialized result, and the carried
+            # sizeInBytes stat resets (see plans.cut_lineage — bare
+            # localCheckpoint lets the stat grow geometrically across rounds)
             parent.join(nbr_min, "u", "left")
             .select("u", F.least(F.col("p"), F.coalesce("np", F.col("p"))).alias("p"))
         )
@@ -135,6 +140,4 @@ def duplicate_clusters(edges: DataFrame, src: str = "key_a", dst: str = "key_b",
         parent = new_parent
         if changed == 0:
             break
-        if (i + 1) % 5 == 0:
-            parent = parent.localCheckpoint()  # truncate lineage (SURVEY §7.3)
     return parent.select(F.col("u").alias("key"), F.col("p").alias("component"))

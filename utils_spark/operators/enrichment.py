@@ -93,3 +93,87 @@ def over_representation(
     return bh_adjust(res, "pvalue", out_col="p_adjusted", tiebreak_col=term_col).orderBy(
         "pvalue", term_col
     )
+
+
+def semantic_similarity_pairs(
+    term_anc: DataFrame,
+    node_ic: DataFrame,
+    metric: str = "lin",
+    min_sim: float = 0.0,
+    min_anc_ic: float = 0.0,
+) -> DataFrame:
+    """Information-content semantic similarity between ontology terms
+    (reference M19: R/funx_enrichment.R:174-234 calculateSimMatrix with
+    Resnik/Lin/Rel over GO) — VERDICT r1 item 7.
+
+    Inputs: ``term_anc`` (term, anc) — each term's ancestor set, including
+    itself; ``node_ic`` (node, ic) — information content −ln p(node) per
+    ontology node. For each pair sharing an ancestor, MICA = the most
+    informative common ancestor; resnik = IC(MICA),
+    lin = 2·IC(MICA)/(IC(a)+IC(b)), rel = lin·(1−p(MICA)).
+
+    Scale shape: one equi-self-join on the ancestor key + a max-agg per
+    pair — the shingle-join pattern, never an all-pairs term join. Hub
+    ancestors (the root, top levels) are the skew AND are provably
+    irrelevant when ``min_anc_ic`` > 0: an ancestor with IC below the
+    threshold can never be the MICA of a pair that clears ``min_sim`` —
+    prune them before the join (pushed to the scan).
+
+    Returns (term_a, term_b, sim).
+    """
+    ta = term_anc.select(F.col("term").alias("__t"), F.col("anc"))
+    ic = node_ic.select(F.col("node").alias("anc"), F.col("ic"))
+    if min_anc_ic > 0:
+        ic = ic.filter(F.col("ic") >= min_anc_ic)
+    with_ic = ta.join(ic, "anc")  # drops pruned ancestors
+    a, b = with_ic.alias("a"), with_ic.alias("b")
+    mica = (
+        a.join(b, (F.col("a.anc") == F.col("b.anc")) & (F.col("a.__t") < F.col("b.__t")))
+        .groupBy(F.col("a.__t").alias("term_a"), F.col("b.__t").alias("term_b"))
+        .agg(F.max(F.col("a.ic")).alias("mica_ic"))
+    )
+    term_ic = node_ic.select(F.col("node"), F.col("ic"))
+    scored = (
+        mica.join(term_ic.withColumnRenamed("node", "term_a").withColumnRenamed("ic", "ic_a"), "term_a")
+        .join(term_ic.withColumnRenamed("node", "term_b").withColumnRenamed("ic", "ic_b"), "term_b")
+    )
+    lin = 2.0 * F.col("mica_ic") / (F.col("ic_a") + F.col("ic_b"))
+    if metric == "resnik":
+        sim = F.col("mica_ic")
+    elif metric == "lin":
+        sim = lin
+    elif metric == "rel":
+        sim = lin * (1.0 - F.exp(-F.col("mica_ic")))
+    else:
+        raise ValueError(f"unknown metric: {metric}")
+    return scored.select("term_a", "term_b", sim.alias("sim")).filter(F.col("sim") >= min_sim)
+
+
+def reduce_term_clusters(
+    sim_pairs: DataFrame,
+    term_scores: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cluster terms whose similarity clears `threshold` (connected
+    components) and pick each cluster's representative by max score
+    (reference M19: rrvgo reduceSimMatrix — R/funx_enrichment.R:210-234).
+    ``term_scores``: (term, score). Singleton terms keep themselves as
+    representative. Returns (term, component, representative)."""
+    from pyspark.sql import Window
+
+    from utils_spark.operators.dedup import duplicate_clusters
+
+    edges = sim_pairs.filter(F.col("sim") >= threshold).select("term_a", "term_b")
+    cc = duplicate_clusters(edges, "term_a", "term_b")
+    assigned = (
+        term_scores.select(F.col("term"), F.col("score"))
+        .join(cc.withColumnRenamed("key", "term"), "term", "left")
+        .select("term", "score", F.coalesce("component", F.col("term")).alias("component"))
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("score"), F.asc("term"))
+    reps = (
+        assigned.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("component"), F.col("term").alias("representative"))
+    )
+    return assigned.select("term", "component").join(reps, "component")

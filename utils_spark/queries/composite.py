@@ -210,6 +210,91 @@ def clustree_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "term_semantic_clusters",
+    oracle="""
+    WITH RECURSIVE parts AS (SELECT p_name, COUNT(*) AS n FROM part GROUP BY 1),
+    tot AS (SELECT SUM(n) AS t FROM parts),
+    noun AS (SELECT split_part(p_name, ' ', 2) AS node, SUM(n) AS n FROM parts GROUP BY 1),
+    nodes AS (
+      SELECT node, -ln(CAST(n AS DOUBLE) / (SELECT t FROM tot)) AS ic FROM noun
+      UNION ALL
+      SELECT p_name, -ln(CAST(n AS DOUBLE) / (SELECT t FROM tot)) FROM parts
+    ),
+    anc AS (
+      SELECT p_name AS term, split_part(p_name, ' ', 2) AS anc FROM parts
+      UNION ALL SELECT p_name, p_name FROM parts
+    ),
+    mica AS (
+      SELECT a.term AS ta, b.term AS tb, MAX(n.ic) AS mica_ic
+      FROM anc a JOIN anc b ON a.anc = b.anc AND a.term < b.term
+      JOIN nodes n ON n.node = a.anc
+      GROUP BY 1, 2
+    ),
+    sims AS (
+      SELECT ta, tb, 2 * mica_ic / (na.ic + nb.ic) AS sim
+      FROM mica JOIN nodes na ON na.node = ta JOIN nodes nb ON nb.node = tb
+    ),
+    edges AS (
+      SELECT ta AS s, tb AS d FROM sims WHERE sim >= 0.4995
+      UNION SELECT tb, ta FROM sims WHERE sim >= 0.4995
+    ),
+    reach(node, via) AS (
+      SELECT s, s FROM edges
+      UNION SELECT e.d, r.via FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    cc AS (SELECT node AS term, MIN(via) AS component FROM reach GROUP BY node),
+    assigned AS (
+      SELECT p.p_name AS term, p.n, COALESCE(cc.component, p.p_name) AS component
+      FROM parts p LEFT JOIN cc ON cc.term = p.p_name
+    ),
+    reps AS (
+      SELECT component, term AS representative FROM (
+        SELECT component, term,
+               row_number() OVER (PARTITION BY component ORDER BY n DESC, term) AS rn
+        FROM assigned
+      ) WHERE rn = 1
+    )
+    SELECT a.term, a.component, r.representative, CAST(a.n AS BIGINT) AS n_parts
+    FROM assigned a JOIN reps r ON a.component = r.component
+    """,
+    tags=("composite", "M19", "enrichment", "semantic-similarity"),
+)
+def term_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IC-based semantic-similarity term clustering (reference M19:
+    R/funx_enrichment.R:174-234 calculateSimMatrix Lin + rrvgo
+    reduceSimMatrix): ontology = part names under their noun genus,
+    IC = −ln(annotation frequency), Lin similarity via the
+    most-informative-common-ancestor join, threshold graph → connected
+    components → representative by annotation count. The full pipeline —
+    MICA join, Lin scores, iterative CC, representative ranking — is
+    reproduced in the DuckDB oracle (recursive CTE), making this an
+    exactly-oracled graph+IC composite."""
+    from utils_spark.operators.enrichment import reduce_term_clusters, semantic_similarity_pairs
+
+    p = load_table(spark, sf_dir, "part")
+    parts = p.groupBy("p_name").agg(F.count("*").alias("n"))
+    total = parts.agg(F.sum("n")).first()[0]
+    noun = F.element_at(F.split("p_name", " "), 2)
+    nodes = (
+        parts.groupBy(noun.alias("node")).agg(F.sum("n").alias("n"))
+        .unionByName(parts.select(F.col("p_name").alias("node"), "n"))
+        .select("node", (-F.log(F.col("n").cast("double") / F.lit(float(total)))).alias("ic"))
+    )
+    term_anc = (
+        parts.select(F.col("p_name").alias("term"), noun.alias("anc"))
+        .unionByName(parts.select(F.col("p_name").alias("term"), F.col("p_name").alias("anc")))
+    )
+    sims = semantic_similarity_pairs(term_anc, nodes, metric="lin")
+    clustered = reduce_term_clusters(
+        sims, parts.select(F.col("p_name").alias("term"), F.col("n").alias("score")), threshold=0.4995
+    )
+    return (
+        clustered.join(parts.select(F.col("p_name").alias("term"), "n"), "term")
+        .select("term", "component", "representative", F.col("n").cast("long").alias("n_parts"))
+    )
+
+
+@register(
     "pseudotime_lineages",
     oracle=None,  # iterative curve fitting; exact numpy-replica + monotone
     # property tests in tests/test_ml.py
