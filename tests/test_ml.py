@@ -318,3 +318,65 @@ def test_principal_curve_pseudotime_monotone_and_matches_numpy(spark, blobs):
     want = project(X, curve)
     got_arr = np.array([pt[i] for i in ids])
     assert np.allclose(got_arr, want, atol=1e-6), np.abs(got_arr - want).max()
+
+
+def test_als_factorize_recovers_low_rank(spark):
+    """ALS must reconstruct a planted nonnegative low-rank matrix well,
+    and more rank must not fit worse."""
+    import numpy as np
+
+    from utils_spark.operators.ml import als_factorize
+
+    rng = np.random.default_rng(3)
+    U = rng.uniform(0.5, 2.0, size=(40, 3))
+    V = rng.uniform(0.5, 2.0, size=(30, 3))
+    M = U @ V.T
+    rows = [(i, j, float(M[i, j])) for i in range(40) for j in range(30)]
+    df = spark.createDataFrame(rows, ["r", "c", "v"])
+
+    def rmse(rank):
+        rf, cf = als_factorize(df, "r", "c", "v", rank=rank, max_iter=10)
+        ru = {x["r"]: np.array(x["features"]) for x in rf.collect()}
+        cv = {x["c"]: np.array(x["features"]) for x in cf.collect()}
+        err = [(float(ru[i] @ cv[j]) - M[i, j]) ** 2 for i in range(40) for j in range(30)]
+        return float(np.sqrt(np.mean(err)))
+
+    e1, e5 = rmse(1), rmse(5)
+    scale = float(M.mean())
+    assert e5 < 0.05 * scale, (e5, scale)  # rank>=true rank reconstructs
+    assert e5 < e1  # underfitting rank-1 is worse
+
+
+def test_harmony_soft_reduces_batch_separation(spark):
+    import numpy as np
+
+    from utils_spark.operators.ml import harmony_soft
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for b, off in (("A", 0.0), ("B", 3.0)):
+        for ci, center in enumerate([0.0, 12.0]):
+            for j in range(25):
+                v = rng.normal(scale=0.4, size=4)
+                v[0] += center
+                v[1] += off
+                v[2] += off
+                rows.append((f"{b}{ci}{j}", b, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, ["id", "batch", "vec"])
+
+    def batch_gap(frame, col):
+        means = (
+            frame.select("batch", F.posexplode(col).alias("d", "x"))
+            .filter(F.col("d") == 1)
+            .groupBy("batch")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        vals = {r["batch"]: r["m"] for r in means}
+        return abs(vals["A"] - vals["B"])
+
+    before = batch_gap(df, "vec")
+    corrected = harmony_soft(df, "id", "vec", "batch", k=2, n_iter=2, sigma=1.0)
+    after = batch_gap(corrected, "corrected")
+    assert before > 2.5
+    assert after < before * 0.25, (before, after)

@@ -152,11 +152,14 @@ def spline_trend_fits(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("composite", "M8", "integration"),
 )
 def batch_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Harmony-style batch correction on embeddings (reference M8:
-    R/integrate.R:100-123): treat label parity as a 'batch', cluster, and
-    subtract per-(cluster, batch) centroid offsets. Returns per-vector
-    corrected arrays; the property test asserts batch separation shrinks."""
-    from utils_spark.operators.ml import harmony_lite
+    """Harmony batch correction on embeddings (reference M8:
+    R/integrate.R:100-123 RunHarmony): treat label parity as a 'batch';
+    soft cluster responsibilities + mixtures of per-(cluster, batch)
+    offsets (`harmony_soft` — the Harmony model core; the diversity
+    penalty stays flagged out). Property tests assert batch separation
+    shrinks for both the soft and the hard-assignment (`harmony_lite`)
+    variants."""
+    from utils_spark.operators.ml import harmony_soft
 
     e = load_table(spark, sf_dir, "embeddings")
     d = e.select(
@@ -164,8 +167,28 @@ def batch_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("label") % 2).cast("string").alias("batch"),
         F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
     )
-    corrected = harmony_lite(d, "vec_id", "vec", "batch", k=4, n_iter=2)
+    corrected = harmony_soft(d, "vec_id", "vec", "batch", k=4, n_iter=2, sigma=1.0)
     return corrected.select("vec_id", "batch", F.round(F.element_at("corrected", 1), 6).alias("c1"))
+
+
+@register(
+    "factor_decomposition",
+    oracle=None,  # alternating least squares is iterative/seeded; recovery
+    # of a planted low-rank matrix is property-tested in tests/test_ml.py
+    tags=("composite", "M20", "ml", "factorization"),
+)
+def factor_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITFAM-analog low-rank factorization (reference M20:
+    R/bitfam.R:3-13): factorize the part×supplier quantity matrix from
+    lineitem with nonnegative ALS (rank 4) and return per-part factor
+    norms — the 'activity' summary of the decomposition."""
+    from utils_spark.operators.ml import als_factorize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    mat = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("qty"))
+    row_f, _col_f = als_factorize(mat, "l_partkey", "l_suppkey", "qty", rank=4, max_iter=8)
+    norm = F.sqrt(F.aggregate(F.transform("features", lambda x: x * x), F.lit(0.0), lambda a, z: a + z))
+    return row_f.select(F.col("l_partkey").cast("long").alias("l_partkey"), F.round(norm, 4).alias("factor_norm"))
 
 
 @register(
