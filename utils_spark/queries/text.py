@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from utils_spark.functions import char_shingles, md5_long, word_tokens
+from utils_spark.functions import char_shingles, det_order_key, md5_long, word_tokens
 from utils_spark.io import load_table
 from utils_spark.registry import register
 
@@ -669,4 +669,93 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start_idx").cast("int").alias("start_idx"),
         chunk_len.cast("long").alias("n_tokens"),
         F.md5(chunk_text).alias("chunk_hash"),
+    )
+
+
+@register(
+    "benchmark_decontamination",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, array_to_string(t[s.i : s.i + 4], ' ') AS g
+      FROM toks, LATERAL (SELECT unnest(range(1, GREATEST(len(t) - 4, 0) + 1)) AS i) s
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+    hits AS (
+      SELECT gr.doc_id, gr.g FROM grams gr JOIN bench b ON gr.g = b.g
+      WHERE gr.doc_id % 50 != 0
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(COUNT(DISTINCT g) AS BIGINT) AS n_shared_grams
+    FROM hits GROUP BY doc_id
+    """,
+    tags=("text", "llm-pipeline", "decontamination"),
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set decontamination against a benchmark split — the
+    eval-integrity primitive of LLM data pipelines: flag every training
+    document sharing an exact word 5-gram with any benchmark document
+    (here: doc_id % 50 == 0 plays the benchmark). Output: contaminated
+    doc → distinct shared-gram count.
+
+    Scale shape: gram explode is map-only; the join keys on the gram
+    string (same shape as the shingle join); the benchmark side is a
+    DISTINCT-reduced fraction of the corpus. No pairwise doc×doc work —
+    contamination lists, not pair enumeration."""
+    d = load_table(spark, sf_dir, "documents")
+    t = word_tokens("text")
+    n = F.size(t)
+    gram_idx = F.when(n >= 5, F.sequence(F.lit(1), n - 4)).otherwise(F.array().cast("array<int>"))
+    grams = (
+        d.select("doc_id", t.alias("t"), gram_idx.alias("idx"))
+        .select("doc_id", "t", F.explode("idx").alias("i"))
+        .select("doc_id", F.array_join(F.slice("t", F.col("i"), 5), " ").alias("g"))
+    )
+    bench = grams.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
+    return (
+        grams.filter(F.col("doc_id") % 50 != 0)
+        .join(bench, "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared_grams"))
+    )
+
+
+@register(
+    "corpus_mixture_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, source, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5(concat(CAST(doc_id AS VARCHAR), ':', '290'))) AS rn
+      FROM documents
+    )
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+    FROM ranked WHERE rn <= 20 GROUP BY lang, source
+    """,
+    tags=("text", "llm-pipeline", "sampling", "mixing"),
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-(lang, source) quota sampling — the data-mixing
+    primitive for training-corpus composition: exactly ≤20 docs per
+    stratum chosen by engine- and partitioning-independent md5 order
+    (SURVEY §7.2), checksummed so the oracle proves the identical rows
+    were picked on both engines."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(det_order_key("doc_id", 290))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+        )
     )
