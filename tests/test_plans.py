@@ -91,3 +91,17 @@ def test_embedding_near_dup_no_cartesian(spark, sf_dir):
     p = _plan(spark, sf_dir, "embedding_near_dup")
     assert "BroadcastNestedLoopJoin" not in p.text, "all-pairs join reappeared"
     assert "CartesianProduct" not in p.text
+
+
+def test_decontamination_no_pairwise_join(spark, sf_dir):
+    """Contamination must be a gram-keyed join (benchmark side reduced by
+    DISTINCT), never doc×doc pair enumeration."""
+    p = _plan(spark, sf_dir, "benchmark_decontamination")
+    assert "BroadcastNestedLoopJoin" not in p.text
+    assert "CartesianProduct" not in p.text
+
+
+def test_term_semantic_clusters_no_cartesian(spark, sf_dir):
+    """MICA similarity must join on the ancestor key, never all term pairs."""
+    p = _plan(spark, sf_dir, "term_semantic_clusters")
+    assert "CartesianProduct" not in p.text
