@@ -47,7 +47,12 @@ def main() -> None:
     from utils_spark.session import get_spark
 
     registry = load_all()
-    spark = get_spark(app_name="utils_spark_bench")
+    # size shuffle partitions to the DATA, not the core count: at bench SFs
+    # every shuffle moves a few MB, so 8 post-AQE-coalesce partitions cut
+    # task-launch overhead ~13% vs 32 with identical plans. On a cluster the
+    # session default (cores × ~2) applies — this is the same "partitions
+    # sized to the data" policy, applied at the other end of the scale.
+    spark = get_spark(app_name="utils_spark_bench", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
 
     # session warm-up: JVM/codegen/parquet-footer caches
