@@ -35,50 +35,56 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry["grouped_quantiles"].fn(spark, "/root/testdata/sf0.001")
 
 
-# Highest-value operators first: if the driver samples a prefix of the
-# registry, the queries with the least prior driver evidence (all green in
-# the local parity replica) get checked before the ones already verified
-# in CORRECTNESS_r01.json.
+# Least-verified first: the driver samples a prefix of this dict (r2
+# sampled exactly the first 50 in iteration order), so queries with NO
+# driver-green CORRECTNESS entry yet must come before anything already
+# verified in CORRECTNESS_r01/r02.json.
+#
+# Tier 1: formerly-red (env nanos bug, fixed in io.py — local parity green).
+# Tier 2: oracled queries never in any driver sample.
+# Tier 3: queries added/oracled in round 3.
+# Tier 4: rows-only queries never sampled (driver records rows-only).
+# Everything else (already green in r1/r2) follows in registry order.
 _PRIORITY = (
-    "minhash_lsh_pairs",
-    "embedding_near_dup",
-    "term_semantic_clusters",
-    "mad_outliers",
-    "bh_adjust",
-    "stratified_sample",
-    "weighted_sample",
-    "semi_anti_join",
-    "pivot_onehot",
-    "dup_cluster_assignments",
-    "exact_dedup",
-    "ann_ivf_bucketed",
-    "cosine_topk",
-    "sessionize",
-    "tumbling_window",
-    "cumulative_frames",
-    "lag_lead_delta",
-    "rolling_time_range",
-    "union_distinct",
-    "set_difference",
-    "melt_unpivot",
-    "rank_in_group",
-    "top2_delta",
-    "topk_per_group",
-    "freq_ordered_levels",
-    "zscore_squish",
-    "equidepth_histogram",
-    "quantile_thresholds",
-    "mean_var_topk",
-    "grouped_regression",
-    "json_extract",
-    "monthly_rollup",
-    "log_normalize",
-    "ks_test",
-    "variance_explained",
-    "group_entropy",
-    "fuzzy_name_pairs",
-    "ngram_jaccard_pairs",
-    "tfidf_top_terms",
+    # -- tier 1: formerly red, fix landed, needs driver proof
+    "nth_event_snapshot",
+    "null_ordering",
+    # -- tier 2: oracled, never driver-sampled
+    "multiway_join_revenue",
+    "top_orders_by_revenue",
+    "sliding_window",
+    "session_window_native",
+    "quantile_normalize",
+    "grouped_correlation",
+    "grouped_moments",
+    "hierarchical_time_rollup",
+    "cohort_retention",
+    "token_stats",
+    "quality_score",
+    "lang_id_ngram",
+    "doc_fingerprint",
+    "minhash_signature",
+    "bpe_style_tokens",
+    "chunk_documents",
+    "benchmark_decontamination",
+    "corpus_mixture_sample",
+    "min_per_group_join_back",
+    "having_threshold_join",
+    "distinct_suppliers_per_attr",
+    "date_arithmetic",
+    "embedding_stats",
+    "label_centroids",
+    # -- tier 3: new/newly-oracled in round 3 (names appended as they land)
+    "reorder_to_input",
+    "louvain_communities",
+    "pseudotime_lineages",
+    "clustree_transitions",
+    "pca_embedding",
+    "knn_snn_lisi",
+    # -- tier 4: rows-only, never sampled
+    "spline_trend_fits",
+    "factor_decomposition",
+    "approx_sketch_aggs",
 )
 
 
