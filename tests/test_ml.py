@@ -380,3 +380,31 @@ def test_harmony_soft_reduces_batch_separation(spark):
     after = batch_gap(corrected, "corrected")
     assert before > 2.5
     assert after < before * 0.25, (before, after)
+
+
+def test_empty_input_guards(spark):
+    """ADVICE r2: empty edge lists / empty embedding frames must not crash
+    with None-subscript errors — they return trivial results."""
+    from utils_spark.operators.ml import modularity
+    from utils_spark.operators.similarity import hyperplane_lsh_candidates
+
+    empty_edges = spark.createDataFrame([], "u long, v long")
+    asg = spark.createDataFrame([], "node long, community long")
+    assert modularity(empty_edges, asg) == 0.0
+
+    empty_vecs = spark.createDataFrame([], "id string, embedding array<double>")
+    cand = hyperplane_lsh_candidates(empty_vecs, "id", "embedding")
+    assert cand.columns == ["key_a", "key_b"]
+    assert cand.count() == 0
+
+
+def test_als_factorize_rejects_int64_ids(spark):
+    """MLlib ALS ids must fit int32; ids past 2^31-1 raise instead of
+    silently wrapping (ADVICE r2)."""
+    import pytest as _pytest
+
+    from utils_spark.operators.ml import als_factorize
+
+    df = spark.createDataFrame([(2**31, 1, 1.0), (5, 2, 2.0)], ["r", "c", "v"])
+    with _pytest.raises(ValueError, match="int32"):
+        als_factorize(df, "r", "c", "v", rank=2, max_iter=1)

@@ -46,6 +46,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     The nanos config is set here (runtime-settable, idempotent) rather than
     only at session build, so any caller-supplied vanilla SparkSession can
     read the file — not just sessions built by our own factory.
+
+    SIDE EFFECT: the conf stays set on the session after this call, so any
+    later parquet read of a TIMESTAMP(NANOS) column in the same session
+    returns bigint nanos instead of failing loudly. It is deliberately NOT
+    restored: the conf is consulted at execution time, so flipping it back
+    after this (lazy) scan is planned would break the scan itself. Callers
+    reading unrelated nanos parquet in the same session should convert as
+    done here (timestamp_micros(ts div 1000)).
     """
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

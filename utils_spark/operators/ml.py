@@ -177,6 +177,8 @@ def modularity(
         a.withColumnRenamed("node", "v").withColumnRenamed("community", "cv"), "v"
     )
     m2 = und.agg(F.sum("w")).first()[0]
+    if not m2:  # empty / weightless edge list: Q of the trivial graph is 0
+        return 0.0
     per_c = (
         lab.groupBy("cu")
         .agg(
@@ -757,9 +759,24 @@ def als_factorize(
     factor blocks co-partition with rating blocks, each half-step is a
     bounded join + normal-equations solve per block, no driver-side
     matrix. Returns (row_factors, col_factors) as (id, features
-    array<float>) DataFrames."""
+    array<float>) DataFrames.
+
+    MLlib ALS inherits Spark's int32 id limit: row/col ids above 2^31−1
+    would silently wrap when cast (ANSI off) and corrupt the blocks, so
+    ids are bounds-checked up front (one tiny agg job). At larger id
+    spaces, build a dense int index (zipWithIndex / dense_rank) first."""
     from pyspark.ml.recommendation import ALS
 
+    bounds = df.agg(
+        F.max(F.abs(F.col(row_col).cast("long"))).alias("r"),
+        F.max(F.abs(F.col(col_col).cast("long"))).alias("c"),
+    ).first()
+    int_max = 2**31 - 1
+    if bounds["r"] is not None and max(bounds["r"], bounds["c"]) > int_max:
+        raise ValueError(
+            f"als_factorize ids exceed int32 (max |row|={bounds['r']}, "
+            f"|col|={bounds['c']}); re-index to a dense int range first"
+        )
     ratings = df.select(
         F.col(row_col).cast("int").alias("__row"),
         F.col(col_col).cast("int").alias("__col"),

@@ -104,7 +104,12 @@ def hyperplane_lsh_candidates(
 
     arr = to_double_array(vec_col)
     if dim is None:  # one-row probe; pass dim explicitly to stay action-free
-        dim = df.select(F.size(arr).alias("d")).first()["d"]
+        probe = df.select(F.size(arr).alias("d")).first()
+        if probe is None or probe["d"] is None:  # empty input → no pairs
+            return df.select(
+                F.col(key_col).alias("key_a"), F.col(key_col).alias("key_b")
+            ).limit(0)
+        dim = probe["d"]
     planes = np.random.RandomState(seed).standard_normal((bands * rows_per_band, dim))
     band_keys = []
     for b in range(bands):

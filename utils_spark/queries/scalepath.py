@@ -108,15 +108,17 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic-dedup primitive of the north star, in its 100 TB shape:
     random-hyperplane LSH candidate generation (banded equi-self-join,
     never a cross join) + exact-cosine verification on candidates only.
-    The oracle stays the brute-force all-pairs SQL, so the driver compare
-    certifies the LSH path recalls every qualifying pair (miss probability
-    ≈1e-4 per cosine-0.95 pair at these band settings, →0 as cosine→1).
+    The oracle stays the brute-force all-pairs SQL; LSH recall is
+    probabilistic, so the compare can in principle miss a borderline pair —
+    32 bands push the miss probability per cosine-0.95 pair below 2e-8
+    (→0 as cosine→1), i.e. far below one expected miss over every pair at
+    any tested SF, but a pass certifies recall on this data, not in general.
     tests/test_plans.py asserts the physical plan has no cartesian/BNLJ;
     tests/test_scalepath.py proves recall on planted near-dups."""
     from utils_spark.operators.similarity import lsh_near_dup_pairs
 
     e = load_table(spark, sf_dir, "embeddings")
-    pairs = lsh_near_dup_pairs(e, "vec_id", "embedding", threshold=0.95, dim=64)
+    pairs = lsh_near_dup_pairs(e, "vec_id", "embedding", threshold=0.95, bands=32, dim=64)
     return pairs.select(
         F.col("key_a").alias("vec_a"), F.col("key_b").alias("vec_b"), "cosine"
     )
