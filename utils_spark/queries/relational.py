@@ -422,3 +422,44 @@ def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
     )
+
+
+@register(
+    "reorder_to_input",
+    oracle="""
+    WITH inp AS (
+      SELECT n_name, n_regionkey,
+             row_number() OVER (ORDER BY n_name) AS input_pos
+      FROM nation
+    ),
+    joined AS (
+      SELECT i.input_pos, i.n_name, r.r_name AS region_name
+      FROM inp i JOIN region r ON i.n_regionkey = r.r_regionkey
+    )
+    SELECT input_pos, n_name, region_name,
+           row_number() OVER (ORDER BY input_pos) AS restored_pos
+    FROM joined
+    """,
+    tags=("reshape", "O9"),
+)
+def reorder_to_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restore original input order after a scrambling join (reference O9:
+    R/funx_enrichment.R:228-231 `grouped_terms[go_term_ids,]`). Order is
+    carried as a position COLUMN (design rule — never implicit row order);
+    the join scrambles physical order, `reorder_to_input` sorts it back,
+    and `restored_pos` (rank over the restored ordering) == input_pos makes
+    the restoration visible to the order-insensitive driver hash."""
+    from utils_spark.operators.relational import reorder_to_input as _reorder
+
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    inp = n.select(
+        "n_name", "n_regionkey", F.row_number().over(Window.orderBy("n_name")).alias("input_pos")
+    )
+    joined = inp.join(F.broadcast(r), inp.n_regionkey == r.r_regionkey).select(
+        "input_pos", "n_name", F.col("r_name").alias("region_name")
+    )
+    restored = _reorder(joined, "input_pos")
+    return restored.withColumn(
+        "restored_pos", F.row_number().over(Window.orderBy("input_pos"))
+    )
