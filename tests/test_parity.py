@@ -105,3 +105,20 @@ def test_coverage_doc_mentions_every_query():
     text = pathlib.Path(__file__).resolve().parent.parent.joinpath("COVERAGE.md").read_text()
     missing = [name for name in REGISTRY if f"`{name}`" not in text]
     assert not missing, f"queries missing from COVERAGE.md: {missing}"
+
+
+def test_queries_md_matches_registry():
+    """QUERIES.md is auto-generated; its header counts and row set must equal
+    the live registry (VERDICT r2 'what's wrong' #1 — doc drift)."""
+    import pathlib
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo / "tools"))
+    from gen_queries_md import parse_header_counts, render
+
+    committed = (repo / "QUERIES.md").read_text()
+    total, oracled = parse_header_counts(committed)
+    assert total == len(REGISTRY)
+    assert oracled == sum(1 for q in REGISTRY.values() if q.oracle)
+    assert committed == render(), "QUERIES.md is stale — run python tools/gen_queries_md.py"
