@@ -79,11 +79,12 @@ _PRIORITY = (
     "louvain_communities",
     "pseudotime_lineages",
     "clustree_transitions",
-    "pca_embedding",
     "knn_snn_lisi",
-    # -- tier 4: rows-only, never sampled
-    "spline_trend_fits",
     "factor_decomposition",
+    "grouped_trend_fits",
+    # -- tier 4: rows-only, never sampled
+    "pca_embedding",
+    "spline_trend_fits",
     "approx_sketch_aggs",
 )
 

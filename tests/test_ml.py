@@ -382,6 +382,48 @@ def test_harmony_soft_reduces_batch_separation(spark):
     assert after < before * 0.25, (before, after)
 
 
+def test_harmony_diversity_penalty_mixes_confounded_batches(spark):
+    """Reference M8 theta (R/integrate.R:115-118): when batch is CONFOUNDED
+    with cluster structure (each soft cluster ~one batch), the penalty-free
+    correction is ~zero (batch mean ≈ cluster mean), while the diversity
+    penalty forces batch-diverse responsibilities and removes the shift."""
+    import numpy as np
+
+    from utils_spark.operators.ml import harmony_soft
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for b, off in (("A", 0.0), ("B", 20.0)):
+        for j in range(50):
+            v = rng.normal(scale=0.5, size=4)
+            v[1] += off
+            rows.append((f"{b}{j}", b, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, ["id", "batch", "vec"])
+
+    def batch_gap(frame, col):
+        means = (
+            frame.select("batch", F.posexplode(col).alias("d", "x"))
+            .filter(F.col("d") == 1)
+            .groupBy("batch")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        vals = {r["batch"]: r["m"] for r in means}
+        return abs(vals["A"] - vals["B"])
+
+    before = batch_gap(df, "vec")
+    plain = harmony_soft(df, "id", "vec", "batch", k=2, n_iter=1, sigma=50.0, theta=0.0)
+    diverse = harmony_soft(df, "id", "vec", "batch", k=2, n_iter=1, sigma=50.0, theta=2.0)
+    gap_plain = batch_gap(plain, "corrected")
+    gap_diverse = batch_gap(diverse, "corrected")
+    assert before > 15.0
+    # penalty-free: clusters = batches, correction can't see the shift
+    assert gap_plain > before * 0.5, (before, gap_plain)
+    # diversity penalty: responsibilities mix the batches, shift removed
+    assert gap_diverse < before * 0.2, (before, gap_diverse)
+    assert gap_diverse < gap_plain * 0.5
+
+
 def test_empty_input_guards(spark):
     """ADVICE r2: empty edge lists / empty embedding frames must not crash
     with None-subscript errors — they return trivial results."""

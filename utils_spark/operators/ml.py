@@ -782,6 +782,15 @@ def als_factorize(
         F.col(col_col).cast("int").alias("__col"),
         F.col(value_col).cast("float").alias("__val"),
     )
+    # ALS's factor lineage deepens every iteration and overflows task
+    # deserialization stacks beyond ~15 sweeps; MLlib breaks the lineage at
+    # checkpointInterval only when the context has a checkpoint dir, so set
+    # one (Spark-managed temp) if the caller hasn't.
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        import tempfile
+
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark-als-ckpt-"))
     als = ALS(
         rank=rank,
         regParam=reg,
@@ -799,6 +808,66 @@ def als_factorize(
     return row_f, col_f
 
 
+def _diversity_reweight(soft: DataFrame, theta: float, n_rounds: int = 2) -> DataFrame:
+    """Harmony diversity-penalty fixed point (reference M8:
+    R/integrate.R:115-118 theta; Korsunsky et al. 2019 eq. 2).
+
+    Input: (__key, __batch, __v, __r[array of k responsibilities]).
+    Each round recomputes the soft batch composition of every cluster —
+    O_cb = Σ_{i∈b} r_ic (observed), E_cb = (Σ_i r_ic)·N_b/N (expected
+    under batch-proportional mixing) — and reweights CUMULATIVELY
+    r_ic ← normalize(r_ic · ((E_cb + ε)/(O_cb + ε))^(θ/n_rounds)).
+    The per-round exponent is damped by 1/n_rounds: applying the full θ
+    synchronously makes the two-cluster confounded case flip-flop (every
+    over-represented cell swaps cluster at once — the distributed analog
+    of why the reference updates R in small blocks), while the damped
+    cumulative product converges to the batch-mixed fixed point (verified
+    in tests: perfectly confounded batches reach ~50/50 composition).
+    θ = 0 is a no-op. Only (k × n_batches) aggregate rows shuffle — the
+    penalty is scale-free."""
+    eps = 1e-9
+    expo = theta / float(n_rounds)
+    n_b = soft.groupBy("__batch").agg(F.count("*").alias("__nb"))
+    n_tot = soft.count()
+    for _ in range(n_rounds):
+        pairs = soft.select("__key", "__batch", F.posexplode("__r").alias("__c", "__resp"))
+        o_cb = pairs.groupBy("__c", "__batch").agg(F.sum("__resp").alias("__o"))
+        a_c = pairs.groupBy("__c").agg(F.sum("__resp").alias("__a"))
+        pen = (
+            o_cb.join(a_c, "__c")
+            .join(n_b, "__batch")
+            .select(
+                "__c",
+                "__batch",
+                F.pow(
+                    (F.col("__a") * F.col("__nb") / F.lit(float(n_tot)) + eps)
+                    / (F.col("__o") + eps),
+                    F.lit(expo),
+                ).alias("__pen"),
+            )
+        )
+        # k penalties per batch → an array literal-shaped join: collect per
+        # batch into a dense k-vector so the reweight stays one array op
+        pen_arr = (
+            pen.groupBy("__batch")
+            .agg(F.array_sort(F.collect_list(F.struct("__c", "__pen"))).alias("__pp"))
+            .select("__batch", F.transform("__pp", lambda p: p["__pen"]).alias("__penv"))
+        )
+        soft = (
+            soft.join(F.broadcast(pen_arr), "__batch")
+            .withColumn("__rw", F.zip_with("__r", "__penv", lambda r, p: r * p))
+            .withColumn(
+                "__r",
+                F.transform(
+                    "__rw",
+                    lambda x: x / F.aggregate("__rw", F.lit(0.0), lambda a, z: a + z),
+                ),
+            )
+            .drop("__rw", "__penv")
+        )
+    return soft
+
+
 def harmony_soft(
     df: DataFrame,
     key_col: str,
@@ -807,21 +876,27 @@ def harmony_soft(
     k: int = 10,
     n_iter: int = 3,
     sigma: float = 0.5,
+    theta: float = 0.0,
     seed: int = 290,
 ) -> DataFrame:
     """Soft-assignment Harmony batch correction (reference M8:
-    R/integrate.R:100-123 RunHarmony; upgrades `harmony_lite`'s hard
-    assignment — cells get soft cluster responsibilities and mixtures of
-    per-(cluster, batch) corrections, the core of the Harmony model;
-    Harmony's diversity-penalty term in the clustering objective remains
-    out of scope and is flagged).
+    R/integrate.R:100-123 RunHarmony — soft k-means + per-cluster
+    correction, including Harmony's DIVERSITY PENALTY in the clustering
+    objective when ``theta > 0``).
 
     Per iteration: (1) seeded KMeans centroids in the current embedding,
-    (2) responsibilities r_ic = softmax(−‖x_i−μ_c‖²/σ), (3) per-(cluster,
-    batch) r-weighted mean offsets from the r-weighted cluster mean,
-    (4) x_i ← x_i − Σ_c r_ic·offset_{c,batch(i)}. Centroids broadcast
-    (k×d literals); everything else is joins + aggs over (cell, cluster)
-    pairs — a k-fold bounded expansion, never n².
+    (2) responsibilities r_ic = softmax(−‖x_i−μ_c‖²/σ), (3) with θ > 0,
+    the Harmony diversity penalty (Korsunsky et al. 2019, eq. 2): two
+    fixed-point refinements of r_ic ← normalize(r_ic · (E_cb/O_cb)^θ)
+    where O_cb = Σ_{i∈b} r_ic is the observed soft batch count of cluster
+    c and E_cb = (Σ_i r_ic)·N_b/N its batch-proportional expectation —
+    clusters dominated by one batch (O > E) repel that batch's cells,
+    driving batch-diverse clusters exactly as the reference's theta does,
+    (4) per-(cluster, batch) r-weighted mean offsets from the r-weighted
+    cluster mean, (5) x_i ← x_i − Σ_c r_ic·offset_{c,batch(i)}. Centroids
+    broadcast (k×d literals); everything else is joins + aggs over (cell,
+    cluster) pairs — a k-fold bounded expansion, never n²; the penalty
+    adds only tiny (k×batches) aggregate tables per refinement.
 
     Returns df + `corrected` array column."""
     from pyspark.ml.clustering import KMeans
@@ -854,6 +929,8 @@ def harmony_soft(
         soft = soft.withColumn("__e", expd).withColumn(
             "__r", F.transform("__e", lambda e: e / F.aggregate("__e", F.lit(0.0), lambda a, x: a + x))
         )
+        if theta > 0:
+            soft = _diversity_reweight(soft, theta, n_rounds=2)
         # (cell, cluster, resp) pairs + per-dim values
         pairs = soft.select(
             "__key", "__batch", "__v", F.posexplode("__r").alias("__c", "__resp")
