@@ -424,6 +424,64 @@ def test_harmony_diversity_penalty_mixes_confounded_batches(spark):
     assert gap_diverse < gap_plain * 0.5
 
 
+def test_cca_anchor_integration_removes_cluster_dependent_batch_shift(spark):
+    """Reference M9 anchors (R/integrate.R:125-153): a batch effect that
+    shifts blob 0 one way and blob 1 the other has zero batch-mean, so
+    per-batch standardization (cca_integrate_lite) cannot remove it — but
+    mutual-nearest-neighbor anchors correct each neighborhood locally."""
+    import collections
+
+    import numpy as np
+
+    from utils_spark.operators.ml import cca_anchor_integrate, cca_integrate_lite
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for b in ("A", "B"):
+        for ci, c0 in enumerate((0.0, 10.0)):
+            for j in range(40):
+                v = rng.normal(scale=0.4, size=4)
+                v[0] += c0
+                if b == "B":
+                    v[1] += 3.0 if ci == 0 else -3.0
+                rows.append((f"{b}{ci}{j}", b, ci, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, ["id", "batch", "blob", "vec"])
+
+    def stats(frame, col):
+        m = (
+            frame.select("blob", "batch", F.posexplode(col).alias("d", "x"))
+            .groupBy("blob", "batch", "d")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        cent = collections.defaultdict(dict)
+        for r in m:
+            cent[(r["blob"], r["batch"])][r["d"]] = r["m"]
+        gap = np.mean(
+            [
+                np.linalg.norm(
+                    np.array([cent[(blob, "A")][d] for d in sorted(cent[(blob, "A")])])
+                    - np.array([cent[(blob, "B")][d] for d in sorted(cent[(blob, "B")])])
+                )
+                for blob in (0, 1)
+            ]
+        )
+        blob_a = np.array([cent[(0, "A")][d] for d in sorted(cent[(0, "A")])])
+        blob_b = np.array([cent[(1, "A")][d] for d in sorted(cent[(1, "A")])])
+        return float(gap), float(np.linalg.norm(blob_a - blob_b))
+
+    lite, _ = cca_integrate_lite(df, "id", "vec", "batch", n_components=4)
+    anchored = cca_anchor_integrate(
+        df, "id", "vec", "batch", n_components=4, k_anchor=15, k_weight=20, n_rounds=2
+    )
+    gap_lite, _sep_lite = stats(lite, "integrated")
+    gap_anch, sep_anch = stats(anchored, "integrated")
+    # anchors remove the cluster-dependent shift standardization cannot
+    assert gap_anch < gap_lite * 0.5, (gap_lite, gap_anch)
+    # biological (blob) structure survives the correction
+    assert sep_anch > 1.0, sep_anch
+
+
 def test_empty_input_guards(spark):
     """ADVICE r2: empty edge lists / empty embedding frames must not crash
     with None-subscript errors — they return trivial results."""

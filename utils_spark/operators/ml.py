@@ -647,8 +647,8 @@ def cca_integrate_lite(
 ) -> tuple[DataFrame, list[float]]:
     """CCA-style integration, simplified (reference M9: R/integrate.R:125-153
     Seurat IntegrateLayers CCAIntegration — per-batch split, scale, joint
-    reduction; anchor matching is NOT reproduced, flagged non-parity per
-    SURVEY §2.8 M9).
+    reduction; `cca_anchor_integrate` adds the anchor-matching step on top
+    of this joint space).
 
     Steps: (1) per-batch per-dimension standardization (removes batch
     location/scale effects — the reference's per-layer ScaleData), then
@@ -674,6 +674,167 @@ def cca_integrate_lite(
     embedded, ratios = pca_embed(assembled, "__zv", n_components=n_components, out_col="integrated")
     out = embedded.select(F.col("__key").alias(key_col), "integrated")
     return df.join(out, key_col), ratios
+
+
+def _cross_knn(
+    a: DataFrame,
+    b: DataFrame,
+    k: int,
+    bucket_length: float = 4.0,
+    num_hash_tables: int = 3,
+) -> DataFrame:
+    """k approximate nearest rows of ``b`` for every row of ``a`` via
+    BucketedRandomProjectionLSH: (src from a, dst from b, dist). Both inputs
+    are (__key, __v array<double>) frames. The LSH model is a set of seeded
+    random projections (data-independent), so fitting on ``a`` alone is
+    sound; the join is banded-candidate, never a cross join."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+
+    wa = _to_vector_col(a, "__v", "__feat").select(F.col("__key"), "__feat")
+    wb = _to_vector_col(b, "__v", "__feat").select(F.col("__key"), "__feat")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="__feat",
+        outputCol="__hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=290,
+    )
+    model = lsh.fit(wa)
+    pairs = model.approxSimilarityJoin(wa, wb, float("inf"), distCol="dist").select(
+        F.col("datasetA.__key").alias("src"), F.col("datasetB.__key").alias("dst"), "dist"
+    )
+    w = Window.partitionBy("src").orderBy(F.asc("dist"), F.asc("dst"))
+    return pairs.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop("__rn")
+
+
+def cca_anchor_integrate(
+    df: DataFrame,
+    key_col: str,
+    array_col: str,
+    batch_col: str,
+    n_components: int = 10,
+    k_anchor: int = 5,
+    k_weight: int = 10,
+    n_rounds: int = 2,
+    bucket_length: float = 4.0,
+) -> DataFrame:
+    """CCA-style integration WITH anchor matching (reference M9:
+    R/integrate.R:125-153 Seurat CCAIntegration — completes the
+    `cca_integrate_lite` simplification with the anchor step that was
+    previously flagged out).
+
+    Steps, each a bounded DataFrame op:
+      1. joint space: per-batch standardize + joint PCA
+         (`cca_integrate_lite` — the shared low-rank space).
+      2. anchors: mutual nearest neighbors across batches — k_anchor LSH
+         KNN from reference→query and query→reference, intersected. Each
+         anchor carries its integration vector z_ref − z_query (Seurat's
+         anchor displacement).
+      3. correction: every query cell finds its k_weight nearest QUERY-side
+         anchor cells (LSH again), weights them by 1/(dist+ε) normalized,
+         and adds the weighted mean displacement — locally adaptive, the
+         anchor-weighting shape of Seurat's TransformData.
+      4. steps 2-3 repeat ``n_rounds`` times on the corrected query cells:
+         MNN selection is biased toward cross-batch pairs that are already
+         close, so one pass under-corrects by a factor ~bias; re-anchoring
+         on the partially-corrected batch geometrically shrinks the
+         residual (the same reason Harmony/Seurat iterate).
+
+    The first batch (sorted) is the reference; every other batch is
+    corrected toward it independently. All KNN steps are banded LSH joins
+    (never n²); per-cell state is k_weight anchors — scale-safe. Cells
+    whose LSH probe finds no anchor keep their joint-space coordinates.
+    Returns df + `integrated` (anchor-corrected joint embedding).
+    """
+    joint, _ratios = cca_integrate_lite(df, key_col, array_col, batch_col, n_components)
+    base = joint.select(
+        F.col(key_col).alias("__key"),
+        F.col(batch_col).alias("__batch"),
+        to_double_array("integrated").alias("__v"),
+    )
+    batches = sorted(r[0] for r in base.select("__batch").distinct().collect())
+    if len(batches) < 2:
+        return df.join(
+            base.select(F.col("__key").alias(key_col), F.col("__v").alias("integrated")), key_col
+        )
+    ref = cut_lineage(base.filter(F.col("__batch") == batches[0]).select("__key", "__v"))
+    corrected_parts = [ref.select("__key", F.col("__v").alias("__corr"))]
+    for qb in batches[1:]:
+        q = cut_lineage(base.filter(F.col("__batch") == qb).select("__key", "__v"))
+        for _round in range(n_rounds):
+            # mutual nearest neighbors = anchors
+            rq = _cross_knn(ref, q, k_anchor, bucket_length).select(
+                F.col("src").alias("__r"), F.col("dst").alias("__q"), F.col("dist").alias("__ad")
+            )
+            qr = _cross_knn(q, ref, k_anchor, bucket_length).select(
+                F.col("src").alias("__q"), F.col("dst").alias("__r")
+            )
+            anchors = rq.join(qr, ["__r", "__q"])
+            # anchor filtering (Seurat scores + prunes low-quality anchors —
+            # R/integrate.R:137-146): mismatched MNN pairs straddle structure
+            # boundaries and sit farther apart than within-structure pairs,
+            # so drop anchors beyond 1.5x the median pair distance (robust
+            # scalar, one approxQuantile on the anchor table)
+            med = anchors.approxQuantile("__ad", [0.5], 0.001)
+            if med:
+                anchors = anchors.filter(F.col("__ad") <= 1.5 * med[0])
+            anchors = anchors.select("__r", "__q")
+            # integration vector per anchor: z_ref − z_query, anchored at
+            # the query-side cell's position
+            avec = (
+                anchors.join(
+                    ref.select(F.col("__key").alias("__r"), F.col("__v").alias("__zr")), "__r"
+                )
+                .join(q.select(F.col("__key").alias("__q"), F.col("__v").alias("__zq")), "__q")
+                .select(
+                    F.col("__q").alias("__key"),
+                    F.col("__zq").alias("__v"),
+                    F.zip_with("__zr", "__zq", lambda a, b: a - b).alias("__disp"),
+                )
+            )
+            # collapse multiple anchors on the same query cell to one mean
+            a_pos = (
+                avec.select("__key", "__v", F.posexplode("__disp").alias("__d", "__x"))
+                .groupBy("__key", "__d")
+                .agg(F.first("__v").alias("__v"), F.avg("__x").alias("__x"))
+                .groupBy("__key")
+                .agg(
+                    F.first("__v").alias("__v"),
+                    F.array_sort(F.collect_list(F.struct("__d", "__x"))).alias("__pp"),
+                )
+                .select("__key", "__v", F.transform("__pp", lambda p: p["__x"]).alias("__disp"))
+            )
+            a_pos = cut_lineage(a_pos)
+            # each query cell → k_weight nearest anchor cells, 1/(dist+eps)
+            wk = _cross_knn(q, a_pos.select("__key", "__v"), k_weight, bucket_length)
+            weighted = (
+                wk.withColumn("__w", 1.0 / (F.col("dist") + F.lit(1e-6)))
+                .join(a_pos.select(F.col("__key").alias("dst"), "__disp"), "dst")
+                .select("src", "__w", F.posexplode("__disp").alias("__d", "__x"))
+                .groupBy("src", "__d")
+                .agg((F.sum(F.col("__w") * F.col("__x")) / F.sum("__w")).alias("__cx"))
+                .groupBy("src")
+                .agg(F.array_sort(F.collect_list(F.struct("__d", "__cx"))).alias("__pp"))
+                .select(
+                    F.col("src").alias("__key"),
+                    F.transform("__pp", lambda p: p["__cx"]).alias("__corrvec"),
+                )
+            )
+            q = cut_lineage(
+                q.join(weighted, "__key", "left").select(
+                    "__key",
+                    F.when(F.col("__corrvec").isNull(), F.col("__v"))
+                    .otherwise(F.zip_with("__v", "__corrvec", lambda z, c: z + c))
+                    .alias("__v"),
+                )
+            )
+        corrected_parts.append(q.select("__key", F.col("__v").alias("__corr")))
+    out = corrected_parts[0]
+    for part in corrected_parts[1:]:
+        out = out.unionByName(part)
+    return df.join(
+        out.select(F.col("__key").alias(key_col), F.col("__corr").alias("integrated")), key_col
+    )
 
 
 def classical_mds_2d(
