@@ -47,12 +47,13 @@ def main() -> None:
     from utils_spark.session import get_spark
 
     registry = load_all()
-    # size shuffle partitions to the DATA, not the core count: at bench SFs
-    # every shuffle moves a few MB, so 8 post-AQE-coalesce partitions cut
-    # task-launch overhead ~13% vs 32 with identical plans. On a cluster the
-    # session default (cores × ~2) applies — this is the same "partitions
-    # sized to the data" policy, applied at the other end of the scale.
-    spark = get_spark(app_name="utils_spark_bench", shuffle_partitions=8)
+    # shuffle partitions stay at the session default (= core count): AQE
+    # coalescing already shrinks the few-MB bench shuffles at runtime, so
+    # explicitly forcing 8 (round 2) bought nothing the optimizer wasn't
+    # doing — and measurably hurt the scan-parallel queries (cosine_topk /
+    # mean_var_topk / ks_test +24-32% in BENCH_r02). Side-by-side sweep in
+    # BENCH_NOTES.md: 32 ≥ 8 on totals and restores those three queries.
+    spark = get_spark(app_name="utils_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     # session warm-up: JVM/codegen/parquet-footer caches
