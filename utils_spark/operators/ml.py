@@ -228,6 +228,11 @@ def louvain_communities(
     mapping = base.select("node", F.col("node").alias("community"))
 
     for level in range(levels):
+        # contracted quotient with no inter-community edges (only
+        # self-loops) cannot move anything — stop before paying the sweep
+        # jobs (Blondel phase-2 termination)
+        if level > 0 and und.filter(F.col("u") != F.col("v")).limit(1).count() == 0:
+            break
         m2_row = und.agg(F.sum("w")).first()[0]
         if not m2_row:
             break
