@@ -21,13 +21,24 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 5,
     round_digits: int | None = 6,
+    salt_buckets: int = 32,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of every query vector:
     (query_id, neighbor_id, cosine), k rows per query.
 
     Scale shape: queries broadcast; the corpus streams partition-parallel
-    (never shuffled); per-query top-k reduces on the tiny query key.
-    `round_digits` stabilizes ordering across engines; None disables.
+    (never shuffled for scoring). The top-k reduction is TWO-STAGE so no
+    single task ever sorts the whole corpus for one query: stage 1 takes
+    top-k within (query, hash-bucket) — parallelism nq x `salt_buckets`,
+    each sort bounded to ~N/salt_buckets rows — stage 2 merges the
+    nq x salt_buckets x k survivors per query (tiny). A plain
+    `Window.partitionBy(query_id)` would cap reducer parallelism at nq and
+    put the full corpus through one task's sort at large N.
+
+    Both stages rank by the SAME (rounded cosine desc, neighbor_id asc)
+    total order, so stage-1 pruning is exact: anything cut was dominated
+    by k rows of its own bucket. `round_digits` stabilizes ordering across
+    engines; None disables.
     """
     q = queries.select(
         F.col(query_key).alias("query_id"), to_double_array(vec_col).alias("__qv")
@@ -43,7 +54,15 @@ def cosine_topk(
         .join(c, F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", sim.alias("cosine"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    order = (F.desc("cosine"), F.asc("neighbor_id"))
+    if salt_buckets and salt_buckets > 1:
+        w1 = Window.partitionBy(
+            "query_id", F.pmod(F.hash("neighbor_id"), F.lit(salt_buckets))
+        ).orderBy(*order)
+        sims = sims.withColumn("__rn", F.row_number().over(w1)).filter(
+            F.col("__rn") <= k
+        ).drop("__rn")
+    w = Window.partitionBy("query_id").orderBy(*order)
     return sims.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop("__rn")
 
 

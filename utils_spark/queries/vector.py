@@ -69,9 +69,13 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the QUERY side broadcasts (queries are small by definition);
     the corpus side streams partition-parallel — a 100 TB corpus never
-    shuffles, each partition scores locally and emits its local top-k,
-    then per-query top-k merges on the (tiny) query key. Cosine is rounded
-    to 6dp before ranking so ordering is engine-stable."""
+    shuffles for scoring. Top-k reduces in TWO window stages: per
+    (query, hash-bucket) first (parallelism nq x 32, bounded sorts), then
+    a tiny merge of bucket winners per query — a single-stage
+    partitionBy(query_id) window would sort the whole corpus per query in
+    one task. Both stages use the same (cosine desc, id asc) total order,
+    so the bucket prune is exact. Cosine is rounded to 6dp before ranking
+    so ordering is engine-stable."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), to_double_array("embedding").alias("qvec")
@@ -91,8 +95,19 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine_similarity(F.col("qvec"), F.col("nvec")), 6).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
+    order = (F.desc("cosine"), F.asc("neighbor_id"))
+    w1 = Window.partitionBy(
+        "query_id", F.pmod(F.hash("neighbor_id"), F.lit(32))
+    ).orderBy(*order)
+    bucket_topk = (
+        sims.withColumn("rn", F.row_number().over(w1)).filter(F.col("rn") <= 5).drop("rn")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        bucket_topk.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
 
 
 @register(
