@@ -608,3 +608,155 @@ def denoised_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("trend", 4).alias("trend"),
                 F.round("bio_var", 4).alias("bio_var"))
     )
+
+
+@register(
+    "spline_exact_recovery",
+    # exact-recovery certificate for the M14 spline solver (same pattern as
+    # factor_decomposition): y is planted EXACTLY linear in x, and linear
+    # functions are natural cubic splines (zero second derivative, linear
+    # tails), i.e. provably inside the span of {1, ns_1..ns_4} for ANY knot
+    # placement — so the least-squares fit must reproduce y to float
+    # precision: r2 rounds to 1, the F p-value underflows to 0. A wrong
+    # basis, knot rule, solve, or F machinery breaks the certificate.
+    oracle="""
+    SELECT event_type AS grp, COUNT(*) AS n, 1.0 AS r2, 0.0 AS pvalue
+    FROM events GROUP BY event_type
+    """,
+    tags=("composite", "M14", "modelfit", "spline", "certificate"),
+)
+def spline_exact_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Natural-cubic-spline exact recovery (reference M14:
+    R/tradeseq.R:43-128): per event_type, fit y = 2 + 3x (x = fractional
+    hour-of-day) with the ns(df=4) solver used by `spline_trend_fits`.
+    Linear y lies exactly in the spline span, so every group must report
+    a perfect fit — certifying basis construction, knot placement, the
+    grouped least-squares solve and the exact F-test end-to-end with a
+    SQL-trivial oracle. Real-data smooth fits stay in `spline_trend_fits`."""
+    from utils_spark.operators.modelfit import grouped_splinefit
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        (F.hour("ts") + F.minute("ts") / 60.0).alias("x"),
+    )
+    planted = e.withColumn("y", F.lit(2.0) + F.lit(3.0) * F.col("x"))
+    fits = grouped_splinefit(planted, "grp", "x", "y", spline_df=4)
+    return fits.select(
+        F.col("group").alias("grp"),
+        F.col("n").cast("long").alias("n"),
+        F.round("r2", 6).alias("r2"),
+        F.round("pvalue", 6).alias("pvalue"),
+    )
+
+
+@register(
+    "pca_exact_recovery",
+    # exact-recovery certificate for the M1 PCA stack: inputs are planted
+    # EXACTLY in a 2-D (non-axis-aligned) subspace, so top-2 PCA must (a)
+    # explain all variance and (b) be an isometry on point differences —
+    # both rotation/sign-free invariants with a constant SQL oracle. A
+    # wrong gram accumulation, eigen-solve, or projection breaks either.
+    oracle="""
+    SELECT COUNT(*) AS n_vecs, 1.0 AS var_ratio_top2, 0.0 AS max_dist_err
+    FROM embeddings
+    """,
+    tags=("composite", "M1", "ml", "pca", "certificate"),
+)
+def pca_exact_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA exact recovery (reference M1: R/wrapper.R:285-291
+    prcomp_irlba): vectors v = a·u1 + b·u2 (a, b small integers from
+    vec_id; u1, u2 fixed independent 6-dim directions) span a 2-D
+    subspace, so PCA(k=2) must report explained-variance ratio 1 and
+    preserve consecutive-pair distances exactly (projection onto the
+    containing subspace is an isometry on differences, regardless of the
+    rotation/sign MLlib picks — which is why raw coordinates can't be
+    oracled but these invariants can). Real-data PCA stays rows-only in
+    `pca_embedding`."""
+    from utils_spark.operators.ml import pca_embed
+
+    u1 = [1.0, 2.0, 0.0, 1.0, 0.0, 3.0]
+    u2 = [0.0, 1.0, 1.0, 0.0, 2.0, 1.0]
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    a = (F.pmod(F.col("vec_id"), F.lit(7)) + 1).cast("double")
+    b = (F.pmod(F.col("vec_id"), F.lit(11)) + 1).cast("double")
+    planted = e.select(
+        "vec_id",
+        F.array(*[a * F.lit(x1) + b * F.lit(x2) for x1, x2 in zip(u1, u2)]).alias("vec"),
+    )
+    embedded, ratios = pca_embed(planted, "vec", n_components=2, out_col="pca")
+    nxt = embedded.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("vec").alias("vec_n"),
+        F.col("pca").alias("pca_n"),
+    )
+
+    def _dist(x, y):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(x, y, lambda p, q: (p - q) * (p - q)),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            )
+        )
+
+    pairs = embedded.join(nxt, "vec_id").select(
+        (_dist(F.col("pca"), F.col("pca_n")) - _dist(F.col("vec"), F.col("vec_n"))).alias("err")
+    )
+    return (
+        embedded.agg(F.count("*").alias("n_vecs"))
+        .crossJoin(pairs.agg(F.round(F.max(F.abs("err")), 6).alias("max_dist_err")))
+        .select(
+            "n_vecs",
+            F.lit(round(float(sum(ratios[:2])), 6)).alias("var_ratio_top2"),
+            "max_dist_err",
+        )
+    )
+
+
+@register(
+    "harmony_null_correction",
+    # null-invariance certificate for the M8 Harmony stack: the two
+    # batches are EXACT copies of the same point set, so every
+    # per-(cluster, batch) soft centroid equals the cluster centroid, the
+    # diversity penalty's O/E ratio is exactly 1, and the correction must
+    # be identically zero. Any asymmetry bug in responsibilities, the
+    # penalty, offset estimation, or offset application yields a nonzero
+    # correction and breaks the constant oracle.
+    oracle="""
+    SELECT 2 * COUNT(*) AS n_points, 0.0 AS max_abs_correction
+    FROM embeddings WHERE vec_id < 200
+    """,
+    tags=("composite", "M8", "integration", "certificate"),
+)
+def harmony_null_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmony null-correction invariance (reference M8:
+    R/integrate.R:100-123 RunHarmony): run the full soft-assignment +
+    diversity-penalty + mixture-of-offsets model on two batches that are
+    exact duplicates of one point set. A correct implementation corrects
+    nothing — max |corrected − original| rounds to 0 — certifying the
+    whole iterative stack against a constant SQL oracle. Real-batch
+    behavior stays property-tested behind `batch_correction`."""
+    from utils_spark.operators.ml import harmony_soft
+
+    base = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select(
+            "vec_id",
+            F.transform(F.slice("embedding", 1, 8), lambda x: x.cast("double")).alias("vec"),
+        )
+    )
+    dup = base.select((F.col("vec_id") + 1000).alias("vec_id"), "vec")
+    both = base.withColumn("batch", F.lit("a")).unionByName(
+        dup.withColumn("batch", F.lit("b"))
+    )
+    corrected = harmony_soft(both, "vec_id", "vec", "batch", k=4, n_iter=2, sigma=1.0, theta=1.0)
+    err = F.aggregate(
+        F.zip_with("corrected", "vec", lambda c, v: F.abs(c - v)),
+        F.lit(0.0),
+        lambda acc, z: F.greatest(acc, z),
+    )
+    return corrected.agg(
+        F.count("*").alias("n_points"),
+        F.round(F.max(err), 6).alias("max_abs_correction"),
+    )
