@@ -760,3 +760,40 @@ def harmony_null_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_points"),
         F.round(F.max(err), 6).alias("max_abs_correction"),
     )
+
+
+@register(
+    "loess_exact_recovery",
+    # exact-recovery certificate for the M2 loess trend: variance is
+    # planted EXACTLY linear in the mean, and tricube-weighted local
+    # LINEAR regression reproduces any global line exactly (weighted
+    # least squares through collinear points is the line; zero residuals
+    # keep every robustness pass at identity) — so bio_var must round to
+    # 0 for every feature. Wrong neighborhoods, weights, or robustness
+    # logic all break the constant oracle.
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS n_features, 0.0 AS max_abs_bio
+    FROM lineitem WHERE l_partkey <= 2000
+    """,
+    tags=("composite", "M2", "modelfit", "loess", "certificate"),
+)
+def loess_exact_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loess trend exact recovery (reference M2: R/wrapper.R:259-264
+    scran::modelGeneVar): per-feature means come from real lineitem
+    aggregates, but the 'variance' is planted as 0.5 + 2·mean — exactly
+    linear — so the degree-1 loess trend must equal it and biological
+    variance must vanish everywhere. Certifies the neighborhood/tricube/
+    robustness machinery with a SQL-trivial oracle; real-data trend fits
+    stay rows-only in `denoised_feature_selection`."""
+    from utils_spark.operators.modelfit import loess_trend
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") <= 2000)
+    mv = li.groupBy(F.col("l_partkey").cast("string").alias("feature")).agg(
+        F.avg("l_quantity").alias("mean")
+    )
+    planted = mv.withColumn("var", F.lit(0.5) + F.lit(2.0) * F.col("mean"))
+    fitted = loess_trend(planted, "feature", "mean", "var")
+    return fitted.agg(
+        F.count("*").cast("long").alias("n_features"),
+        F.round(F.max(F.abs("bio_var")), 6).alias("max_abs_bio"),
+    )
