@@ -759,3 +759,210 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("chars_sum"),
         )
     )
+
+
+@register(
+    "sequence_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, doc_id % 8 AS shard,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT source, shard, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM t
+    )
+    SELECT source, CAST(shard AS BIGINT) AS shard,
+           CAST(floor(cum_before / 4096.0) AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs, SUM(n_tokens) AS seq_tokens,
+           ROUND(SUM(n_tokens) / 4096.0, 6) AS fill_ratio
+    FROM c GROUP BY source, shard, seq_id
+    """,
+    tags=("text", "llm-pipeline", "packing"),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: assign documents (in deterministic
+    doc_id order, sharded) to fixed token-budget sequences of 4096 via a
+    running-token-count bucket — the standard streaming pack used to
+    build LLM training batches (a sequence may overrun the budget by at
+    most one document; the strict reset-based greedy variant needs
+    per-shard sequential state and buys <1% fill at this budget).
+
+    Scale: the window partitions on (source, shard) — shard fans each
+    source across the cluster so no single task packs a whole source; one
+    shuffle for the window, one (map-combined) for the per-sequence agg.
+    On a real corpus the shard key is the input file/split id."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.pmod(F.col("doc_id"), F.lit(8)).cast("long").alias("shard"),
+        F.size(word_tokens("text")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = d.withColumn(
+        "seq_id",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(4096.0)).cast("long"),
+    )
+    return packed.groupBy("source", "shard", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+        F.round(F.sum("n_tokens") / F.lit(4096.0), 6).alias("fill_ratio"),
+    )
+
+
+@register(
+    "repetition_filter",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+    ), b AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM t WHERE len(toks) >= 2
+    ), c AS (
+      SELECT doc_id, lang, bigram, COUNT(*) AS n FROM b GROUP BY doc_id, lang, bigram
+    )
+    SELECT doc_id, lang,
+           CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           CAST(MAX(n) AS BIGINT) AS top_bigram_n,
+           ROUND(MAX(n) / CAST(SUM(n) AS DOUBLE), 6) AS top_share,
+           CASE WHEN MAX(n) / CAST(SUM(n) AS DOUBLE) > 0.1 THEN 1 ELSE 0 END AS repetitive
+    FROM c GROUP BY doc_id, lang
+    """,
+    tags=("text", "llm-pipeline", "quality", "repetition"),
+)
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (the Gopher/MassiveText 'fraction
+    of most-common n-gram' heuristic): per document, the share of bigram
+    occurrences taken by the single most frequent bigram; docs above 10%
+    are flagged repetitive.
+
+    Scale: bigrams explode to (doc, bigram) and aggregate with map-side
+    combine — expansion is bounded by tokens-per-doc, shuffles hash on
+    doc_id, never doc×doc."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = word_tokens("text")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    withb = d.select("doc_id", "lang", bigrams.alias("bigrams")).filter(
+        F.size(toks) >= 2
+    )
+    counts = (
+        withb.select("doc_id", "lang", F.explode("bigrams").alias("bigram"))
+        .groupBy("doc_id", "lang", "bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    share = F.col("top_bigram_n") / F.col("n_bigrams").cast("double")
+    return (
+        counts.groupBy("doc_id", "lang")
+        .agg(F.sum("n").alias("n_bigrams"), F.max("n").alias("top_bigram_n"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            "top_bigram_n",
+            F.round(share, 6).alias("top_share"),
+            F.when(share > 0.1, 1).otherwise(0).alias("repetitive"),
+        )
+    )
+
+
+@register(
+    "pii_scrub",
+    # PII is PLANTED deterministically (the synthetic corpus has none), so
+    # the regexes must each fire exactly once per doc and the scrub is
+    # fully checkable cross-engine. DuckDB needs the 'g' flag to match
+    # Spark's replace-all regexp_replace semantics.
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id, source,
+             text || ' contact user' || doc_id || '@mail.example.com via https://w'
+                  || doc_id || '.example.org/p?q=1 from 10.0.' || (doc_id % 256) || '.7' AS t
+      FROM documents
+    ), s1 AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(t, 'https?://[^ ]+')) AS n_urls,
+             regexp_replace(t, 'https?://[^ ]+', '<URL>', 'g') AS t
+      FROM aug
+    ), s2 AS (
+      SELECT doc_id, source, n_urls,
+             len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+      FROM s1
+    ), s3 AS (
+      SELECT doc_id, source, n_urls, n_emails,
+             len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ips,
+             regexp_replace(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS t
+      FROM s2
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           SUM(n_urls) AS urls, SUM(n_emails) AS emails, SUM(n_ips) AS ips,
+           SUM(length(t)) AS scrubbed_chars
+    FROM s3 GROUP BY source
+    """,
+    tags=("text", "llm-pipeline", "pii", "scrub"),
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/URL scrubbing for training-data curation: URLs, then emails,
+    then IPv4s are counted and replaced with typed placeholder tokens
+    (scrub order matters — emails contain dots URLs would eat). The
+    corpus is synthetic word streams, so one of each is PLANTED per
+    document from doc_id, making every regex provably fire and the
+    scrubbed output length exact cross-engine. Map-only, zero shuffle
+    before the per-source rollup."""
+    url_pat = r"https?://[^ ]+"
+    email_pat = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ip_pat = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com via https://w"),
+            F.col("doc_id").cast("string"),
+            F.lit(".example.org/p?q=1 from 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".7"),
+        ).alias("t"),
+    )
+    s1 = d.select(
+        "doc_id",
+        "source",
+        F.size(F.regexp_extract_all("t", F.lit(url_pat), F.lit(0))).alias("n_urls"),
+        F.regexp_replace("t", url_pat, "<URL>").alias("t"),
+    )
+    s2 = s1.select(
+        "doc_id",
+        "source",
+        "n_urls",
+        F.size(F.regexp_extract_all("t", F.lit(email_pat), F.lit(0))).alias("n_emails"),
+        F.regexp_replace("t", email_pat, "<EMAIL>").alias("t"),
+    )
+    s3 = s2.select(
+        "doc_id",
+        "source",
+        "n_urls",
+        "n_emails",
+        F.size(F.regexp_extract_all("t", F.lit(ip_pat), F.lit(0))).alias("n_ips"),
+        F.regexp_replace("t", ip_pat, "<IP>").alias("t"),
+    )
+    return s3.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_urls").alias("urls"),
+        F.sum("n_emails").alias("emails"),
+        F.sum("n_ips").alias("ips"),
+        F.sum(F.length("t")).alias("scrubbed_chars"),
+    )
