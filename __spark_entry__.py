@@ -74,7 +74,7 @@ _PRIORITY = (
     "date_arithmetic",
     "embedding_stats",
     "label_centroids",
-    # -- tier 3: new/newly-oracled in round 3 (names appended as they land)
+    # -- tier 3: new/newly-oracled in rounds 2-3 (names appended as they land)
     "reorder_to_input",
     "louvain_communities",
     "pseudotime_lineages",
@@ -82,10 +82,21 @@ _PRIORITY = (
     "knn_snn_lisi",
     "factor_decomposition",
     "grouped_trend_fits",
-    # -- tier 4: rows-only, never sampled
+    "spline_exact_recovery",
+    "pca_exact_recovery",
+    "harmony_null_correction",
+    "loess_exact_recovery",
+    "sequence_packing",
+    "repetition_filter",
+    "pii_scrub",
+    # -- tier 4: rows-only, never sampled (driver records the weaker
+    # rows-only entry — still evidence the query runs in its session)
     "pca_embedding",
     "spline_trend_fits",
     "approx_sketch_aggs",
+    "batch_correction",
+    "denoised_feature_selection",
+    "cluster_pipeline",
 )
 
 
