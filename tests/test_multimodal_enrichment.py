@@ -58,6 +58,62 @@ def test_decode_stub_is_explicit():
         _decode_image(b"\x89PNG")
 
 
+def _make_ppm(w: int, h: int) -> bytes:
+    # comment in the header exercises the comment-skipping branch
+    return b"P6\n# test fixture\n%d %d\n255\n" % (w, h) + bytes(w * h * 3)
+
+
+def _make_pgm(w: int, h: int) -> bytes:
+    return b"P5 %d %d 255 " % (w, h) + bytes(w * h)
+
+
+def _make_bmp(w: int, h: int, top_down: bool = False) -> bytes:
+    import struct
+
+    h_field = -h if top_down else h
+    row = (w * 3 + 3) & ~3  # 4-byte aligned rows
+    pixels = bytes(row * h)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h_field, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 14 + 40)
+    return header + dib + pixels
+
+
+def _make_wav(rate: int, channels: int, bits: int, n_samples: int) -> bytes:
+    import struct
+
+    data = bytes(n_samples * channels * (bits // 8))
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * bits // 8, channels * bits // 8, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_media_metadata_real_formats(spark):
+    """The pure-python header decoders are REAL (not the fake-features stub):
+    dimensions / sample rate / duration come from the actual bytes."""
+    from utils_spark.operators.multimodal import MEDIA_SCHEMA, decode_media_metadata
+
+    rows = [
+        (1, "image", _make_ppm(17, 9), None, None, None),
+        (2, "image", _make_pgm(5, 7), None, None, None),
+        (3, "image", _make_bmp(33, 12), None, None, None),
+        (4, "image", _make_bmp(8, 6, top_down=True), None, None, None),
+        (5, "audio", _make_wav(8000, 2, 16, 12000), None, None, None),
+        (6, "image", b"\x89PNG\r\n\x1a\n" + bytes(32), None, None, None),  # unsupported
+        (7, "image", b"P6 garbage", None, None, None),  # malformed
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in decode_media_metadata(df).collect()}
+
+    assert (out[1]["fmt"], out[1]["width"], out[1]["height"], out[1]["channels"]) == ("ppm", 17, 9, 3)
+    assert (out[2]["fmt"], out[2]["width"], out[2]["height"], out[2]["channels"]) == ("pgm", 5, 7, 1)
+    assert (out[3]["fmt"], out[3]["width"], out[3]["height"], out[3]["channels"]) == ("bmp", 33, 12, 3)
+    assert (out[4]["width"], out[4]["height"]) == (8, 6)  # top-down height abs()ed
+    assert (out[5]["fmt"], out[5]["sample_rate"], out[5]["channels"]) == ("wav", 8000, 2)
+    assert out[5]["duration_ms"] == 1500  # 12000 samples @ 8 kHz
+    assert out[6]["fmt"] is None and "unsupported" in out[6]["err"]
+    assert out[7]["fmt"] is None and out[7]["err"] is not None  # row-level error, task survived
+
+
 def _hypergeom_sf_ref(k, M, n, N):
     """Reference via exact combinatorics (math.comb — stdlib, exact ints)."""
     from math import comb

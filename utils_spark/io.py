@@ -37,11 +37,17 @@ DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one star-schema table (columnar parquet; pruning/pushdown-able).
 
-    `events.ts` is stored as TIMESTAMP(NANOS); with
-    spark.sql.legacy.parquet.nanosAsLong it arrives as long nanos and is
-    converted here to a µs-truncated TimestampType (floor division — the
-    same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP, so
-    oracle comparisons stay bit-identical).
+    `events.ts` has shipped as TIMESTAMP(NANOS) (rounds 1-2 testdata) and as
+    TIMESTAMP(MICROS, ntz) (round-3 regeneration); both are normalized here
+    to a plain TimestampType so every downstream query and the driver's
+    schema check see ONE stable type across data regenerations:
+
+    - long nanos (via spark.sql.legacy.parquet.nanosAsLong) → µs-truncated
+      TimestampType (floor division — the same truncation DuckDB applies
+      casting TIMESTAMP_NS → TIMESTAMP, so oracle comparisons stay
+      bit-identical);
+    - timestamp_ntz → cast to TimestampType (session tz is UTC in this
+      environment, so the wall-clock value is unchanged).
 
     The nanos config is set here (runtime-settable, idempotent) rather than
     only at session build, so any caller-supplied vanilla SparkSession can
@@ -58,10 +64,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

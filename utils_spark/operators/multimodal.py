@@ -5,14 +5,21 @@ Design: media bytes live in a `binary` column next to typed metadata
 (media_type, width/height/duration, codec); decode / feature-extraction /
 resize / frame-sampling run as Arrow-batched pandas iterators via
 mapInPandas, so each task streams record batches without materializing
-the full partition. The decode kernels are STUBBED (image/audio libs are
-not in this container — clearly marked below); the Spark-side plumbing
-(schema, batching, partitioning, UDF signatures) is real and tested.
+the full partition.
+
+Decode surface: container formats whose headers are parseable in pure
+Python (PPM/PGM, BMP, WAV) are decoded for real in ``decode_media_metadata``
+— dimensions / sample rate / duration straight from the bytes, no codec
+library. Compressed codecs (JPEG/PNG entropy decode, video streams) remain
+STUBBED behind ``_decode_image`` — those genuinely need PIL/opencv/ffmpeg,
+absent in this container. The Spark-side plumbing (schema, Arrow batching,
+partitioning, UDF signatures) is real and tested either way.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -52,10 +59,151 @@ FEATURE_SCHEMA = StructType(
 
 
 def _decode_image(content: bytes) -> "object":
-    """STUB — real implementation requires an image codec library (PIL /
-    opencv), absent in this container. The Spark plumbing around this stub
-    (schema, Arrow batching, partition streaming) is the deliverable."""
-    raise NotImplementedError("image decoding requires PIL/opencv; not available in this environment")
+    """STUB — pixel decoding of COMPRESSED codecs (JPEG/PNG entropy coding,
+    video streams) requires a codec library (PIL / opencv / ffmpeg), absent
+    in this container. Header metadata for uncompressed containers
+    (PPM/PGM/BMP/WAV) IS decoded for real — see ``decode_media_metadata``."""
+    raise NotImplementedError("JPEG/PNG/video pixel decode requires PIL/opencv/ffmpeg; not available in this environment")
+
+
+# ---------------------------------------------------------------------------
+# Pure-python header decoders (no codec libraries needed)
+# ---------------------------------------------------------------------------
+
+METADATA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("fmt", StringType()),  # 'ppm' | 'pgm' | 'bmp' | 'wav' | None
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),  # audio only
+        StructField("duration_ms", LongType()),  # audio only
+        StructField("err", StringType()),  # None on success
+    ]
+)
+
+
+def _parse_pnm(b: bytes) -> dict:
+    """Netpbm P5 (PGM) / P6 (PPM) header: ASCII tokens ``magic w h maxval``
+    separated by whitespace, ``#`` comments allowed between tokens."""
+    magic = b[:2]
+    fmt = "pgm" if magic == b"P5" else "ppm"
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3 and i < min(len(b), 512):
+        c = b[i : i + 1]
+        if c == b"#":  # comment to end of line
+            while i < len(b) and b[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < len(b) and b[j : j + 1].isdigit():
+                j += 1
+            tokens.append(int(b[i:j]))
+            i = j
+        else:
+            raise ValueError(f"bad PNM header byte {c!r}")
+    if len(tokens) < 3:
+        raise ValueError("truncated PNM header")
+    w, h, _maxval = tokens
+    return {"fmt": fmt, "width": w, "height": h, "channels": 3 if fmt == "ppm" else 1}
+
+
+def _parse_bmp(b: bytes) -> dict:
+    """BMP: 14-byte file header then a DIB header whose first u32 is its own
+    size — 12 = BITMAPCOREHEADER (u16 dims), >=40 = BITMAPINFOHEADER
+    (i32 dims; negative height = top-down row order)."""
+    if len(b) < 26:
+        raise ValueError("truncated BMP")
+    dib_size = struct.unpack_from("<I", b, 14)[0]
+    if dib_size == 12:
+        w, h = struct.unpack_from("<HH", b, 18)
+        planes, bpp = struct.unpack_from("<HH", b, 22)
+    elif dib_size >= 40:
+        w, h = struct.unpack_from("<ii", b, 18)
+        planes, bpp = struct.unpack_from("<HH", b, 26)
+    else:
+        raise ValueError(f"unknown BMP DIB header size {dib_size}")
+    return {"fmt": "bmp", "width": int(w), "height": abs(int(h)), "channels": max(1, bpp // 8)}
+
+
+def _parse_wav(b: bytes) -> dict:
+    """WAV: RIFF container walk — ``fmt `` chunk gives channels/rate/bits,
+    ``data`` chunk size gives duration via the byte rate."""
+    if len(b) < 12 or b[8:12] != b"WAVE":
+        raise ValueError("not a WAVE RIFF")
+    channels = rate = bits = None
+    data_size = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        (csize,) = struct.unpack_from("<I", b, i + 4)
+        if cid == b"fmt " and i + 24 <= len(b):
+            channels, rate = struct.unpack_from("<HI", b, i + 10)
+            (bits,) = struct.unpack_from("<H", b, i + 22)
+        elif cid == b"data":
+            data_size = csize
+        i += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if not channels or not rate or not bits or data_size is None:
+        raise ValueError("missing fmt/data chunk")
+    byte_rate = rate * channels * (bits // 8)
+    return {
+        "fmt": "wav",
+        "channels": int(channels),
+        "sample_rate": int(rate),
+        "duration_ms": int(data_size * 1000 // byte_rate),
+    }
+
+
+def _decode_header(b: bytes) -> dict:
+    if b[:2] in (b"P5", b"P6"):
+        return _parse_pnm(b)
+    if b[:2] == b"BM":
+        return _parse_bmp(b)
+    if b[:4] == b"RIFF":
+        return _parse_wav(b)
+    raise NotImplementedError(
+        "unsupported container; compressed codecs (JPEG/PNG/video) need PIL/opencv/ffmpeg"
+    )
+
+
+def decode_media_metadata(media: DataFrame) -> DataFrame:
+    """Real (non-stub) metadata decode for PPM/PGM/BMP/WAV binary columns,
+    pure Python, Arrow-batched via mapInPandas. Unknown / compressed formats
+    yield a row with ``err`` set rather than failing the task, so one bad
+    blob cannot kill a 100 TB scan (row-level error channel, not task retry)."""
+
+    cols = ["media_id", "content"]
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                row = {
+                    "media_id": mid,
+                    "fmt": None,
+                    "width": None,
+                    "height": None,
+                    "channels": None,
+                    "sample_rate": None,
+                    "duration_ms": None,
+                    "err": None,
+                }
+                try:
+                    row.update(_decode_header(bytes(content)))
+                except (ValueError, NotImplementedError, struct.error) as exc:
+                    row["err"] = str(exc)
+                rows.append(row)
+            out = pd.DataFrame(rows, columns=[f.name for f in METADATA_SCHEMA.fields])
+            for c in ("width", "height", "channels", "sample_rate"):
+                out[c] = out[c].astype("Int32")
+            out["duration_ms"] = out["duration_ms"].astype("Int64")
+            yield out
+
+    return media.select(*cols).mapInPandas(proc, METADATA_SCHEMA)
 
 
 def _fake_features(content: bytes, dim: int = 8) -> list[float]:
