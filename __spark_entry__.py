@@ -40,57 +40,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver-green CORRECTNESS entry yet must come before anything already
 # verified in CORRECTNESS_r01/r02.json.
 #
-# Tier 1: formerly-red (env nanos bug, fixed in io.py — local parity green).
-# Tier 2: oracled queries never in any driver sample.
-# Tier 3: queries added/oracled in round 3.
-# Tier 4: rows-only queries never sampled (driver records rows-only).
-# Everything else (already green in r1/r2) follows in registry order.
+# Tier 1: formerly-red (r3 HUGEINT oracle bug — CAST fix landed, local
+#         parity green; the only 2 queries never driver-green).
+# Tier 2: queries added/oracled in round 4 (certificates, CCA anchors,
+#         io roundtrip — names appended as they land).
+# Tier 3: remaining rows-only queries (driver records rows-only).
+# Everything else (already driver-green in r1-r3) follows in registry order.
 _PRIORITY = (
-    # -- tier 1: formerly red, fix landed, needs driver proof
-    "nth_event_snapshot",
-    "null_ordering",
-    # -- tier 2: oracled, never driver-sampled
-    "multiway_join_revenue",
-    "top_orders_by_revenue",
-    "sliding_window",
-    "session_window_native",
-    "quantile_normalize",
-    "grouped_correlation",
-    "grouped_moments",
-    "hierarchical_time_rollup",
-    "cohort_retention",
-    "token_stats",
-    "quality_score",
-    "lang_id_ngram",
-    "doc_fingerprint",
-    "minhash_signature",
-    "bpe_style_tokens",
-    "chunk_documents",
-    "benchmark_decontamination",
-    "corpus_mixture_sample",
-    "min_per_group_join_back",
-    "having_threshold_join",
-    "distinct_suppliers_per_attr",
-    "date_arithmetic",
-    "embedding_stats",
-    "label_centroids",
-    # -- tier 3: new/newly-oracled in rounds 2-3 (names appended as they land)
-    "reorder_to_input",
-    "louvain_communities",
-    "pseudotime_lineages",
-    "clustree_transitions",
-    "knn_snn_lisi",
-    "factor_decomposition",
-    "grouped_trend_fits",
-    "spline_exact_recovery",
-    "pca_exact_recovery",
-    "harmony_null_correction",
-    "loess_exact_recovery",
+    # -- tier 1: formerly red (HUGEINT hash bug), fix landed, needs driver proof
     "sequence_packing",
-    "repetition_filter",
     "pii_scrub",
-    # -- tier 4: rows-only, never sampled (driver records the weaker
-    # rows-only entry — still evidence the query runs in its session)
+    # -- tier 2: new/newly-oracled in round 4
+    # -- tier 3: rows-only (driver records the weaker rows-only entry)
     "pca_embedding",
     "spline_trend_fits",
     "approx_sketch_aggs",

@@ -97,6 +97,22 @@ def test_registry_consistency():
     assert len(qs) >= 10
 
 
+def test_no_oracle_emits_hugeint(duck):
+    """Driver value-hash regression guard: DuckDB's integer SUM returns
+    HUGEINT (int128), which the driver's value-hasher encodes differently
+    from Spark's BIGINT — the only cause of the two round-3 reds. No
+    oracle's output schema may contain HUGEINT; cast aggregates to BIGINT."""
+    bad = {}
+    for name, qd in sorted(REGISTRY.items()):
+        if qd.oracle is None:
+            continue
+        types = [str(t).upper() for t in duck.sql(qd.oracle).types]
+        hits = sorted({t for t in types if "HUGEINT" in t})
+        if hits:
+            bad[name] = hits
+    assert not bad, f"oracles emitting HUGEINT (cast to BIGINT): {bad}"
+
+
 def test_coverage_doc_mentions_every_query():
     """COVERAGE.md is the judge-facing inventory map — it must not rot.
     Every registered query name appears in COVERAGE.md."""

@@ -17,6 +17,13 @@ from utils_spark.streaming import (
 )
 
 
+def test_stream_reader_schema_matches_batch(spark, sf_dir):
+    """Guard for testdata regenerations (the round-3 swap to timestamp[us]
+    silently broke only the streaming path): the stream reader must
+    normalize events.ts to the IDENTICAL schema the batch loader produces."""
+    assert read_events_stream(spark, sf_dir).schema == load_table(spark, sf_dir, "events").schema
+
+
 def _run_stream(df, name: str, timeout: int = 120):
     q = (
         df.writeStream.format("memory")

@@ -127,6 +127,8 @@ def _parse_bmp(b: bytes) -> dict:
         planes, bpp = struct.unpack_from("<HH", b, 26)
     else:
         raise ValueError(f"unknown BMP DIB header size {dib_size}")
+    if w <= 0 or h == 0 or bpp not in (1, 4, 8, 16, 24, 32):
+        raise ValueError(f"implausible BMP dims/bpp: {w}x{h}@{bpp}")
     return {"fmt": "bmp", "width": int(w), "height": abs(int(h)), "channels": max(1, bpp // 8)}
 
 
@@ -149,6 +151,10 @@ def _parse_wav(b: bytes) -> dict:
         i += 8 + csize + (csize & 1)  # chunks are word-aligned
     if not channels or not rate or not bits or data_size is None:
         raise ValueError("missing fmt/data chunk")
+    if bits < 8:
+        # sub-byte sample formats (e.g. 4-bit IMA ADPCM) would make the PCM
+        # byte-rate formula divide by zero — reject as a row-level error
+        raise ValueError(f"unsupported bits_per_sample {bits} (< 8)")
     byte_rate = rate * channels * (bits // 8)
     return {
         "fmt": "wav",
@@ -193,8 +199,10 @@ def decode_media_metadata(media: DataFrame) -> DataFrame:
                     "err": None,
                 }
                 try:
+                    if content is None:
+                        raise ValueError("null content")
                     row.update(_decode_header(bytes(content)))
-                except (ValueError, NotImplementedError, struct.error) as exc:
+                except (ValueError, NotImplementedError, struct.error, TypeError, ZeroDivisionError) as exc:
                     row["err"] = str(exc)
                 rows.append(row)
             out = pd.DataFrame(rows, columns=[f.name for f in METADATA_SCHEMA.fields])

@@ -776,7 +776,7 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, CAST(shard AS BIGINT) AS shard,
            CAST(floor(cum_before / 4096.0) AS BIGINT) AS seq_id,
-           COUNT(*) AS n_docs, SUM(n_tokens) AS seq_tokens,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
            ROUND(SUM(n_tokens) / 4096.0, 6) AS fill_ratio
     FROM c GROUP BY source, shard, seq_id
     """,
@@ -907,8 +907,10 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s2
     )
     SELECT source, COUNT(*) AS n_docs,
-           SUM(n_urls) AS urls, SUM(n_emails) AS emails, SUM(n_ips) AS ips,
-           SUM(length(t)) AS scrubbed_chars
+           CAST(SUM(n_urls) AS BIGINT) AS urls,
+           CAST(SUM(n_emails) AS BIGINT) AS emails,
+           CAST(SUM(n_ips) AS BIGINT) AS ips,
+           CAST(SUM(length(t)) AS BIGINT) AS scrubbed_chars
     FROM s3 GROUP BY source
     """,
     tags=("text", "llm-pipeline", "pii", "scrub"),

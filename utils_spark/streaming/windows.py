@@ -18,30 +18,57 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# events parquet schema as stored (ts = TIMESTAMP(NANOS) read as long nanos;
-# see utils_spark.io.load_table for the batch twin of this conversion)
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+
+def _events_raw_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+# rounds 1-2 testdata: ts = TIMESTAMP(NANOS) read as long nanos
+# (see utils_spark.io.load_table for the batch twin of this conversion)
+EVENTS_RAW_SCHEMA = _events_raw_schema(LongType())
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source stream over the events table (stand-in for Kafka in this
-    environment). ts arrives as long nanos → µs-truncated timestamp,
-    matching the batch loader exactly."""
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).option("pathGlobFilter", "events.parquet")
+    environment). `events.ts` has shipped as TIMESTAMP(NANOS) and as
+    TIMESTAMP(MICROS, ntz) across testdata regenerations; we probe the
+    stored type with one batch footer read, then mirror ``load_table``'s
+    two normalization branches so stream and batch schemas are identical
+    (a unit test pins that equality)."""
+    from utils_spark.io import load_table
+
+    # one-footer probe through the batch loader's own nanosAsLong handling;
+    # the probe scan is lazy — only the schema is materialized
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stored_ts = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
+    if stored_ts == "bigint":
+        schema = EVENTS_RAW_SCHEMA
+    else:
+        from pyspark.sql.types import TimestampNTZType, TimestampType
+
+        schema = _events_raw_schema(
+            TimestampNTZType() if stored_ts == "timestamp_ntz" else TimestampType()
+        )
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     # the file source needs a DIRECTORY; select just the events file by glob
     df = reader.parquet(sf_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if stored_ts == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif stored_ts == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def windowed_counts_stream(
