@@ -51,10 +51,15 @@ _PRIORITY = (
     "sequence_packing",
     "pii_scrub",
     # -- tier 2: new/newly-oracled in round 4
+    "cca_anchor_identity",
+    "cluster_blobs_certificate",
+    "harmony_shift_recovery",
+    "sweep_exact_recovery",
+    "approx_sketch_aggs",
+    "csv_roundtrip_scan",
     # -- tier 3: rows-only (driver records the weaker rows-only entry)
     "pca_embedding",
     "spline_trend_fits",
-    "approx_sketch_aggs",
     "batch_correction",
     "denoised_feature_selection",
     "cluster_pipeline",

@@ -70,6 +70,22 @@ def kmeans_clusters(
     return model.transform(work).drop("__feat")
 
 
+def bisecting_clusters(
+    df: DataFrame, array_col: str, k: int, seed: int = 290, out_col: str = "cluster"
+) -> DataFrame:
+    """Divisive hierarchical clustering (reference M6 hierarchical analog:
+    R/wrapper.R:267-324 cluster sweep / hclust-style structure):
+    BisectingKMeans recursively splits the largest cluster until k leaves —
+    the distributed analog of cutting a divisive dendrogram at k, with no
+    n² distance matrix (the reason agglomerative hclust itself cannot
+    scale to 100 TB)."""
+    from pyspark.ml.clustering import BisectingKMeans
+
+    work = _to_vector_col(df, array_col, "__feat")
+    model = BisectingKMeans(k=k, seed=seed, featuresCol="__feat", predictionCol=out_col).fit(work)
+    return model.transform(work).drop("__feat")
+
+
 def knn_graph(
     df: DataFrame,
     key_col: str,
@@ -712,6 +728,33 @@ def _cross_knn(
     return pairs.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop("__rn")
 
 
+def mnn_anchors(
+    ref: DataFrame,
+    q: DataFrame,
+    k_anchor: int = 5,
+    bucket_length: float = 4.0,
+) -> DataFrame:
+    """Mutual-nearest-neighbor anchor pairs across two batches (reference
+    M9: R/integrate.R:125-153 Seurat FindIntegrationAnchors): k_anchor LSH
+    KNN ref→query and query→ref, intersected, then distance-filtered —
+    anchors beyond 1.5x the median pair distance straddle structure
+    boundaries and are pruned (Seurat's anchor scoring, R/integrate.R:137-146;
+    the median is one approxQuantile, a robust scalar). Inputs are
+    (__key, __v array<double>) frames; returns (__r, __q, __ad) pairs.
+    Both KNN steps are banded LSH joins — never n²."""
+    rq = _cross_knn(ref, q, k_anchor, bucket_length).select(
+        F.col("src").alias("__r"), F.col("dst").alias("__q"), F.col("dist").alias("__ad")
+    )
+    qr = _cross_knn(q, ref, k_anchor, bucket_length).select(
+        F.col("src").alias("__q"), F.col("dst").alias("__r")
+    )
+    anchors = rq.join(qr, ["__r", "__q"])
+    med = anchors.approxQuantile("__ad", [0.5], 0.001)
+    if med:
+        anchors = anchors.filter(F.col("__ad") <= 1.5 * med[0])
+    return anchors
+
+
 def cca_anchor_integrate(
     df: DataFrame,
     key_col: str,
@@ -767,23 +810,9 @@ def cca_anchor_integrate(
     for qb in batches[1:]:
         q = cut_lineage(base.filter(F.col("__batch") == qb).select("__key", "__v"))
         for _round in range(n_rounds):
-            # mutual nearest neighbors = anchors
-            rq = _cross_knn(ref, q, k_anchor, bucket_length).select(
-                F.col("src").alias("__r"), F.col("dst").alias("__q"), F.col("dist").alias("__ad")
-            )
-            qr = _cross_knn(q, ref, k_anchor, bucket_length).select(
-                F.col("src").alias("__q"), F.col("dst").alias("__r")
-            )
-            anchors = rq.join(qr, ["__r", "__q"])
-            # anchor filtering (Seurat scores + prunes low-quality anchors —
-            # R/integrate.R:137-146): mismatched MNN pairs straddle structure
-            # boundaries and sit farther apart than within-structure pairs,
-            # so drop anchors beyond 1.5x the median pair distance (robust
-            # scalar, one approxQuantile on the anchor table)
-            med = anchors.approxQuantile("__ad", [0.5], 0.001)
-            if med:
-                anchors = anchors.filter(F.col("__ad") <= 1.5 * med[0])
-            anchors = anchors.select("__r", "__q")
+            # mutual nearest neighbors, distance-filtered (shared with the
+            # cca_anchor_identity certificate query)
+            anchors = mnn_anchors(ref, q, k_anchor, bucket_length).select("__r", "__q")
             # integration vector per anchor: z_ref − z_query, anchored at
             # the query-side cell's position
             avec = (
@@ -1073,10 +1102,16 @@ def harmony_soft(
         F.col(batch_col).alias("__batch"),
         to_double_array(array_col).alias("__v"),
     )
+    dim = work.select(F.size("__v").alias("s")).first()["s"] if k == 1 else None
     for it in range(n_iter):
-        vec = work.withColumn("__feat", array_to_vector("__v"))
-        model = KMeans(k=k, seed=seed + it, featuresCol="__feat", predictionCol="__c").fit(vec)
-        cents = [list(map(float, c)) for c in model.clusterCenters()]
+        if k == 1:
+            # MLlib KMeans requires k >= 2; with one component the centroid
+            # value is irrelevant (softmax over a single logit is exactly 1)
+            cents = [[0.0] * dim]
+        else:
+            vec = work.withColumn("__feat", array_to_vector("__v"))
+            model = KMeans(k=k, seed=seed + it, featuresCol="__feat", predictionCol="__c").fit(vec)
+            cents = [list(map(float, c)) for c in model.clusterCenters()]
         cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
         # responsibilities: softmax over -dist²/sigma, numerically stabilized
         d2 = F.transform(

@@ -797,3 +797,241 @@ def loess_exact_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_features"),
         F.round(F.max(F.abs("bio_var")), 6).alias("max_abs_bio"),
     )
+
+
+@register(
+    "cca_anchor_identity",
+    # identity-anchor certificate for the M9 CCA anchor stack (the last
+    # implemented ML operator with no driver surface): the query batch is
+    # an EXACT duplicate of the reference batch, so (a) per-batch
+    # standardization + joint PCA produce bit-identical coordinates for
+    # every duplicate pair, (b) each pair is mutually nearest at distance
+    # 0 — always an LSH candidate (identical vectors share every hash) and
+    # never pruned by the median-distance filter (0 <= 1.5*median) — so
+    # ALL n identity pairs must appear among the anchors with exactly zero
+    # displacement. A wrong KNN direction, intersection, filter, or joint
+    # space breaks the constant oracle.
+    oracle="""
+    SELECT COUNT(*) AS n_cells, COUNT(*) AS n_identity_anchors, 0.0 AS max_abs_disp
+    FROM embeddings WHERE vec_id < 200
+    """,
+    tags=("composite", "M9", "integration", "certificate"),
+)
+def cca_anchor_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCA anchor identity certificate (reference M9: R/integrate.R:125-153
+    Seurat FindIntegrationAnchors): run the real joint-space + MNN-anchor
+    stack (`cca_integrate_lite` -> `mnn_anchors`) on two batches that are
+    exact copies of one point set. Every point's duplicate must be found
+    as an anchor (mutual nearest at distance zero, surviving the distance
+    filter) with zero displacement in the joint space. Real-batch anchor
+    correction stays property-tested in tests/test_ml.py."""
+    from utils_spark.operators.ml import cca_integrate_lite, mnn_anchors
+
+    base = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select(
+            "vec_id",
+            F.transform(F.slice("embedding", 1, 8), lambda x: x.cast("double")).alias("vec"),
+        )
+    )
+    dup = base.select((F.col("vec_id") + 1000).alias("vec_id"), "vec")
+    both = base.withColumn("batch", F.lit("a")).unionByName(
+        dup.withColumn("batch", F.lit("b"))
+    )
+    joint, _ratios = cca_integrate_lite(both, "vec_id", "vec", "batch", n_components=4)
+    zs = joint.select("vec_id", "batch", to_double_array("integrated").alias("__v"))
+    ref = zs.filter(F.col("batch") == "a").select(F.col("vec_id").alias("__key"), "__v")
+    q = zs.filter(F.col("batch") == "b").select(F.col("vec_id").alias("__key"), "__v")
+    anchors = mnn_anchors(ref, q, k_anchor=3)
+    ident = anchors.filter(F.col("__q") == F.col("__r") + 1000)
+    disp = (
+        ident.join(ref.select(F.col("__key").alias("__r"), F.col("__v").alias("__zr")), "__r")
+        .join(q.select(F.col("__key").alias("__q"), F.col("__v").alias("__zq")), "__q")
+        .select(
+            F.aggregate(
+                F.zip_with("__zr", "__zq", lambda a, b: F.abs(a - b)),
+                F.lit(0.0),
+                lambda acc, z: F.greatest(acc, z),
+            ).alias("d")
+        )
+    )
+    return (
+        base.agg(F.count("*").alias("n_cells"))
+        .crossJoin(ident.agg(F.count("*").alias("n_identity_anchors")))
+        .crossJoin(disp.agg(F.round(F.coalesce(F.max("d"), F.lit(0.0)), 6).alias("max_abs_disp")))
+    )
+
+
+@register(
+    "cluster_blobs_certificate",
+    # exact-recovery certificate for the E3 cluster pipeline (PCA ->
+    # divisive/hierarchical clustering -> KMeans -> clustree edges): the
+    # input is a planted 2-level blob hierarchy (3 super-blobs 100 apart,
+    # each split into 2 sub-blobs 40 apart, jitter 0.2), so BisectingKMeans
+    # at k=3 must recover the supers, KMeans at k=6 the subs, every cluster
+    # must be label-pure, and the cross-resolution transition table must
+    # have exactly 6 pure edges. Certifies M1+M6+M7 and the composed E3
+    # stack (`cluster_pipeline` stays rows-only for real data).
+    oracle="""
+    SELECT COUNT(*) AS n_points,
+           CAST(3 AS BIGINT) AS lo_clusters, CAST(6 AS BIGINT) AS hi_clusters,
+           CAST(6 AS BIGINT) AS n_edges, true AS lo_pure, true AS hi_pure
+    FROM embeddings
+    """,
+    tags=("composite", "E3", "M1", "M6", "M7", "ml", "certificate"),
+)
+def cluster_blobs_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-pipeline exact recovery (reference E3: R/wrapper.R:259-264
+    get_denoisedPCs -> 267-324 get_clusters -> 350-359 get_clustree):
+    planted hierarchical blobs through the real PCA -> BisectingKMeans(3)
+    -> KMeans(6) -> transition-count stack; recovered structure is provable
+    so the oracle is constant SQL."""
+    from utils_spark.operators.ml import (
+        bisecting_clusters,
+        cluster_transition_counts,
+        kmeans_clusters,
+        pca_embed,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    sup = F.pmod(F.col("vec_id"), F.lit(3))
+    sub = F.pmod(F.col("vec_id"), F.lit(6))  # sub s belongs to super s % 3
+
+    def jit(p: int):
+        return (F.pmod(F.col("vec_id") * p, F.lit(97)).cast("double") / 97.0 - 0.5) * 0.2
+
+    vec = F.array(
+        F.when(sup == 0, 100.0).otherwise(0.0) + jit(7),
+        F.when(sup == 1, 100.0).otherwise(0.0) + jit(11),
+        F.when(sup == 2, 100.0).otherwise(0.0) + jit(13),
+        F.when(sub < 3, 20.0).otherwise(-20.0) + jit(17),
+        jit(19),
+        jit(23),
+    )
+    planted = e.select(
+        "vec_id", sup.alias("true_super"), sub.alias("true_sub"), vec.alias("vec")
+    )
+    embedded, _ratios = pca_embed(planted, "vec", n_components=4)
+    lo = bisecting_clusters(embedded, "pca", k=3, out_col="res_lo")
+    hi = kmeans_clusters(lo, "pca", k=6, out_col="res_hi")
+    edges = cluster_transition_counts(hi, "res_lo", "res_hi")
+    lo_pure = (
+        hi.groupBy("res_lo")
+        .agg(F.countDistinct("true_super").alias("k"))
+        .agg((F.max("k") == 1).alias("lo_pure"))
+    )
+    hi_pure = (
+        hi.groupBy("res_hi")
+        .agg(F.countDistinct("true_sub").alias("k"))
+        .agg((F.max("k") == 1).alias("hi_pure"))
+    )
+    return (
+        hi.agg(
+            F.count("*").alias("n_points"),
+            F.countDistinct("res_lo").alias("lo_clusters"),
+            F.countDistinct("res_hi").alias("hi_clusters"),
+        )
+        .crossJoin(edges.agg(F.count("*").alias("n_edges")))
+        .crossJoin(lo_pure)
+        .crossJoin(hi_pure)
+    )
+
+
+@register(
+    "harmony_shift_recovery",
+    # closed-form offset certificate for the M8 correction arithmetic,
+    # complementing `harmony_null_correction` (which certifies the
+    # symmetric null where every offset is zero): with k=1 the soft
+    # responsibility is EXACTLY 1 (softmax over one logit), the single
+    # per-batch offset is batch_mean - global_mean = +-c/2 for a planted
+    # constant shift c, so the correction must map both copies of every
+    # point to the SAME location — max pairwise gap rounds to 0. Wrong
+    # offset estimation, sign, or application breaks the constant oracle
+    # with any nonzero c.
+    oracle="""
+    SELECT COUNT(*) AS n_pairs, 0.0 AS max_pair_gap
+    FROM embeddings WHERE vec_id < 300
+    """,
+    tags=("composite", "M8", "integration", "certificate"),
+)
+def harmony_shift_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmony constant-shift recovery (reference M8: R/integrate.R:100-123
+    RunHarmony): batch b is batch a translated by a fixed vector; with a
+    single mixture component the correction is closed-form (subtract the
+    half-shift from each side), so corrected duplicate pairs must coincide
+    exactly — certifying offset estimation + application end-to-end."""
+    from utils_spark.operators.ml import harmony_soft
+
+    shift = [10.0, -5.0, 3.0, 0.0, 2.0, -8.0, 1.0, 4.0]
+    base = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 300)
+        .select(
+            "vec_id",
+            F.transform(F.slice("embedding", 1, 8), lambda x: x.cast("double")).alias("vec"),
+        )
+    )
+    shifted = base.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.zip_with(
+            "vec", F.array(*[F.lit(s) for s in shift]), lambda a, b: a + b
+        ).alias("vec"),
+    )
+    both = base.withColumn("batch", F.lit("a")).unionByName(
+        shifted.withColumn("batch", F.lit("b"))
+    )
+    corrected = harmony_soft(both, "vec_id", "vec", "batch", k=1, n_iter=2, sigma=1.0)
+    ca = corrected.filter(F.col("batch") == "a").select("vec_id", F.col("corrected").alias("ca"))
+    cb = corrected.filter(F.col("batch") == "b").select(
+        (F.col("vec_id") - 1000).alias("vec_id"), F.col("corrected").alias("cb")
+    )
+    gap = F.aggregate(
+        F.zip_with("ca", "cb", lambda x, y: F.abs(x - y)),
+        F.lit(0.0),
+        lambda acc, z: F.greatest(acc, z),
+    )
+    return ca.join(cb, "vec_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.max(gap), 6).alias("max_pair_gap"),
+    )
+
+
+@register(
+    "sweep_exact_recovery",
+    # exact-recovery certificate for the M15 parameter sweep: y is planted
+    # EXACTLY linear in x, and a degree-d polynomial least squares contains
+    # the line for EVERY d >= 1 — so every (group, degree) cell of the
+    # sweep grid must report a perfect fit with slope exactly 3. A wrong
+    # grid fan-out, degree wiring, solve, or F machinery breaks it.
+    oracle="""
+    SELECT event_type AS grp, CAST(d.degree AS BIGINT) AS degree, COUNT(*) AS n,
+           1.0 AS r2, 0.0 AS pvalue, 3.0 AS slope
+    FROM events CROSS JOIN (SELECT unnest([1, 2, 3]) AS degree) d
+    GROUP BY event_type, d.degree
+    """,
+    tags=("composite", "M15", "modelfit", "certificate"),
+)
+def sweep_exact_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Param-sweep exact recovery (reference M15: R/tradeseq.R:16 evaluateK
+    / BiocParallel grid fan-out): per event_type, sweep polynomial degree
+    over {1,2,3} on planted y = 2 + 3x. Every cell of the (group x degree)
+    grid must recover the line perfectly — certifying the whole sweep
+    plumbing with a SQL-trivial oracle. Real-data sweeps stay unit-tested
+    in tests/test_modelfit.py."""
+    from utils_spark.operators.modelfit import param_sweep_fits
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        (F.hour("ts") + F.minute("ts") / 60.0).alias("x"),
+    )
+    planted = e.withColumn("y", F.lit(2.0) + F.lit(3.0) * F.col("x"))
+    fits = param_sweep_fits(planted, "grp", "x", "y", degrees=[1, 2, 3])
+    return fits.select(
+        F.col("group").alias("grp"),
+        F.col("degree").cast("long").alias("degree"),
+        F.col("n").cast("long").alias("n"),
+        F.round("r2", 6).alias("r2"),
+        F.round("pvalue", 6).alias("pvalue"),
+        F.round("slope", 6).alias("slope"),
+    )

@@ -412,3 +412,51 @@ def grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
     )
+
+
+@register(
+    "csv_roundtrip_scan",
+    # driver anchor for the io layer S1-S4 (delimited scan) + S8 (CSV
+    # sink), previously unit-tested only: the query sinks a derived join to
+    # CSV, rescans it with the delimited reader (header + schema
+    # inference), and aggregates the RESCANNED rows with per-group key
+    # checksums; the oracle computes the identical aggregate straight from
+    # parquet, so a pass proves the sink+scan roundtrip preserved every
+    # row, key, and string byte-for-byte.
+    oracle="""
+    SELECT r_name, COUNT(*) AS n_suppliers,
+           CAST(SUM(s_suppkey) AS BIGINT) AS key_checksum,
+           CAST(SUM(length(s_name)) AS BIGINT) AS name_chars
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    tags=("io", "S1", "S2", "S3", "S4", "S8", "roundtrip"),
+)
+def csv_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + delimited-scan roundtrip (reference S1-S4/S8:
+    R/reference.R:234-241 fread/read.csv, R/funx_enrichment.R:152-154
+    write.csv): supplier x nation x region joined, sunk to CSV, rescanned
+    via the S1-S4 reader, and checksummed per region."""
+    import hashlib
+
+    from utils_spark.io import read_delimited, write_csv
+
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    derived = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "r_name")
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/utils_spark_csv_roundtrip_{tag}"
+    write_csv(derived, path)
+    back = read_delimited(spark, path, sep=",", header=True)
+    return back.groupBy("r_name").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("s_suppkey").cast("long").alias("key_checksum"),
+        F.sum(F.length("s_name")).cast("long").alias("name_chars"),
+    )

@@ -126,21 +126,46 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_sketch_aggs",
-    oracle=None,  # approximate by design: sketch results differ per engine;
-    # tests/test_scalepath.py bounds them against the exact answers instead
-    tags=("aggregates", "approx", "scale-path"),
+    # bound-satisfaction oracle (was rows-only): sketch values differ per
+    # engine so raw outputs can't be compared, but their ERROR BOUNDS can —
+    # the query emits booleans asserting each sketch landed inside a bound
+    # far looser than its guarantee (approx median within the exact p40-p60
+    # band, where the accuracy-10000 sketch guarantees rank error <= n/10000;
+    # HLL count within 5%, where rsd = 1%), and the oracle is the constant
+    # all-true table. A broken sketch, merge, or group wiring flips a
+    # boolean. Exact-vs-approx deltas stay measured in tests/test_scalepath.py.
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           true AS median_in_bounds, true AS distinct_in_bounds
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("aggregates", "approx", "scale-path", "certificate"),
 )
 def approx_sketch_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documented 100 TB switch for the exact correctness-path aggs:
     percentile_approx (mergeable t-digest-style sketch) replacing exact
     percentile, approx_count_distinct (HyperLogLog++) replacing exact
     count-distinct. Fully mergeable → single partial+final pass, codegen
-    intact, bounded memory per group at any scale."""
+    intact, bounded memory per group at any scale. Certified by bound
+    satisfaction against the exact answers computed alongside."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_approx"),
-        F.approx_count_distinct("l_orderkey", 0.01).alias("orders_approx"),
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("med_a"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("cd_a"),
         F.count("*").alias("n"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, array(0.4, 0.6))").alias("band"),
+        F.countDistinct("l_orderkey").alias("cd"),
+    )
+    return approx.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "n",
+        (
+            (F.col("med_a") >= F.element_at("band", 1))
+            & (F.col("med_a") <= F.element_at("band", 2))
+        ).alias("median_in_bounds"),
+        (F.abs(F.col("cd_a") - F.col("cd")) <= 0.05 * F.col("cd")).alias("distinct_in_bounds"),
     )
 
 
