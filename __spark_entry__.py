@@ -57,6 +57,9 @@ _PRIORITY = (
     "sweep_exact_recovery",
     "approx_sketch_aggs",
     "csv_roundtrip_scan",
+    "stream_tumbling_counts",
+    "stream_session_windows",
+    "stream_stateful_dedup",
     # -- tier 3: rows-only (driver records the weaker rows-only entry)
     "pca_embedding",
     "spline_trend_fits",

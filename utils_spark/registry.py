@@ -56,6 +56,7 @@ def load_all() -> dict[str, QueryDef]:
         relational,
         scalepath,
         stats,
+        streaming_live,
         temporal,
         text,
         tpch_shapes,
