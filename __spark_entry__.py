@@ -60,6 +60,7 @@ _PRIORITY = (
     "stream_tumbling_counts",
     "stream_session_windows",
     "stream_stateful_dedup",
+    "stream_custom_state_profile",
     # -- tier 3: rows-only (driver records the weaker rows-only entry)
     "pca_embedding",
     "spline_trend_fits",

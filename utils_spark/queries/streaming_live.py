@@ -146,3 +146,39 @@ def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("event_id").cast("long").alias("id_checksum"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+@register(
+    "stream_custom_state_profile",
+    # value is 2-decimal quantized in the testdata, so the running float
+    # total rounded at 4dp is exact regardless of accumulation order
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value, MAX(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "custom-operator", "live"),
+)
+def stream_custom_state_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE custom stateful streaming operator (§2.9, the
+    applyInPandasWithState escape hatch): a per-user running profile
+    (count, total, max) maintained in explicit GroupState across
+    micro-batches must converge to the plain batch aggregation after the
+    stream drains — certifying the Arrow state-passing path, the state
+    encoder, and the update semantics on the driver's gate."""
+    from utils_spark.streaming import read_events_stream
+    from utils_spark.streaming.windows import running_user_stats_stream
+
+    stream = running_user_stats_stream(read_events_stream(spark, sf_dir))
+    out = _run_to_table(spark, stream, "update")
+    # update-mode emits one row per user per trigger; the LAST emission is
+    # the converged profile (the file source yields a single trigger here,
+    # but dedup to the final row keeps this correct under maxFilesPerTrigger)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", "total_value", "max_value")
+    )
