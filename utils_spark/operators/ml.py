@@ -244,20 +244,17 @@ def louvain_communities(
     mapping = base.select("node", F.col("node").alias("community"))
 
     for level in range(levels):
-        # contracted quotient with no inter-community edges (only
-        # self-loops) cannot move anything — stop before paying the sweep
-        # jobs (Blondel phase-2 termination)
-        if level > 0 and und.filter(F.col("u") != F.col("v")).limit(1).count() == 0:
-            break
         m2_row = und.agg(F.sum("w")).first()[0]
         if not m2_row:
             break
         m2 = float(m2_row)
-        deg = und.groupBy("u").agg(F.sum("w").alias("k"))
+        # deg is read twice per sweep (ctot + scored); checkpoint it once per
+        # level so every sweep reads materialized partitions instead of
+        # re-shuffling the edge list
+        deg = cut_lineage(und.groupBy("u").agg(F.sum("w").alias("k")))
         # isolated super-nodes keep strength 0
         cur_nodes = und.select(F.col("u").alias("node")).distinct()
         asg = cut_lineage(cur_nodes.select("node", F.col("node").alias("community")))
-        quiet = 0
 
         for it in range(max_iter):
             ctot = (
@@ -316,13 +313,20 @@ def louvain_communities(
                     F.col("c_own")
                 ),
             )
-            # checkpoint FIRST (one job), then the move count and the next
+            # checkpoint FIRST (one job), then the move counters and the next
             # sweep's reads all hit the materialized partitions
-            moved = cut_lineage(moved.select("node", "new_c", "c_own"))
-            n_moves = moved.filter(F.col("new_c") != F.col("c_own")).count()
+            moved = cut_lineage(moved.select("node", "new_c", "c_own", "c_best"))
+            # Convergence test on DESIRED moves (any node whose argmax beats
+            # staying, parity-eligible or not): n_desired == 0 is the exact
+            # local-moving fixed point — no node wants to change under the
+            # current assignment — so stop immediately instead of burning two
+            # confirm-quiet sweeps (the old quiet>=2 rule cost 2 extra full
+            # sweeps per level). One agg job on materialized partitions.
+            n_desired = moved.agg(
+                F.sum((F.col("c_best") != F.col("c_own")).cast("long")).alias("d")
+            ).first()["d"]
             asg = moved.select("node", F.col("new_c").alias("community"))
-            quiet = quiet + 1 if n_moves == 0 else 0
-            if quiet >= 2:  # both parities saw a quiet sweep
+            if not n_desired:
                 break
 
         level_map = asg.select(F.col("node").alias("community"), F.col("community").alias("__c2"))
@@ -332,6 +336,21 @@ def louvain_communities(
         )
         mapping = cut_lineage(mapping)
         if level + 1 < levels:
+            # Blondel phase-2 termination, checked BEFORE paying the
+            # contraction: if no edge crosses communities at the fixed
+            # point, the quotient graph is all self-loops and further
+            # levels cannot move anything. limit(1) short-circuits the
+            # probe — it never materializes the full crossing set.
+            crossing = (
+                und.filter(F.col("u") != F.col("v"))
+                .join(asg.withColumnRenamed("node", "u").withColumnRenamed("community", "cu"), "u")
+                .join(asg.withColumnRenamed("node", "v").withColumnRenamed("community", "cv"), "v")
+                .filter(F.col("cu") != F.col("cv"))
+                .limit(1)
+                .count()
+            )
+            if crossing == 0:
+                break
             # contract: communities become super-nodes, parallel edges summed.
             # Intra-community weight becomes a SELF-LOOP row (cu == cv) so the
             # next level's node strengths and 2m stay exact (Blondel et al.
