@@ -61,6 +61,7 @@ _PRIORITY = (
     "stream_session_windows",
     "stream_stateful_dedup",
     "stream_custom_state_profile",
+    "multimodal_decode_certificate",
     # -- tier 3: rows-only (driver records the weaker rows-only entry)
     "pca_embedding",
     "spline_trend_fits",

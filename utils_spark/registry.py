@@ -52,6 +52,7 @@ def load_all() -> dict[str, QueryDef]:
         aggregates,
         composite,
         coverage,
+        multimodal,
         pipelines,
         relational,
         scalepath,
