@@ -62,6 +62,7 @@ _PRIORITY = (
     "stream_stateful_dedup",
     "stream_custom_state_profile",
     "multimodal_decode_certificate",
+    "boilerplate_strip",
     # -- tier 3: rows-only (driver records the weaker rows-only entry)
     "pca_embedding",
     "spline_trend_fits",

@@ -968,3 +968,73 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_ips").alias("ips"),
         F.sum(F.length("t")).alias("scrubbed_chars"),
     )
+
+
+@register(
+    "boilerplate_strip",
+    # boilerplate is PLANTED deterministically (the synthetic corpus is
+    # single-line word soup), so every rule provably fires on exactly its
+    # planted line and the keep-line proves the filter is not
+    # over-aggressive; both engines run the IDENTICAL line-level rules
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             'HOME | ABOUT | CONTACT US' || chr(10) ||
+             'Copyright 2024 ExampleCorp' || chr(10) ||
+             'About our data pipeline' || chr(10) ||
+             text || chr(10) ||
+             'Subscribe to our newsletter today' AS t
+      FROM documents
+    ),
+    l AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM aug),
+    k AS (
+      SELECT doc_id, len(ls) AS n_lines,
+             list_filter(ls, x -> NOT (contains(x, ' | ')
+                                       OR lower(x) LIKE 'copyright%'
+                                       OR contains(lower(x), 'subscribe to our newsletter'))) AS kept
+      FROM l
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_lines - len(kept) AS BIGINT) AS n_removed,
+           CAST(length(array_to_string(kept, chr(10))) AS BIGINT) AS clean_chars
+    FROM k
+    """,
+    tags=("text", "llm-pipeline", "boilerplate"),
+)
+def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal for web-corpus curation (nav bars,
+    copyright footers, subscribe calls-to-action — the rule-based strip
+    every crawl pipeline runs before quality scoring): documents are
+    augmented with planted boilerplate lines plus a look-alike KEEP line,
+    then split → per-line rule filter → rejoin, entirely with JVM array
+    expressions (split/filter/array_join — zero UDF, map-only, no
+    shuffle). At 100 TB this is a pure scan-transform; the rules are the
+    per-line predicate of C4/RefinedWeb-style cleaning."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HOME | ABOUT | CONTACT US\n"),
+            F.lit("Copyright 2024 ExampleCorp\n"),
+            F.lit("About our data pipeline\n"),
+            F.col("text"),
+            F.lit("\nSubscribe to our newsletter today"),
+        ).alias("t"),
+    )
+
+    def is_boiler(x):
+        return (
+            x.contains(" | ")
+            | F.lower(x).startswith("copyright")
+            | F.lower(x).contains("subscribe to our newsletter")
+        )
+
+    lines = F.split(F.col("t"), "\n")
+    kept = F.filter(lines, lambda x: ~is_boiler(x))
+    return aug.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        (F.size(lines) - F.size(kept)).cast("long").alias("n_removed"),
+        F.length(F.array_join(kept, "\n")).cast("long").alias("clean_chars"),
+    )
