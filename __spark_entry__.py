@@ -63,6 +63,9 @@ _PRIORITY = (
     "stream_custom_state_profile",
     "multimodal_decode_certificate",
     "boilerplate_strip",
+    "dedup_keep_best",
+    "vocab_coverage",
+    "char_entropy_filter",
     # -- tier 3: rows-only (driver records the weaker rows-only entry)
     "pca_embedding",
     "spline_trend_fits",

@@ -1038,3 +1038,221 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(lines) - F.size(kept)).cast("long").alias("n_removed"),
         F.length(F.array_join(kept, "\n")).cast("long").alias("clean_chars"),
     )
+
+
+@register(
+    "dedup_keep_best",
+    # extends the RECURSIVE-CTE component oracle with the keep-policy:
+    # within each duplicate cluster keep the argmax-quality doc (lexical
+    # diversity, ties -> smallest doc_id); identical integer arithmetic +
+    # identical IEEE division in both engines make the ranking exact
+    oracle="""
+    WITH RECURSIVE shingled AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, GREATEST(length(text) - 4, 1) + 1),
+                                          i -> substr(text, i, 5))) AS grams
+      FROM documents WHERE doc_id < 200
+    ),
+    exploded AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS gram FROM shingled),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             ANY_VALUE(a.sz) AS sz_a, ANY_VALUE(b.sz) AS sz_b, COUNT(*) AS n_common
+      FROM exploded a JOIN exploded b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      WHERE CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common) >= 0.3
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, via) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.via FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(via) AS component FROM reach GROUP BY node),
+    quality AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE)
+             / len(regexp_split_to_array(trim(text), '\\s+')) AS q
+      FROM documents WHERE doc_id < 200
+    ),
+    ranked AS (
+      SELECT c.component, c.doc_id, q.q,
+             row_number() OVER (PARTITION BY c.component ORDER BY q.q DESC, c.doc_id) AS rnk
+      FROM comp c JOIN quality q USING (doc_id)
+    )
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           CAST(MIN(CASE WHEN rnk = 1 THEN doc_id END) AS BIGINT) AS kept_doc,
+           CAST(SUM(CASE WHEN rnk > 1 THEN doc_id ELSE 0 END) AS BIGINT) AS removed_checksum
+    FROM ranked GROUP BY component
+    """,
+    tags=("text", "dedup", "llm-pipeline", "keep-policy"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per duplicate cluster — the KEEP step
+    every dedup pipeline runs after clustering: 5-gram Jaccard pairs →
+    connected components (distributed min-label propagation) → within each
+    cluster keep the highest-lexical-diversity doc (ties → smallest id),
+    drop the rest. Outputs per-cluster accounting with a checksum of the
+    removed docs so the oracle proves the identical keep/drop decisions."""
+    from pyspark.sql import Window
+
+    from utils_spark.operators.dedup import duplicate_clusters
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    shingled = d.select("doc_id", char_shingles("text", 5).alias("grams"))
+    exploded = shingled.select(
+        "doc_id", F.size("grams").alias("sz"), F.explode("grams").alias("gram")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.first(F.col("a.sz")).alias("sz_a"),
+            F.first(F.col("b.sz")).alias("sz_b"),
+            F.count("*").alias("n_common"),
+        )
+    )
+    jac = F.col("n_common").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    pairs = inter.filter(jac >= 0.3).select("doc_a", "doc_b")
+    cc = duplicate_clusters(pairs, "doc_a", "doc_b").select(
+        F.col("key").cast("long").alias("doc_id"), F.col("component").cast("long").alias("component")
+    )
+    toks = word_tokens("text")
+    quality = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("q"),
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("q"), F.asc("doc_id"))
+    ranked = cc.join(quality, "doc_id").withColumn("rnk", F.row_number().over(w))
+    return ranked.groupBy("component").agg(
+        F.count("*").alias("cluster_size"),
+        F.min(F.when(F.col("rnk") == 1, F.col("doc_id"))).alias("kept_doc"),
+        F.sum(F.when(F.col("rnk") > 1, F.col("doc_id")).otherwise(0)).alias("removed_checksum"),
+    )
+
+
+@register(
+    "vocab_coverage",
+    # tokenizer-training support: corpus token counts, frequency-ranked
+    # vocabulary with cumulative coverage — both engines rank by
+    # (count DESC, token ASC) so the prefix and cumsum are identical
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token FROM documents
+    ),
+    counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT SUM(cnt) AS t FROM counts),
+    ranked AS (
+      SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank
+      FROM counts
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, token, CAST(cnt AS BIGINT) AS cnt,
+           ROUND(SUM(cnt) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) / (SELECT t FROM tot), 6) AS cum_coverage
+    FROM ranked WHERE rank <= 1000
+    """,
+    tags=("text", "vocab", "llm-pipeline", "tokenizer"),
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building with coverage accounting — the corpus-frequency
+    table a tokenizer-training step starts from: token counts, frequency
+    rank, and the cumulative fraction of the corpus covered by the top-k
+    vocabulary prefix (the curve that picks vocab size).
+
+    Scale: token explode + one groupBy(token) shuffle (map-side combined);
+    the ranked vocabulary is tiny (top 1000), so the window cumsum runs on
+    one partition of 1000 rows — never on the corpus."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(word_tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("t"))
+    wrank = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = counts.withColumn("rank", F.row_number().over(wrank)).filter(F.col("rank") <= 1000)
+    wcum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ranked.crossJoin(total)
+        .withColumn("cum_coverage", F.round(F.sum("cnt").over(wcum) / F.col("t"), 6))
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "token",
+            F.col("cnt").cast("long").alias("cnt"),
+            "cum_coverage",
+        )
+    )
+
+
+@register(
+    "char_entropy_filter",
+    # Shannon character entropy per document, computed with IDENTICAL
+    # list arithmetic in both engines (position-range -> substr chars,
+    # distinct chars, per-char counts, -sum(p ln p)); the gibberish flag
+    # compares the UNROUNDED entropy far from any data value, so float
+    # noise cannot flip it
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id,
+             list_transform(range(1, length(text) + 1), i -> substr(text, i, 1)) AS cs
+      FROM documents
+    ),
+    ent AS (
+      SELECT doc_id, len(cs) AS n,
+             list_aggregate(
+               list_transform(list_distinct(cs),
+                 c -> -(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / len(cs))
+                      * ln(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / len(cs))),
+               'sum') AS h
+      FROM chars
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n AS BIGINT) AS n_chars,
+           ROUND(h, 4) AS entropy, h < 3.0 AS low_entropy
+    FROM ent
+    """,
+    tags=("text", "quality", "llm-pipeline", "entropy"),
+)
+def char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy gibberish detection — the cheap perplexity proxy
+    of LLM-data curation (repeated-char spam and base64 blobs sit far from
+    natural-text entropy): per-doc Shannon entropy over the character
+    distribution, flagged below 3.0 nats.
+
+    Scale: char explode + two-level hash aggregation, both whole-stage
+    codegen. The shuffle is NOT per-character: partial aggregation
+    combines (doc, char) pairs map-side, so only ~alphabet_size rows per
+    document cross the wire. (A zero-shuffle array formulation —
+    O(distinct x len) nested filters per doc — was measured 60x slower:
+    higher-order expressions don't codegen.)"""
+    d = load_table(spark, sf_dir, "documents")
+    cs = F.transform(
+        F.sequence(F.lit(1), F.length("text")), lambda i: F.col("text").substr(i, F.lit(1))
+    )
+    ex = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("text").cast("long").alias("n"),
+        F.explode(cs).alias("c"),
+    )
+    per_char = ex.groupBy("doc_id", "c").agg(
+        F.count("*").alias("cnt"), F.first("n").alias("n")
+    )
+    p = F.col("cnt").cast("double") / F.col("n")
+    ent = per_char.groupBy("doc_id").agg(
+        F.first("n").alias("n_chars"),
+        F.sum(-p * F.log(p)).alias("h"),
+    )
+    return ent.select(
+        "doc_id",
+        "n_chars",
+        F.round("h", 4).alias("entropy"),
+        (F.col("h") < 3.0).alias("low_entropy"),
+    )
