@@ -66,6 +66,7 @@ _PRIORITY = (
     "dedup_keep_best",
     "vocab_coverage",
     "char_entropy_filter",
+    "curation_pipeline",
     # -- tier 3: rows-only (driver records the weaker rows-only entry)
     "pca_embedding",
     "spline_trend_fits",

@@ -1256,3 +1256,137 @@ def char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("h", 4).alias("entropy"),
         (F.col("h") < 3.0).alias("low_entropy"),
     )
+
+
+@register(
+    "curation_pipeline",
+    # the north-star E-pipeline as ONE cross-engine-proved query: every
+    # stage is deterministic (identical rules, identical arithmetic), so
+    # the full chain composes into a DuckDB CTE pipeline and the per-source
+    # funnel accounting is hash-exact
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id, source,
+             'HOME | ABOUT | CONTACT US' || chr(10) || text || chr(10) ||
+             'Subscribe to our newsletter today' AS t
+      FROM documents
+    ),
+    cleaned AS (
+      SELECT doc_id, source,
+             array_to_string(
+               list_filter(string_split(t, chr(10)),
+                 x -> NOT (contains(x, ' | ')
+                           OR contains(lower(x), 'subscribe to our newsletter'))),
+               chr(10)) AS t
+      FROM aug
+    ),
+    scored AS (
+      SELECT doc_id, source, t,
+             len(regexp_split_to_array(trim(t), '\\s+')) AS n_tokens,
+             CAST(len(list_distinct(regexp_split_to_array(trim(t), '\\s+'))) AS DOUBLE)
+             / len(regexp_split_to_array(trim(t), '\\s+')) AS distinct_ratio
+      FROM cleaned
+    ),
+    quality AS (
+      SELECT * FROM scored WHERE n_tokens >= 10 AND distinct_ratio > 0.2
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(t) ORDER BY doc_id) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    ),
+    packed AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(floor(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0)
+                  AS BIGINT) AS seq_id
+      FROM deduped
+    )
+    SELECT s.source,
+           CAST(COUNT(*) AS BIGINT) AS docs_in,
+           CAST(SUM(CASE WHEN s.n_tokens >= 10 AND s.distinct_ratio > 0.2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_quality_pass,
+           CAST((SELECT COUNT(*) FROM deduped d WHERE d.source = s.source) AS BIGINT) AS docs_kept,
+           CAST((SELECT COUNT(DISTINCT seq_id) FROM packed p WHERE p.source = s.source) AS BIGINT) AS n_sequences,
+           CAST((SELECT COALESCE(SUM(n_tokens), 0) FROM packed p WHERE p.source = s.source) AS BIGINT) AS total_tokens
+    FROM scored s GROUP BY s.source
+    """,
+    tags=("text", "llm-pipeline", "e2e", "curation"),
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data curation (the north-star pipeline as one
+    query): boilerplate strip → token/diversity quality gate → exact
+    dedup on cleaned content (keep smallest doc_id) → 2048-token sequence
+    packing per source → per-source funnel accounting (docs in, quality
+    pass, kept after dedup, sequences, tokens). Every stage is the same
+    deterministic rule set the standalone queries use, so the whole chain
+    is cross-engine hash-exact.
+
+    Scale: strip + score are map-only; dedup shuffles on the content hash
+    (the exact-dedup primitive); packing shuffles once per source
+    partition with an ordered window — the same shapes as the standalone
+    stages, composed."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("HOME | ABOUT | CONTACT US\n"),
+            F.col("text"),
+            F.lit("\nSubscribe to our newsletter today"),
+        ).alias("t"),
+    )
+    lines = F.split(F.col("t"), "\n")
+    kept_lines = F.filter(
+        lines,
+        lambda x: ~(x.contains(" | ") | F.lower(x).contains("subscribe to our newsletter")),
+    )
+    cleaned = aug.select("doc_id", "source", F.array_join(kept_lines, "\n").alias("t"))
+    toks = F.split(F.trim(F.col("t")), "\\s+")
+    scored = cleaned.select(
+        "doc_id",
+        "source",
+        "t",
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("distinct_ratio"),
+    )
+    passing = (F.col("n_tokens") >= 10) & (F.col("distinct_ratio") > 0.2)
+    quality = scored.filter(passing)
+    wdup = Window.partitionBy(F.md5("t")).orderBy("doc_id")
+    deduped = quality.withColumn("rn", F.row_number().over(wdup)).filter(F.col("rn") == 1)
+    wpack = Window.partitionBy("source").orderBy("doc_id")
+    packed = deduped.select(
+        "source",
+        "n_tokens",
+        F.floor(
+            F.coalesce(
+                F.sum("n_tokens").over(wpack.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+            / 2048.0
+        ).alias("seq_id"),
+    )
+    funnel = scored.groupBy("source").agg(
+        F.count("*").alias("docs_in"),
+        F.sum(passing.cast("long")).alias("docs_quality_pass"),
+    )
+    kept = deduped.groupBy("source").agg(F.count("*").alias("docs_kept"))
+    seqs = packed.groupBy("source").agg(
+        F.countDistinct("seq_id").alias("n_sequences"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    return (
+        funnel.join(kept, "source", "left")
+        .join(seqs, "source", "left")
+        .select(
+            "source",
+            "docs_in",
+            "docs_quality_pass",
+            F.coalesce("docs_kept", F.lit(0)).alias("docs_kept"),
+            F.coalesce("n_sequences", F.lit(0)).alias("n_sequences"),
+            F.coalesce("total_tokens", F.lit(0)).alias("total_tokens"),
+        )
+    )
