@@ -105,3 +105,28 @@ def test_term_semantic_clusters_no_cartesian(spark, sf_dir):
     """MICA similarity must join on the ancestor key, never all term pairs."""
     p = _plan(spark, sf_dir, "term_semantic_clusters")
     assert "CartesianProduct" not in p.text
+
+
+def test_boilerplate_strip_map_only(spark, sf_dir):
+    p = _plan(spark, sf_dir, "boilerplate_strip")
+    assert p.n_exchanges == 0, "line strip must be a pure scan-transform (zero shuffle)"
+
+
+def test_char_entropy_two_level_agg(spark, sf_dir):
+    p = _plan(spark, sf_dir, "char_entropy_filter")
+    # (doc,char) agg then (doc) agg — exactly two exchanges, and partial
+    # (map-side) aggregation must appear so the shuffle carries ~alphabet
+    # rows per doc, not one row per character
+    assert p.n_exchanges <= 2, p.text[:1500]
+    assert "partial" in p.text.lower(), "map-side combine missing"
+
+
+def test_multimodal_decode_no_shuffle(spark, sf_dir):
+    p = _plan(spark, sf_dir, "multimodal_decode_certificate")
+    assert p.n_exchanges == 0, "Arrow-batched decode must be map-only"
+
+
+def test_curation_pipeline_no_cartesian(spark, sf_dir):
+    p = _plan(spark, sf_dir, "curation_pipeline")
+    low = p.text.lower()
+    assert "cartesianproduct" not in low and "broadcastnestedloop" not in low
