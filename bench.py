@@ -48,6 +48,7 @@ BENCH_QUERIES = [
 TRACKED_QUERIES = [
     "louvain_communities",    # iterative KNN→SNN→Louvain (tracks the
                               # cut_lineage flat-sweep + early-stop claims)
+    "curation_pipeline",      # north-star e2e: strip→quality→dedup→pack
 ]
 
 

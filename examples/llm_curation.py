@@ -1,0 +1,61 @@
+"""LLM training-data curation on utils_spark: the north-star pipeline.
+
+Run: python examples/llm_curation.py  (expects /root/testdata/sf0.001)
+
+Walks the curation surface end-to-end on the `documents` /
+`embeddings` tables: cleaning, quality gates, exact + near dedup,
+similarity search, packing, and the one-query funnel. Every step shown
+here is a registered driver query with a DuckDB oracle twin (QUERIES.md),
+so the outputs below are cross-engine verified at three scale factors.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from utils_spark import get_spark
+from utils_spark.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    spark = get_spark(app_name="llm_curation_example", cpus=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = load_all()
+
+    def show(name: str, n: int = 5) -> None:
+        print(f"\n=== {name} — {reg[name].doc.strip().splitlines()[0]}")
+        reg[name].fn(spark, SF).show(n, truncate=90)
+
+    # 1. cleaning: line-level boilerplate removal (map-only, zero UDF)
+    show("boilerplate_strip")
+    # 2. quality gates: heuristics + entropy perplexity-proxy
+    show("quality_score")
+    show("char_entropy_filter")
+    # 3. language ID (trigram profiles, broadcast scoring join)
+    show("lang_id_ngram")
+    # 4. exact + near dedup (hash groupBy; MinHash+LSH banding — never n²)
+    show("doc_fingerprint")
+    show("minhash_lsh_pairs")
+    # 5. canonical-doc selection per duplicate cluster
+    show("dedup_keep_best")
+    # 6. similarity search over embeddings (broadcast queries; IVF scale path)
+    show("cosine_topk")
+    # 7. decontamination vs a benchmark split + corpus mixing
+    show("benchmark_decontamination")
+    show("corpus_mixture_sample")
+    # 8. tokenizer support + sequence packing
+    show("vocab_coverage")
+    show("sequence_packing")
+    # 9. the whole funnel as ONE cross-engine-proved query
+    show("curation_pipeline", n=10)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
