@@ -137,3 +137,24 @@ def test_converter_contract_and_pseudobulk(spark):
             assert stats == {"cells": 2, "genes": 2, "nnz": 2}
             tables = load_matrix_tables(spark, os.path.join(d, "out"))
             assert tables["matrix"].count() == 2
+
+
+def test_load_table_survives_unset_timezone_conf(spark, sf_dir):
+    """Driver-session compatibility: Spark 4 VALIDATES the caller-supplied
+    default of conf.get when the conf is unset, so a sentinel like
+    get(key, '') throws INVALID_CONF_VALUE on a vanilla session — exactly
+    the sessions the defensive UTC guard exists for. With the timezone
+    conf unset, load_table (and the stream reader) must still work and
+    must pin UTC back."""
+    from utils_spark.io import load_table
+    from utils_spark.streaming import read_events_stream
+
+    spark.conf.unset("spark.sql.session.timeZone")
+    try:
+        assert load_table(spark, sf_dir, "events").count() > 0
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        spark.conf.unset("spark.sql.session.timeZone")
+        assert read_events_stream(spark, sf_dir).schema is not None
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")

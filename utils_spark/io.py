@@ -66,7 +66,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the timestamp_ntz -> timestamp cast below is wall-clock-preserving only
     # under UTC; pin it for caller-supplied vanilla sessions too (same
     # defensive-config pattern as nanosAsLong above)
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+    # NOTE: no sentinel default to conf.get here — Spark 4 VALIDATES the
+    # caller-supplied default when the conf is unset, so get(key, "") throws
+    # INVALID_CONF_VALUE on exactly the vanilla sessions this guard exists for
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":

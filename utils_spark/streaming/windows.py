@@ -47,9 +47,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: 
     from utils_spark.io import load_table
 
     # one-footer probe through the batch loader's own nanosAsLong handling;
-    # the probe scan is lazy — only the schema is materialized
+    # the probe scan is lazy — only the schema is materialized. Same
+    # defensive-config pattern as load_table: a caller-supplied vanilla
+    # session must read identically (UTC keeps the ntz cast and all
+    # window/hour extraction wall-clock-exact vs the oracles).
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # no sentinel default — Spark 4 validates unset-conf defaults (see io.py)
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     stored_ts = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
     if stored_ts == "bigint":
         schema = EVENTS_RAW_SCHEMA
