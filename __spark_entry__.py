@@ -67,6 +67,7 @@ _PRIORITY = (
     "vocab_coverage",
     "char_entropy_filter",
     "curation_pipeline",
+    "skew_salted_join",
     # -- tier 3: rows-only (driver records the weaker rows-only entry)
     "pca_embedding",
     "spline_trend_fits",

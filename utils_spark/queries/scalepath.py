@@ -250,3 +250,41 @@ def group_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1.0 / F.sum(F.col("prob") * F.col("prob")), 6).alias("inv_simpson"),
         F.count("*").alias("n_categories"),
     )
+
+
+@register(
+    "skew_salted_join",
+    # the salted join must produce EXACTLY the plain join's result — the
+    # oracle is the unsalted SQL join, so a pass proves salting is purely
+    # a physical redistribution (no dropped/duplicated rows on hot keys)
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(l_quantity) AS BIGINT) AS qty_sum,
+           ROUND(SUM(l_extendedprice), 2) AS price_sum
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("scale-path", "skew", "join"),
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join driven through the oracle gate: lineitem (big,
+    power-law order sizes) joins orders through `skew.salted_join` — the
+    big side is salted into 8 buckets, the other side replicated 8x — and
+    the aggregate must equal the plain SQL join exactly, proving the salt
+    is a pure physical redistribution. The explicit strategy for hot-key
+    joins AQE's sort-merge skew split can't reach (see operators/skew.py);
+    at 100 TB this is the difference between 8 straggler-free tasks and
+    one task holding the hottest key's entire payload."""
+    from utils_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, "l_orderkey", salt_buckets=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("l_quantity").cast("long").alias("qty_sum"),
+        F.round(F.sum("l_extendedprice"), 2).alias("price_sum"),
+    )
