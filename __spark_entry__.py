@@ -68,6 +68,7 @@ _PRIORITY = (
     "char_entropy_filter",
     "curation_pipeline",
     "skew_salted_join",
+    "mds_exact_recovery",
     # -- tier 3: rows-only (driver records the weaker rows-only entry)
     "pca_embedding",
     "spline_trend_fits",

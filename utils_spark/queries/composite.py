@@ -1035,3 +1035,69 @@ def sweep_exact_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("pvalue", 6).alias("pvalue"),
         F.round("slope", 6).alias("slope"),
     )
+
+
+@register(
+    "mds_exact_recovery",
+    # exact-recovery certificate for the M10 embedding fallback: inputs are
+    # planted EXACTLY in a 2-D subspace, so classical MDS into 2-D must be
+    # an isometry — every pairwise distance is preserved to float
+    # precision (double-centered Gram has exact rank 2; eigh recovers it).
+    # sample_n >= the input size, so the deterministic sample is ALL rows
+    # and the oracle's count is exact. Rotation/sign ambiguity cancels in
+    # distances, which is why coordinates can't be oracled but this can.
+    oracle="""
+    SELECT COUNT(*) AS n_points, 0.0 AS max_dist_err
+    FROM embeddings WHERE vec_id < 300
+    """,
+    tags=("composite", "M10", "ml", "mds", "certificate"),
+)
+def mds_exact_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical-MDS exact recovery (reference M10: R/integrate.R:161-177
+    RunUMAP — SURVEY defers exact UMAP [no native lib in env] and
+    prescribes the sampled deterministic embedding as the plot path):
+    vectors v = a·u1 + b·u2 span a 2-D subspace, so the 2-D MDS embedding
+    must preserve consecutive-pair distances exactly. Certifies the
+    sampling, Gram double-centering, eigen-solve, and coordinate scaling
+    end-to-end with a constant SQL oracle."""
+    from utils_spark.operators.ml import classical_mds_2d
+
+    u1 = [1.0, 2.0, 0.0, 1.0, 0.0, 3.0]
+    u2 = [0.0, 1.0, 1.0, 0.0, 2.0, 1.0]
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300).select("vec_id")
+    a = (F.pmod(F.col("vec_id"), F.lit(7)) + 1).cast("double")
+    b = (F.pmod(F.col("vec_id"), F.lit(11)) + 1).cast("double")
+    planted = e.select(
+        "vec_id",
+        F.array(*[a * F.lit(x1) + b * F.lit(x2) for x1, x2 in zip(u1, u2)]).alias("vec"),
+    )
+    mds = classical_mds_2d(planted, "vec_id", "vec", sample_n=1000)
+    embedded = planted.join(
+        mds.select(F.col("key").cast("long").alias("vec_id"), "mds1", "mds2"), "vec_id"
+    )
+    nxt = embedded.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("vec").alias("vec_n"),
+        F.col("mds1").alias("m1n"),
+        F.col("mds2").alias("m2n"),
+    )
+
+    def _dist6(x, y):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(x, y, lambda p, q: (p - q) * (p - q)),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            )
+        )
+
+    d2 = F.sqrt(
+        (F.col("mds1") - F.col("m1n")) * (F.col("mds1") - F.col("m1n"))
+        + (F.col("mds2") - F.col("m2n")) * (F.col("mds2") - F.col("m2n"))
+    )
+    pairs = embedded.join(nxt, "vec_id").select(
+        (d2 - _dist6(F.col("vec"), F.col("vec_n"))).alias("err")
+    )
+    return embedded.agg(F.count("*").alias("n_points")).crossJoin(
+        pairs.agg(F.round(F.max(F.abs("err")), 6).alias("max_dist_err"))
+    )
