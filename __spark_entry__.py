@@ -69,6 +69,7 @@ _PRIORITY = (
     "curation_pipeline",
     "skew_salted_join",
     "mds_exact_recovery",
+    "stream_static_enrich",
     # -- tier 3: rows-only (driver records the weaker rows-only entry)
     "pca_embedding",
     "spline_trend_fits",

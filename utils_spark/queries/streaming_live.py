@@ -182,3 +182,38 @@ def stream_custom_state_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("user_id", "n_events", "total_value", "max_value")
     )
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c_mktsegment, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    """,
+    tags=("streaming", "join", "live"),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE stream-static join (§2.9): the event stream is enriched
+    micro-batch-by-micro-batch with the static customer dimension
+    (broadcast per batch — the standard streaming enrichment topology),
+    then aggregated per (segment, event_type) with streaming state.
+    Certifies the stream-static join planner + downstream streaming agg
+    against the plain batch SQL join on the driver's gate."""
+    from utils_spark.io import load_table
+    from utils_spark.streaming import read_events_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = (
+        ev.withWatermark("ts", "2 hours")
+        .join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+    out = _run_to_table(spark, enriched, "complete")
+    return out.select("c_mktsegment", "event_type", "n", "total_value")
