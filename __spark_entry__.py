@@ -70,6 +70,7 @@ _PRIORITY = (
     "skew_salted_join",
     "mds_exact_recovery",
     "stream_static_enrich",
+    "stream_stream_interval_join",
     # -- tier 3: rows-only (driver records the weaker rows-only entry)
     "pca_embedding",
     "spline_trend_fits",

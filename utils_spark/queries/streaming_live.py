@@ -217,3 +217,55 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_table(spark, enriched, "complete")
     return out.select("c_mktsegment", "event_type", "n", "total_value")
+
+
+@register(
+    "stream_stream_interval_join",
+    oracle="""
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(a.event_id + b.event_id) AS BIGINT) AS pair_checksum
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+     AND a.event_id < b.event_id
+    GROUP BY a.event_type, b.event_type
+    """,
+    tags=("streaming", "join", "stream-stream", "live"),
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE stream-stream interval join (§2.9, the hardest streaming
+    topology): the event stream self-joins on user within a 30-minute
+    event-time window — both sides watermarked, and the two-sided time
+    constraint is what lets Spark BOUND the join state (each side retains
+    only watermark+interval of history; an unconstrained stream-stream
+    join would grow state forever). The checksummed per-type-pair
+    aggregate of the sink must equal the plain batch SQL self-join."""
+    from utils_spark.streaming import read_events_stream
+
+    left = read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    right = (
+        read_events_stream(spark, sf_dir)
+        .select(
+            F.col("event_id").alias("event_id_r"),
+            F.col("ts").alias("ts_r"),
+            F.col("user_id").alias("user_id_r"),
+            F.col("event_type").alias("event_type_r"),
+        )
+        .withWatermark("ts_r", "2 hours")
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("user_id_r"))
+        & (F.col("ts_r") >= F.col("ts"))
+        & (F.col("ts_r") <= F.col("ts") + F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("event_id") < F.col("event_id_r")),
+        "inner",
+    )
+    out = _run_to_table(spark, joined, "append")
+    return out.groupBy(
+        F.col("event_type").alias("type_a"), F.col("event_type_r").alias("type_b")
+    ).agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.col("event_id") + F.col("event_id_r")).cast("long").alias("pair_checksum"),
+    )
