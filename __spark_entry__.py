@@ -71,6 +71,7 @@ _PRIORITY = (
     "mds_exact_recovery",
     "stream_static_enrich",
     "stream_stream_interval_join",
+    "media_dedup_certificate",
     # -- tier 3: rows-only (driver records the weaker rows-only entry)
     "pca_embedding",
     "spline_trend_fits",

@@ -23,10 +23,12 @@ from utils_spark.io import load_table
 from utils_spark.registry import register
 
 
-def _planted_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _planted_media(spark: SparkSession, sf_dir: str, content_mod: int | None = None) -> DataFrame:
     """(media_id, content) with deterministic PPM/PGM/BMP/WAV/garbage blobs
     derived from documents.doc_id (generator is certificate scaffolding, not
-    a hot-path operator — the operator under test is the decoder)."""
+    a hot-path operator — the operator under test is the decoder). With
+    ``content_mod``, content depends only on doc_id % content_mod, planting
+    exact-duplicate classes for the dedup certificate."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -38,7 +40,8 @@ def _planted_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
+                mid = int(doc_id)
+                d = mid % content_mod if content_mod else mid
                 branch = d % 4
                 if branch == 0:  # PPM (P6): ASCII header
                     w, h = d % 31 + 1, d % 17 + 1
@@ -62,7 +65,7 @@ def _planted_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                         + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, 8000, 16000 * ch, 2 * ch, 16)
                         + b"data" + struct.pack("<I", data_size)
                     )
-                rows.append({"media_id": d, "content": blob})
+                rows.append({"media_id": mid, "content": blob})
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
     schema = StructType(
@@ -119,4 +122,54 @@ def multimodal_decode_certificate(spark: SparkSession, sf_dir: str) -> DataFrame
         "sample_rate",
         "duration_ms",
         F.col("err").isNull().alias("ok"),
+    )
+
+
+@register(
+    "media_dedup_certificate",
+    # content is keyed to doc_id % 40, so every duplicate class, its copy
+    # count, and its canonical (min) media id are pure doc_id arithmetic;
+    # feat_variants == 1 certifies the Arrow-batched feature extractor is
+    # content-deterministic (identical blobs -> identical feature vectors)
+    oracle="""
+    WITH cls AS (SELECT doc_id % 40 AS k FROM documents)
+    SELECT CAST(k AS BIGINT) AS canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(1 AS BIGINT) AS feat_variants
+    FROM cls GROUP BY k HAVING COUNT(*) > 1
+    """,
+    tags=("multimodal", "dedup", "certificate"),
+)
+def media_dedup_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media content-dedup + feature-determinism certificate: blobs are
+    planted in exact-duplicate classes (content = f(doc_id % 40)), so
+    `media_dedup_by_content` (binary-safe md5 hash-groupBy, the media twin
+    of exact text dedup) must report each class's copy count and min-id
+    canonical exactly, and `extract_media_features` must produce exactly
+    ONE distinct feature vector per class — both through the real
+    Arrow-batched operators."""
+    from utils_spark.operators.multimodal import (
+        extract_media_features,
+        media_dedup_by_content,
+    )
+
+    media = _planted_media(spark, sf_dir, content_mod=40).withColumn(
+        "media_type", F.lit("media")
+    )
+    dups = media_dedup_by_content(media).select(
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        F.col("n_copies").cast("long").alias("n_copies"),
+    )
+    feats = extract_media_features(media)
+    variants = (
+        feats.withColumn("k", F.pmod(F.col("media_id"), F.lit(40)))
+        .groupBy("k")
+        .agg(
+            F.countDistinct(
+                F.concat_ws(",", F.transform("features", lambda x: x.cast("string")))
+            ).alias("feat_variants")
+        )
+    )
+    return dups.join(variants, dups.canonical_id == variants.k).select(
+        "canonical_id", "n_copies", F.col("feat_variants").cast("long").alias("feat_variants")
     )
