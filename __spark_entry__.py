@@ -72,6 +72,7 @@ _PRIORITY = (
     "stream_static_enrich",
     "stream_stream_interval_join",
     "media_dedup_certificate",
+    "video_frame_sampling",
     # -- tier 3: rows-only (driver records the weaker rows-only entry)
     "pca_embedding",
     "spline_trend_fits",

@@ -173,3 +173,44 @@ def media_dedup_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dups.join(variants, dups.canonical_id == variants.k).select(
         "canonical_id", "n_copies", F.col("feat_variants").cast("long").alias("feat_variants")
     )
+
+
+@register(
+    "video_frame_sampling",
+    # frame enumeration is sequence arithmetic: a video of duration d with
+    # 1000 ms sampling yields floor(d/1000)+1 frames with sum ts =
+    # 1000 * (0 + 1 + ... + n-1); both closed-form in doc_id
+    oracle="""
+    WITH v AS (
+      SELECT doc_id, (doc_id % 20 + 1) * 1500 AS duration_ms
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(duration_ms // 1000 + 1 AS BIGINT) AS n_frames,
+           CAST(1000 * ((duration_ms // 1000) * (duration_ms // 1000 + 1) / 2) AS BIGINT) AS ts_checksum
+    FROM v
+    """,
+    tags=("multimodal", "video", "frames", "certificate"),
+)
+def video_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling certificate (the partition-parallel frame
+    ENUMERATION is real Spark; per-frame pixel decode stays honestly
+    stubbed — no codecs in env): planted videos with arithmetic durations
+    through `sample_video_frames` (sequence/explode every 1000 ms) must
+    yield the closed-form frame count and timestamp checksum per video."""
+    from utils_spark.operators.multimodal import sample_video_frames
+
+    v = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select(
+            F.col("doc_id").cast("long").alias("media_id"),
+            F.lit("video").alias("media_type"),
+            ((F.col("doc_id") % 20 + 1) * 1500).cast("long").alias("duration_ms"),
+        )
+    )
+    frames = sample_video_frames(v, every_ms=1000)
+    return frames.groupBy("media_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum("frame_ts_ms").cast("long").alias("ts_checksum"),
+    )
