@@ -127,3 +127,69 @@ def test_skewed_group_count_matches_plain(spark):
     big = spark.createDataFrame([(i % 3,) for i in range(300)], ["k"])
     got = {r["k"]: r["n"] for r in skewed_group_count(big, "k").collect()}
     assert got == {0: 100, 1: 100, 2: 100}
+
+
+@given(
+    lines=st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"), whitelist_characters=" .|"),
+            max_size=40,
+        ),
+        min_size=0,
+        max_size=8,
+    )
+)
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_boilerplate_rules_idempotent_and_preserving(spark, lines):
+    """The line filter must be idempotent (stripping twice == once) and
+    must keep every line no rule matches, byte-for-byte, in order."""
+    from pyspark.sql import functions as F
+
+    text = "\n".join(l.replace("\n", " ") for l in lines)
+    df = spark.createDataFrame([(text,)], ["t"])
+
+    def strip(col):
+        ls = F.split(col, "\n")
+        kept = F.filter(
+            ls,
+            lambda x: ~(
+                x.contains(" | ")
+                | F.lower(x).startswith("copyright")
+                | F.lower(x).contains("subscribe to our newsletter")
+            ),
+        )
+        return F.array_join(kept, "\n")
+
+    once, twice = df.select(strip(F.col("t")).alias("a")).select(
+        "a", strip(F.col("a")).alias("b")
+    ).first()
+    assert once == twice  # idempotent
+    def is_boiler(l):
+        low = l.lower()
+        return " | " in l or low.startswith("copyright") or "subscribe to our newsletter" in low
+    want = "\n".join(l for l in text.split("\n") if not is_boiler(l))
+    assert once == want  # exact keep semantics
+
+
+@given(reps=st.integers(min_value=1, max_value=50), alpha=st.integers(min_value=1, max_value=8))
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_char_entropy_bounds(spark, reps, alpha):
+    """Shannon char entropy obeys 0 <= h <= ln(distinct_chars), with
+    equality at 0 for single-char docs and at ln(d) for uniform docs."""
+    import math
+
+    from utils_spark.registry import load_all  # noqa: F401  (query registered)
+    from pyspark.sql import functions as F
+
+    text = "".join(chr(ord("a") + i) for i in range(alpha)) * reps  # uniform
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    cs = F.transform(
+        F.sequence(F.lit(1), F.length("text")), lambda i: F.col("text").substr(i, F.lit(1))
+    )
+    ex = df.select("doc_id", F.length("text").alias("n"), F.explode(cs).alias("c"))
+    per = ex.groupBy("doc_id", "c").agg(F.count("*").alias("cnt"), F.first("n").alias("n"))
+    p = F.col("cnt").cast("double") / F.col("n")
+    h = per.groupBy("doc_id").agg(F.sum(-p * F.log(p)).alias("h")).first()["h"]
+    assert abs(h - math.log(alpha)) < 1e-9  # uniform hits the upper bound
+    if alpha == 1:
+        assert abs(h) < 1e-12
