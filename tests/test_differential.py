@@ -33,6 +33,18 @@ TABLES = {
         "cat": ["c_mktsegment"],
         "key": "c_custkey",
     },
+    # north-star tables: the text/streaming domains get the same random
+    # differential breadth as the TPC-H core
+    "documents": {
+        "numeric": ["n_chars"],
+        "cat": ["lang", "source"],
+        "key": "doc_id",
+    },
+    "events": {
+        "numeric": ["value"],
+        "cat": ["event_type"],
+        "key": "event_id",
+    },
 }
 
 CAT_VALUES = {
@@ -41,6 +53,9 @@ CAT_VALUES = {
     "o_orderstatus": ["O", "F", "P"],
     "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
     "c_mktsegment": ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"],
+    "lang": ["de", "en", "es", "fr", "zh"],
+    "source": [f"src{i}" for i in range(20)],
+    "event_type": ["click", "error", "purchase", "signup", "view"],
 }
 
 NUM_RANGES = {
@@ -50,6 +65,8 @@ NUM_RANGES = {
     "l_tax": (0.0, 0.08),
     "o_totalprice": (800, 550000),
     "c_acctbal": (-1000, 10000),
+    "n_chars": (40, 600),
+    "value": (0.0, 500.0),
 }
 
 
@@ -109,7 +126,9 @@ def _spark_run(spark, sf_dir, table, preds, group, aggs):
         if kind == "count":
             exprs.append(F.count("*").alias(name))
         elif kind == "sum4":
-            exprs.append(F.round(F.sum(col), 4).alias(name))
+            # cast to double FIRST so integer columns stringify identically
+            # in both engines (Spark bigint '30428' vs DuckDB ROUND '30428.0')
+            exprs.append(F.round(F.sum(F.col(col).cast("double")), 4).alias(name))
         elif kind == "min":
             exprs.append(F.min(col).alias(name))
         elif kind == "max":
@@ -136,7 +155,7 @@ def _duck_sql(table, preds, group, aggs):
         if kind == "count":
             sel.append(f"CAST(COUNT(*) AS BIGINT) AS {name}")
         elif kind == "sum4":
-            sel.append(f"ROUND(SUM({col}), 4) AS {name}")
+            sel.append(f"ROUND(SUM(CAST({col} AS DOUBLE)), 4) AS {name}")
         elif kind == "min":
             sel.append(f"MIN({col}) AS {name}")
         elif kind == "max":
