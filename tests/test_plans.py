@@ -130,3 +130,28 @@ def test_curation_pipeline_no_cartesian(spark, sf_dir):
     p = _plan(spark, sf_dir, "curation_pipeline")
     low = p.text.lower()
     assert "cartesianproduct" not in low and "broadcastnestedloop" not in low
+
+
+def test_louvain_job_count_bounded(spark, sf_dir):
+    """Iterative-op job-count contract (machine-independent, unlike wall
+    time): the planted-clique Louvain query must converge within a bounded
+    number of Spark jobs — level-1 sweeps reach the desired-move fixed
+    point in 3 sweeps (2 parity moves + 1 convergence check), and the
+    pre-contraction crossing probe must skip level 2 entirely. A job-count
+    blowup here is a lost early-stop or a lineage regression even when
+    results stay correct."""
+    sc = spark.sparkContext
+    group = "louvain_job_count"
+    sc.setJobGroup(group, "louvain job-count contract")
+    try:
+        REGISTRY["louvain_communities"].fn(spark, sf_dir).collect()
+    finally:
+        sc.setJobGroup(None, None)
+    tracker = sc.statusTracker()
+    n_jobs = len(tracker.getJobIdsForGroup(group))
+    # AQE submits every shuffle stage as its own job, so the count is high
+    # but exactly DETERMINISTIC: measured 151 jobs (3 reps identical) after
+    # the round-4 early-stop. Losing the desired-move convergence (2 extra
+    # sweeps) or the pre-contraction probe would add ~40+ stage-jobs, well
+    # past the 10% headroom.
+    assert 0 < n_jobs <= 165, f"louvain ran {n_jobs} jobs — early-stop or lineage regression?"
