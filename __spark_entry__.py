@@ -73,6 +73,7 @@ _PRIORITY = (
     "stream_stream_interval_join",
     "media_dedup_certificate",
     "video_frame_sampling",
+    "train_holdout_split",
     # -- tier 3: rows-only (driver records the weaker rows-only entry)
     "pca_embedding",
     "spline_trend_fits",

@@ -288,3 +288,44 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_quantity").cast("long").alias("qty_sum"),
         F.round(F.sum("l_extendedprice"), 2).alias("price_sum"),
     )
+
+
+@register(
+    "train_holdout_split",
+    # the split is md5-deterministic on (doc_id, seed), so DuckDB
+    # reproduces the EXACT membership: same hash, same bucket arithmetic,
+    # same cut — per-split counts and id checksums are hash-exact. NOTE
+    # the double md5: split_train_holdout buckets on md5_long(det_order_key)
+    # = md5 of the md5-hex ordering key
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(md5(CAST(doc_id AS VARCHAR) || ':' || '290')), 1, 15)) AS BIGINT)
+               % 1000000 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 100000 THEN 'holdout' ELSE 'train' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM b GROUP BY 1
+    """,
+    tags=("sampling", "llm-pipeline", "split"),
+)
+def train_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/holdout split (10% holdout) for eval-set
+    carving — membership depends only on (doc_id, seed) via md5, so it is
+    stable across runs, partitionings, cluster sizes, AND engines (the
+    oracle recomputes the exact same membership). The contamination-safe
+    way to hold out evaluation data at 100 TB: no rand(), no state, a
+    map-only filter either side."""
+    from utils_spark.operators.sampling import split_train_holdout
+
+    d = load_table(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
+    train, hold = split_train_holdout(d, "doc_id", holdout_fraction=0.1, seed=290)
+    out = train.withColumn("split", F.lit("train")).unionByName(
+        hold.withColumn("split", F.lit("holdout"))
+    )
+    return out.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
