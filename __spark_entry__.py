@@ -74,6 +74,8 @@ _PRIORITY = (
     "media_dedup_certificate",
     "video_frame_sampling",
     "train_holdout_split",
+    "start_vs_end_test",
+    "condition_diff_recovery",
     # -- tier 3: rows-only (driver records the weaker rows-only entry)
     "pca_embedding",
     "spline_trend_fits",

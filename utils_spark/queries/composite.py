@@ -1101,3 +1101,101 @@ def mds_exact_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedded.agg(F.count("*").alias("n_points")).crossJoin(
         pairs.agg(F.round(F.max(F.abs("err")), 6).alias("max_dist_err"))
     )
+
+
+@register(
+    "start_vs_end_test",
+    # the operator is pure window + conditional aggregation, so the oracle
+    # replicates it directly on real data (no certificate needed): same
+    # percent_rank tie semantics, same Welch z arithmetic, 6dp rounding
+    oracle="""
+    WITH w AS (
+      SELECT event_type AS grp, value,
+             percent_rank() OVER (PARTITION BY event_type ORDER BY ts) AS q
+      FROM events
+    ),
+    tagged AS (
+      SELECT grp, value,
+             CASE WHEN q <= 0.25 THEN 'start' WHEN q >= 0.75 THEN 'end' END AS seg
+      FROM w WHERE q <= 0.25 OR q >= 0.75
+    ),
+    agg AS (
+      SELECT grp,
+             AVG(CASE WHEN seg = 'start' THEN value END) AS mean_start,
+             AVG(CASE WHEN seg = 'end' THEN value END) AS mean_end,
+             VAR_SAMP(CASE WHEN seg = 'start' THEN value END) AS var_start,
+             VAR_SAMP(CASE WHEN seg = 'end' THEN value END) AS var_end,
+             COUNT(CASE WHEN seg = 'start' THEN 1 END) AS n_start,
+             COUNT(CASE WHEN seg = 'end' THEN 1 END) AS n_end
+      FROM tagged GROUP BY grp
+    )
+    SELECT grp, CAST(n_start AS BIGINT) AS n_start, CAST(n_end AS BIGINT) AS n_end,
+           ROUND(mean_end - mean_start, 6) AS delta,
+           ROUND((mean_end - mean_start)
+                 / sqrt(var_start / n_start + var_end / n_end), 6) AS z_stat
+    FROM agg
+    """,
+    tags=("composite", "M14", "modelfit", "trajectory"),
+)
+def start_vs_end_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Start-vs-end differential test per trajectory (reference M14:
+    R/tradeseq.R startVsEndTest): Welch z between the first and last 25%
+    of each event_type's time-ordered values — window ntile + conditional
+    aggregation, no UDF, directly replicated by the SQL oracle on real
+    data."""
+    from utils_spark.operators.modelfit import start_vs_end_test as sve
+
+    e = load_table(spark, sf_dir, "events")
+    out = sve(e, "event_type", "ts", "value", frac=0.25)
+    return out.select(
+        F.col("event_type").alias("grp"),
+        F.col("n_start").cast("long").alias("n_start"),
+        F.col("n_end").cast("long").alias("n_end"),
+        F.round("delta", 6).alias("delta"),
+        F.round("z_stat", 6).alias("z_stat"),
+    )
+
+
+@register(
+    "condition_diff_recovery",
+    # exact-recovery certificate for the M14 between-condition contrast:
+    # each condition's y is planted EXACTLY linear with a different slope
+    # (3 vs 5), so the per-condition least-squares fits must recover both
+    # slopes and their difference to float precision. z is omitted: zero
+    # residuals make it infinite by construction (se = 0), which has no
+    # stable cross-engine representation.
+    oracle="""
+    SELECT event_type AS grp, 3.0 AS slope_a, 5.0 AS slope_b, -2.0 AS slope_diff,
+           CAST(COUNT(CASE WHEN event_id % 2 = 0 THEN 1 END) AS BIGINT) AS n_a,
+           CAST(COUNT(CASE WHEN event_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_b
+    FROM events GROUP BY event_type
+    """,
+    tags=("composite", "M14", "modelfit", "certificate"),
+)
+def condition_diff_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Between-condition trajectory contrast exact recovery (reference
+    M14: R/tradeseq.R:65-93 conditionTest): conditions are event-id
+    parity, y is planted 2 + 3x under 'a' and 2 + 5x under 'b', and the
+    grouped applyInPandas contrast must report slopes (3, 5) and
+    difference -2 exactly for every group."""
+    from utils_spark.operators.modelfit import condition_diff_test
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.when(F.col("event_id") % 2 == 0, "a").otherwise("b").alias("cond"),
+        (F.hour("ts") + F.minute("ts") / 60.0).alias("x"),
+        "event_id",
+    )
+    planted = e.withColumn(
+        "y",
+        F.lit(2.0) + F.when(F.col("cond") == "a", F.lit(3.0)).otherwise(F.lit(5.0)) * F.col("x"),
+    )
+    fits = condition_diff_test(planted, "grp", "cond", "x", "y", "a", "b")
+    return fits.select(
+        F.col("group").alias("grp"),
+        F.round("slope_a", 6).alias("slope_a"),
+        F.round("slope_b", 6).alias("slope_b"),
+        F.round("slope_diff", 6).alias("slope_diff"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+    )
