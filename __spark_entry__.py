@@ -76,6 +76,7 @@ _PRIORITY = (
     "train_holdout_split",
     "start_vs_end_test",
     "condition_diff_recovery",
+    "asof_join_forward_tolerance",
     # -- tier 3: rows-only (driver records the weaker rows-only entry)
     "pca_embedding",
     "spline_trend_fits",

@@ -426,3 +426,52 @@ def module_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(diff > 0, "active").otherwise("inactive").alias("phase"),
         )
     )
+
+
+@register(
+    "asof_join_forward_tolerance",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+    ),
+    win AS (
+      SELECT user_id, event_id, ts, event_type,
+             first_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt
+      FROM ev
+    )
+    SELECT user_id, event_id, ts,
+           CASE WHEN nxt <= ts + INTERVAL 1 HOUR THEN nxt END AS next_purchase_ts
+    FROM win WHERE event_type = 'click'
+    """,
+    tags=("advanced", "asof-join", "temporal", "tolerance"),
+)
+def asof_join_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance (the other half of the as-of
+    surface — pandas merge_asof direction='forward'): for every click,
+    the user's next purchase STRICTLY AFTER it, nulled when it falls
+    outside a 1-hour tolerance (attribution-window semantics). Same
+    single-shuffle ordered-window pattern as the backward `asof_join`;
+    the tolerance is a post-filter, not a range join."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = F.first(
+        F.when(F.col("event_type") == "purchase", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        e.withColumn("nxt", nxt)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.when(
+                F.col("nxt") <= F.col("ts") + F.expr("INTERVAL 1 HOUR"), F.col("nxt")
+            ).alias("next_purchase_ts"),
+        )
+    )
