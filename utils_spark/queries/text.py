@@ -1167,8 +1167,10 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary prefix (the curve that picks vocab size).
 
     Scale: token explode + one groupBy(token) shuffle (map-side combined);
-    the ranked vocabulary is tiny (top 1000), so the window cumsum runs on
-    one partition of 1000 rows — never on the corpus."""
+    the top-1000 prefix is taken with a DISTRIBUTED sort+limit
+    (TakeOrderedAndProject: per-partition top-k, then merge — never a
+    global single-task window over the whole vocabulary), so the window
+    rank + cumsum run on 1000 rows only."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
@@ -1178,8 +1180,11 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
     )
     total = counts.agg(F.sum("cnt").alias("t"))
+    # (cnt DESC, token ASC) is a total order, so limit() is deterministic
+    # and picks exactly the window-rank prefix — without ranking the tail
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(1000)
     wrank = Window.orderBy(F.desc("cnt"), F.asc("token"))
-    ranked = counts.withColumn("rank", F.row_number().over(wrank)).filter(F.col("rank") <= 1000)
+    ranked = top.withColumn("rank", F.row_number().over(wrank))
     wcum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
         ranked.crossJoin(total)
