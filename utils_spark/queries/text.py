@@ -1303,8 +1303,8 @@ def char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) WHERE rn = 1
     ),
     packed AS (
-      SELECT source, doc_id, n_tokens,
-             CAST(floor(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      SELECT source, doc_id, n_tokens, doc_id % 8 AS shard,
+             CAST(floor(COALESCE(SUM(n_tokens) OVER (PARTITION BY source, doc_id % 8 ORDER BY doc_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0)
                   AS BIGINT) AS seq_id
       FROM deduped
@@ -1314,7 +1314,7 @@ def char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN s.n_tokens >= 10 AND s.distinct_ratio > 0.2
                          THEN 1 ELSE 0 END) AS BIGINT) AS docs_quality_pass,
            CAST((SELECT COUNT(*) FROM deduped d WHERE d.source = s.source) AS BIGINT) AS docs_kept,
-           CAST((SELECT COUNT(DISTINCT seq_id) FROM packed p WHERE p.source = s.source) AS BIGINT) AS n_sequences,
+           CAST((SELECT COUNT(DISTINCT (shard, seq_id)) FROM packed p WHERE p.source = s.source) AS BIGINT) AS n_sequences,
            CAST((SELECT COALESCE(SUM(n_tokens), 0) FROM packed p WHERE p.source = s.source) AS BIGINT) AS total_tokens
     FROM scored s GROUP BY s.source
     """,
@@ -1330,9 +1330,9 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     is cross-engine hash-exact.
 
     Scale: strip + score are map-only; dedup shuffles on the content hash
-    (the exact-dedup primitive); packing shuffles once per source
-    partition with an ordered window — the same shapes as the standalone
-    stages, composed."""
+    (the exact-dedup primitive); packing uses the SAME (source, shard)
+    sharded ordered window as `sequence_packing`, so no single source ever
+    sorts in one task — the standalone stages' shapes, composed."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
@@ -1363,10 +1363,12 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = scored.filter(passing)
     wdup = Window.partitionBy(F.md5("t")).orderBy("doc_id")
     deduped = quality.withColumn("rn", F.row_number().over(wdup)).filter(F.col("rn") == 1)
-    wpack = Window.partitionBy("source").orderBy("doc_id")
+    shard = F.pmod(F.col("doc_id"), F.lit(8))
+    wpack = Window.partitionBy("source", shard).orderBy("doc_id")
     packed = deduped.select(
         "source",
         "n_tokens",
+        shard.alias("shard"),
         F.floor(
             F.coalesce(
                 F.sum("n_tokens").over(wpack.rowsBetween(Window.unboundedPreceding, -1)),
@@ -1381,7 +1383,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = deduped.groupBy("source").agg(F.count("*").alias("docs_kept"))
     seqs = packed.groupBy("source").agg(
-        F.countDistinct("seq_id").alias("n_sequences"),
+        F.countDistinct("shard", "seq_id").alias("n_sequences"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
     return (
