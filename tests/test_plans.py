@@ -150,8 +150,10 @@ def test_louvain_job_count_bounded(spark, sf_dir):
     tracker = sc.statusTracker()
     n_jobs = len(tracker.getJobIdsForGroup(group))
     # AQE submits every shuffle stage as its own job, so the count is high
-    # but exactly DETERMINISTIC: measured 151 jobs (3 reps identical) after
-    # the round-4 early-stop. Losing the desired-move convergence (2 extra
-    # sweeps) or the pre-contraction probe would add ~40+ stage-jobs, well
-    # past the 10% headroom.
-    assert 0 < n_jobs <= 165, f"louvain ran {n_jobs} jobs — early-stop or lineage regression?"
+    # but deterministic FOR A GIVEN SPARK VERSION: baseline measured on
+    # Spark 4.1.2 (3 reps identical) after the round-4 early-stop. AQE's
+    # stage-as-job accounting shifts across minor versions, so the bound is
+    # deliberately coarse: losing the desired-move convergence (2 extra
+    # sweeps) or the pre-contraction probe adds ~40+ stage-jobs, which this
+    # still catches with room for accounting drift.
+    assert 0 < n_jobs <= 185, f"louvain ran {n_jobs} jobs — early-stop or lineage regression?"

@@ -1121,7 +1121,14 @@ def harmony_soft(
         F.col(batch_col).alias("__batch"),
         to_double_array(array_col).alias("__v"),
     )
-    dim = work.select(F.size("__v").alias("s")).first()["s"] if k == 1 else None
+    dim = None
+    if k == 1:
+        probe = work.select(F.size("__v").alias("s")).first()
+        if probe is None:
+            # empty input: the k>=2 path degrades inside KMeans; match it by
+            # returning the empty frame with the corrected column appended
+            return df.withColumn("corrected", to_double_array(array_col))
+        dim = probe["s"]
     for it in range(n_iter):
         if k == 1:
             # MLlib KMeans requires k >= 2; with one component the centroid

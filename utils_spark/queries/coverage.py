@@ -439,7 +439,7 @@ def csv_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     R/reference.R:234-241 fread/read.csv, R/funx_enrichment.R:152-154
     write.csv): supplier x nation x region joined, sunk to CSV, rescanned
     via the S1-S4 reader, and checksummed per region."""
-    import hashlib
+    import uuid
 
     from utils_spark.io import read_delimited, write_csv
 
@@ -451,8 +451,11 @@ def csv_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(r, n.n_regionkey == r.r_regionkey)
         .select("s_suppkey", "s_name", "r_name")
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/tmp/utils_spark_csv_roundtrip_{tag}"
+    # per-invocation token: two concurrent sessions on the same sf_dir must
+    # not race on one path (the rescan below is lazy, so the directory has
+    # to survive until the caller collects — no eager cleanup here; the
+    # uuid keeps stale leftovers from ever being re-read)
+    path = f"/tmp/utils_spark_csv_roundtrip_{uuid.uuid4().hex[:12]}"
     write_csv(derived, path)
     back = read_delimited(spark, path, sep=",", header=True)
     return back.groupBy("r_name").agg(

@@ -41,7 +41,17 @@ def _run_to_table(spark: SparkSession, stream_df: DataFrame, mode: str) -> DataF
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # timed out: the query is still running and the sink is only
+        # partially filled — reading it would silently return a partial
+        # result. Stop the runaway query and fail loudly instead.
+        q.stop()
+        raise TimeoutError(f"streaming query {name} did not drain within 300s")
+    # availableNow has terminated; stop() is a no-op on a finished query but
+    # releases its listener/bookkeeping. The uuid-named memory temp view
+    # stays registered (session-scoped) because the returned DataFrame reads
+    # from it lazily — the driver collects it downstream.
+    q.stop()
     return spark.table(name)
 
 

@@ -44,13 +44,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: 
     stored type with one batch footer read, then mirror ``load_table``'s
     two normalization branches so stream and batch schemas are identical
     (a unit test pins that equality)."""
-    from utils_spark.io import load_table
-
-    # one-footer probe through the batch loader's own nanosAsLong handling;
-    # the probe scan is lazy — only the schema is materialized. Same
-    # defensive-config pattern as load_table: a caller-supplied vanilla
-    # session must read identically (UTC keeps the ntz cast and all
-    # window/hour extraction wall-clock-exact vs the oracles).
+    # one-footer probe of the STORED parquet type (lazy scan — only the
+    # schema is materialized). The conf guards below duplicate load_table's
+    # defensive pattern on purpose: a caller-supplied vanilla session must
+    # read identically (nanosAsLong set BEFORE the probe, UTC keeping the
+    # ntz cast and window/hour extraction wall-clock-exact vs the oracles).
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # no sentinel default — Spark 4 validates unset-conf defaults (see io.py)
