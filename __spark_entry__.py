@@ -40,17 +40,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver-green CORRECTNESS entry yet must come before anything already
 # verified in CORRECTNESS_r01/r02.json.
 #
-# Tier 1: formerly-red (r3 HUGEINT oracle bug — CAST fix landed, local
-#         parity green; the only 2 queries never driver-green).
-# Tier 2: queries added/oracled in round 4 (certificates, CCA anchors,
-#         io roundtrip — names appended as they land).
-# Tier 3: remaining rows-only queries (driver records rows-only).
-# Everything else (already driver-green in r1-r3) follows in registry order.
+# Tier 1: queries whose oracle/shape changed in round 5 (the 5 formerly
+#         rows-only queries now emit invariant certificates with constant
+#         oracles — never driver-value-checked before) plus round-5
+#         additions (names appended as they land).
+# Tier 2: round-4 first-green queries (one more driver confirmation).
+# Everything else (driver-green in r1-r4) follows in registry order.
 _PRIORITY = (
-    # -- tier 1: formerly red (HUGEINT hash bug), fix landed, needs driver proof
+    # -- tier 1: round-5 new/changed, need driver proof
+    "pca_embedding",
+    "spline_trend_fits",
+    "batch_correction",
+    "denoised_feature_selection",
+    "cluster_pipeline",
+    # -- tier 2: first driver-green in round 4
     "sequence_packing",
     "pii_scrub",
-    # -- tier 2: new/newly-oracled in round 4
     "cca_anchor_identity",
     "cluster_blobs_certificate",
     "harmony_shift_recovery",
@@ -77,12 +82,6 @@ _PRIORITY = (
     "start_vs_end_test",
     "condition_diff_recovery",
     "asof_join_forward_tolerance",
-    # -- tier 3: rows-only (driver records the weaker rows-only entry)
-    "pca_embedding",
-    "spline_trend_fits",
-    "batch_correction",
-    "denoised_feature_selection",
-    "cluster_pipeline",
 )
 
 

