@@ -226,6 +226,24 @@ def test_minhash_lsh_finds_near_dup(spark):
     assert all(3 not in p for p in got)
 
 
+def test_lsh_verified_pairs_exact(spark):
+    """lsh_verified_pairs must return exactly the true-Jaccard >= threshold
+    pairs: LSH recall on near-identical docs, exact verify rejecting
+    moderate-overlap candidates."""
+    from utils_spark.operators.dedup import lsh_verified_pairs
+
+    base = "the quick brown fox jumps over the lazy dog and keeps on running far away"
+    near = base.replace("lazy", "hazy")  # ~0.9 jaccard: must pair
+    half = base[: len(base) // 2] + " entirely novel second half of this document here"
+    other = "completely different content with no overlap whatsoever in any shingle at all"
+    df = spark.createDataFrame([(1, base), (2, near), (3, half), (4, other)], ["id", "text"])
+    got = {
+        (r["key_a"], r["key_b"])
+        for r in lsh_verified_pairs(df, "text", "id", min_jaccard=0.8).collect()
+    }
+    assert got == {(1, 2)}, got
+
+
 def test_cosine_topk_exact(spark):
     import numpy as np
 

@@ -157,3 +157,28 @@ def test_louvain_job_count_bounded(spark, sf_dir):
     # sweeps) or the pre-contraction probe adds ~40+ stage-jobs, which this
     # still catches with room for accounting drift.
     assert 0 < n_jobs <= 185, f"louvain ran {n_jobs} jobs — early-stop or lineage regression?"
+
+
+def test_dedup_keep_best_no_raw_gram_join(spark, sf_dir):
+    """VERDICT r4 item 2: the keep-policy's candidate stage must be
+    MinHash-LSH + candidate-keyed exact verification. A bare gram=gram
+    equi-join (all co-occurring-gram pairs) is the hot-shingle df² skew
+    bomb this rewrite removed — assert no join in the pair-producing plan
+    is keyed solely on the gram attribute."""
+    import re
+
+    from utils_spark.io import load_table
+    from utils_spark.operators.dedup import lsh_verified_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = lsh_verified_pairs(d, "text", "doc_id")
+    text = pairs._jdf.queryExecution().executedPlan().toString()
+    join_keys = re.findall(
+        r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)\s+(?:\w+\s+)?\[([^\]]*)\]", text
+    )
+    assert join_keys, f"expected equi-joins in the verify plan:\n{text[:2000]}"
+    for keys in join_keys:
+        attrs = [k.strip() for k in keys.split(",")]
+        only_gram = all(a.startswith("gram#") for a in attrs)
+        assert not only_gram, f"raw gram-gram join reappeared: [{keys}]\n{text[:3000]}"
+    assert "CartesianProduct" not in text and "BroadcastNestedLoopJoin" not in text

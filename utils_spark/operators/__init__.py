@@ -25,6 +25,7 @@ from utils_spark.operators.dedup import (  # noqa: F401
     duplicate_clusters,
     exact_dedup,
     fingerprint_duplicates,
+    lsh_verified_pairs,
     minhash_lsh_candidates,
 )
 from utils_spark.operators.similarity import cosine_topk  # noqa: F401

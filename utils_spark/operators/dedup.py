@@ -94,6 +94,53 @@ def minhash_lsh_candidates(
     )
 
 
+def lsh_verified_pairs(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    shingle_k: int = 5,
+    min_est_jaccard: float = 0.5,
+    min_jaccard: float = 0.8,
+) -> DataFrame:
+    """Exact-Jaccard duplicate pairs at corpus scale: MinHash-LSH candidate
+    generation followed by exact set-intersection verification restricted
+    to candidates → (key_a, key_b) with true Jaccard >= `min_jaccard`.
+
+    This is the production candidate stage for keep-policy dedup: the only
+    pair enumeration is the (band_id, band_hash) self-join, and the exact
+    verify joins grams by (candidate key, gram) — never a bare gram=gram
+    equi-join, whose hot-shingle df² blowup is the classic dedup skew bomb.
+    Verify volume is O(|candidates| · grams/doc). Choose banding so the
+    candidate-probability S-curve is ~1 at `min_jaccard` (defaults: 32
+    hashes / 8 bands / est >= 0.5 give miss probability < 2e-5 per pair at
+    j = 0.9); exact verification then removes every false positive.
+    """
+    from utils_spark.functions import char_shingles as _shingles
+
+    cand = minhash_lsh_candidates(
+        df, text_col, key_col, n_hashes=n_hashes, n_bands=n_bands,
+        shingle_k=shingle_k, min_est_jaccard=min_est_jaccard,
+    ).select("key_a", "key_b")
+    shingled = df.select(F.col(key_col).alias("__k"), _shingles(text_col, shingle_k).alias("grams"))
+    sz = shingled.select("__k", F.size("grams").alias("sz"))
+    g = shingled.select("__k", F.explode("grams").alias("gram"))
+    inter = (
+        cand.join(g.withColumnRenamed("__k", "key_a"), "key_a")
+        .join(g.withColumnRenamed("__k", "key_b"), ["key_b", "gram"])
+        .groupBy("key_a", "key_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    return (
+        inter.join(sz.withColumnRenamed("__k", "key_a").withColumnRenamed("sz", "sz_a"), "key_a")
+        .join(sz.withColumnRenamed("__k", "key_b").withColumnRenamed("sz", "sz_b"), "key_b")
+        .filter(jac >= min_jaccard)
+        .select("key_a", "key_b")
+    )
+
+
 def duplicate_clusters(edges: DataFrame, src: str = "key_a", dst: str = "key_b", max_iter: int = 20) -> DataFrame:
     """Connected components over a duplicate-pair edge list → (key,
     component) with component = min key in the cluster.

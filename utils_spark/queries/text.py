@@ -1045,13 +1045,17 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # extends the RECURSIVE-CTE component oracle with the keep-policy:
     # within each duplicate cluster keep the argmax-quality doc (lexical
     # diversity, ties -> smallest doc_id); identical integer arithmetic +
-    # identical IEEE division in both engines make the ranking exact
+    # identical IEEE division in both engines make the ranking exact.
+    # The oracle computes the EXACT Jaccard>=0.8 pair set the slow way
+    # (all-pairs gram join); the Spark side must recover the identical set
+    # through MinHash-LSH candidates + candidate-only exact verification —
+    # so the oracle proves the scale path loses no true duplicate pair.
     oracle="""
     WITH RECURSIVE shingled AS (
       SELECT doc_id,
              list_distinct(list_transform(range(1, GREATEST(length(text) - 4, 1) + 1),
                                           i -> substr(text, i, 5))) AS grams
-      FROM documents WHERE doc_id < 200
+      FROM documents
     ),
     exploded AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS gram FROM shingled),
     inter AS (
@@ -1062,7 +1066,7 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     pairs AS (
       SELECT doc_a, doc_b FROM inter
-      WHERE CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common) >= 0.3
+      WHERE CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common) >= 0.8
     ),
     edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -1078,7 +1082,7 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE)
              / len(regexp_split_to_array(trim(text), '\\s+')) AS q
-      FROM documents WHERE doc_id < 200
+      FROM documents
     ),
     ranked AS (
       SELECT c.component, c.doc_id, q.q,
@@ -1095,32 +1099,30 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-document selection per duplicate cluster — the KEEP step
-    every dedup pipeline runs after clustering: 5-gram Jaccard pairs →
-    connected components (distributed min-label propagation) → within each
-    cluster keep the highest-lexical-diversity doc (ties → smallest id),
-    drop the rest. Outputs per-cluster accounting with a checksum of the
-    removed docs so the oracle proves the identical keep/drop decisions."""
+    every dedup pipeline runs after clustering: MinHash-LSH candidate
+    pairs → exact-Jaccard verification on candidates ONLY → connected
+    components (distributed min-label propagation) → within each cluster
+    keep the highest-lexical-diversity doc (ties → smallest id), drop the
+    rest. Outputs per-cluster accounting with a checksum of the removed
+    docs so the oracle proves the identical keep/drop decisions.
+
+    Scale: the candidate stage is the production shape — zero-shuffle
+    MinHash signatures, a (band_id, band_hash) self-join (never all
+    co-occurring-gram pairs, which skew-bomb on any hot shingle), and the
+    exact-Jaccard join is keyed by candidate pair, so its volume is
+    O(|candidates| · grams/doc), not O(Σ df²). The oracle computes the
+    same >= 0.8 pair set exactly, proving the LSH stage (32 hashes,
+    8 bands, est >= 0.5 prefilter) loses no true pair at any tested SF.
+    """
     from pyspark.sql import Window
 
-    from utils_spark.operators.dedup import duplicate_clusters
+    from utils_spark.operators.dedup import duplicate_clusters, lsh_verified_pairs
 
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    shingled = d.select("doc_id", char_shingles("text", 5).alias("grams"))
-    exploded = shingled.select(
-        "doc_id", F.size("grams").alias("sz"), F.explode("grams").alias("gram")
-    )
-    a, b = exploded.alias("a"), exploded.alias("b")
-    inter = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(
-            F.first(F.col("a.sz")).alias("sz_a"),
-            F.first(F.col("b.sz")).alias("sz_b"),
-            F.count("*").alias("n_common"),
-        )
-    )
-    jac = F.col("n_common").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
-    pairs = inter.filter(jac >= 0.3).select("doc_a", "doc_b")
+    d = load_table(spark, sf_dir, "documents")
+    pairs = lsh_verified_pairs(
+        d, "text", "doc_id", n_hashes=32, n_bands=8, shingle_k=5,
+        min_est_jaccard=0.5, min_jaccard=0.8,
+    ).select(F.col("key_a").alias("doc_a"), F.col("key_b").alias("doc_b"))
     cc = duplicate_clusters(pairs, "doc_a", "doc_b").select(
         F.col("key").cast("long").alias("doc_id"), F.col("component").cast("long").alias("component")
     )
