@@ -53,6 +53,8 @@ _PRIORITY = (
     "batch_correction",
     "denoised_feature_selection",
     "cluster_pipeline",
+    "dedup_keep_best",  # r5: rewired onto LSH-verified pairs, cap removed
+    "pairwise_ks_one_sided",  # r5: new one-sided alternative
     # -- tier 2: first driver-green in round 4
     "sequence_packing",
     "pii_scrub",
@@ -68,7 +70,6 @@ _PRIORITY = (
     "stream_custom_state_profile",
     "multimodal_decode_certificate",
     "boilerplate_strip",
-    "dedup_keep_best",
     "vocab_coverage",
     "char_entropy_filter",
     "curation_pipeline",

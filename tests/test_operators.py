@@ -92,6 +92,46 @@ def test_pairwise_ks_matches_reference(spark):
     assert r["n_a"] == len(a) and r["n_b"] == len(b)
 
 
+def test_pairwise_ks_one_sided_matches_reference(spark):
+    """One-sided alternatives follow the scipy/R convention (group_a is the
+    first sample): greater -> D+ = max(F_a - F_b), less -> D- = max(F_b - F_a),
+    p = exp(-2 D^2 n_a n_b/(n_a+n_b)). Checked against a pooled-ECDF
+    reference implementation (and scipy when available)."""
+    from utils_spark.operators import pairwise_ks_test
+
+    a = [1.0, 2.0, 3.0, 4.0, 5.0, 2.5, 3.5]
+    b = [2.0, 4.0, 6.0, 8.0, 7.0, 5.5]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, ["g", "v"])
+
+    def ref(side):
+        pooled = sorted(set(a) | set(b))
+        na, nb = len(a), len(b)
+        diffs = [
+            sum(1 for x in a if x <= v) / na - sum(1 for x in b if x <= v) / nb for v in pooled
+        ]
+        d = max(0.0, max(diffs) if side == "greater" else max(-x for x in diffs))
+        return d, math.exp(-2 * d * d * na * nb / (na + nb))
+
+    for side in ("greater", "less"):
+        r = pairwise_ks_test(df, "v", "g", alternative=side).collect()[0]
+        d_ref, p_ref = ref(side)
+        assert math.isclose(r["ks_stat"], d_ref, rel_tol=1e-12), (side, r["ks_stat"], d_ref)
+        assert math.isclose(r["p_asymptotic"], p_ref, rel_tol=1e-12)
+        try:  # cross-check against scipy when the env has it
+            from scipy.stats import ks_2samp
+
+            s = ks_2samp(a, b, alternative=side, method="asymp")
+            assert math.isclose(r["ks_stat"], s.statistic, rel_tol=1e-9)
+        except ImportError:
+            pass
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pairwise_ks_test(df, "v", "g", alternative="bogus")
+
+
 def test_stratified_sample_exact_and_deterministic(spark):
     from utils_spark.operators import stratified_sample_exact
 

@@ -98,14 +98,20 @@ def pairwise_ks_test(
     df: DataFrame, value_col: str, group_col: str, alternative: str = "two-sided"
 ) -> DataFrame:
     """All-pairs two-sample KS tests (implements the reference's declared
-    stub `pairwise_ks_test`, R/slingshot.R:113-121) → one row per group
-    pair: (group_a, group_b, ks_stat, p_asymptotic, n_a, n_b).
+    stub `pairwise_ks_test`, R/slingshot.R:113-121, including its
+    `alternative` parameter) → one row per group pair:
+    (group_a, group_b, ks_stat, p_asymptotic, n_a, n_b).
+
+    `alternative` follows the scipy/R convention with group_a as the first
+    sample: 'two-sided' D = max|F_a − F_b| with p = 2·exp(−2D²·n_a n_b/(n_a+n_b));
+    'greater' D⁺ = max(F_a − F_b) (alternative: CDF of group_a lies above);
+    'less' D⁻ = max(F_b − F_a); one-sided p = exp(−2D²·n_a n_b/(n_a+n_b)).
 
     Distributed shape: tiny pair table broadcast against the data, per-pair
     ECDF via cumulative windows over distinct values, per-pair max-diff agg.
     """
-    if alternative != "two-sided":
-        raise NotImplementedError("only two-sided implemented")
+    if alternative not in ("two-sided", "less", "greater"):
+        raise ValueError(f"alternative must be two-sided/less/greater, got {alternative!r}")
     e = df.select(F.col(group_col).alias("__g"), F.col(value_col).alias("__v")).filter(
         F.col("__v").isNotNull()
     )
@@ -141,11 +147,20 @@ def pairwise_ks_test(
         F.sum("ca").over(wp).alias("na"),
         F.sum("cb").over(wp).alias("nb"),
     )
-    d = F.max(F.abs(F.col("fa") - F.col("fb")))
+    diff = F.col("fa") - F.col("fb")
     en = F.first("na") * F.first("nb") / (F.first("na") + F.first("nb"))
+    if alternative == "two-sided":
+        d = F.max(F.abs(diff))
+        p = F.least(F.lit(1.0), 2 * F.exp(-2 * d * d * en))
+    elif alternative == "greater":
+        d = F.greatest(F.max(diff), F.lit(0.0))
+        p = F.exp(-2 * d * d * en)
+    else:  # less
+        d = F.greatest(F.max(-diff), F.lit(0.0))
+        p = F.exp(-2 * d * d * en)
     return ecdf.groupBy("group_a", "group_b").agg(
         d.alias("ks_stat"),
-        F.least(F.lit(1.0), 2 * F.exp(-2 * d * d * en)).alias("p_asymptotic"),
+        p.alias("p_asymptotic"),
         F.first("na").cast("long").alias("n_a"),
         F.first("nb").cast("long").alias("n_b"),
     )

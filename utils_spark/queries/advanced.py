@@ -295,6 +295,72 @@ def pairwise_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pairwise_ks_one_sided",
+    # one-sided KS (scipy/R convention, group_a = first sample):
+    # greater -> D+ = max(F_a - F_b), less -> D- = max(F_b - F_a),
+    # p = exp(-2 D^2 n_a n_b / (n_a + n_b)); both directions emitted so the
+    # driver gate exercises both codepaths of the operator's `alternative`
+    oracle="""
+    WITH types AS (SELECT DISTINCT event_type AS t FROM events),
+    pairs AS (SELECT a.t AS ta, b.t AS tb FROM types a JOIN types b ON a.t < b.t),
+    tagged AS (
+      SELECT p.ta, p.tb, e.value AS v,
+             CASE WHEN e.event_type = p.ta THEN 1 ELSE 0 END AS a,
+             CASE WHEN e.event_type = p.tb THEN 1 ELSE 0 END AS b
+      FROM events e JOIN pairs p ON e.event_type IN (p.ta, p.tb)
+    ),
+    pervalue AS (
+      SELECT ta, tb, v, SUM(a) AS ca, SUM(b) AS cb FROM tagged GROUP BY ta, tb, v
+    ),
+    ecdf AS (
+      SELECT ta, tb,
+             SUM(ca) OVER w / SUM(ca) OVER wp AS fa,
+             SUM(cb) OVER w / SUM(cb) OVER wp AS fb,
+             SUM(ca) OVER wp AS na, SUM(cb) OVER wp AS nb
+      FROM pervalue
+      WINDOW w AS (PARTITION BY ta, tb ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wp AS (PARTITION BY ta, tb)
+    ),
+    d AS (
+      SELECT ta, tb,
+             GREATEST(MAX(fa - fb), 0) AS dg, GREATEST(MAX(fb - fa), 0) AS dl,
+             ANY_VALUE(na) * ANY_VALUE(nb) / (ANY_VALUE(na) + ANY_VALUE(nb)) AS en
+      FROM ecdf GROUP BY ta, tb
+    )
+    SELECT ta AS group_a, tb AS group_b, 'greater' AS alternative,
+           ROUND(dg, 6) AS ks_stat, ROUND(EXP(-2 * dg * dg * en), 6) AS p_asymptotic
+    FROM d
+    UNION ALL
+    SELECT ta, tb, 'less', ROUND(dl, 6), ROUND(EXP(-2 * dl * dl * en), 6) FROM d
+    """,
+    tags=("advanced", "M16", "stats"),
+)
+def pairwise_ks_one_sided(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided all-pairs KS tests — completes the reference's declared
+    `pairwise_ks_test(alternative=...)` signature (M16: R/slingshot.R:113-121
+    passes `alternative` through; it was the last reference-declared
+    parameter still raising NotImplementedError). Emits both directions per
+    group pair; same broadcast-pair + cumulative-window plan as the
+    two-sided query, with the signed (un-|abs|'d) ECDF-diff max."""
+    from utils_spark.operators.stats import pairwise_ks_test
+
+    e = load_table(spark, sf_dir, "events")
+    out = []
+    for side in ("greater", "less"):
+        r = pairwise_ks_test(e, "value", "event_type", alternative=side)
+        out.append(
+            r.select(
+                "group_a",
+                "group_b",
+                F.lit(side).alias("alternative"),
+                F.round("ks_stat", 6).alias("ks_stat"),
+                F.round("p_asymptotic", 6).alias("p_asymptotic"),
+            )
+        )
+    return out[0].unionAll(out[1])
+
+
+@register(
     "simhash_signature",
     oracle="""
     WITH toks AS (
