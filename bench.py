@@ -68,8 +68,17 @@ def main() -> None:
     spark = get_spark(app_name="utils_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # session warm-up: JVM/codegen/parquet-footer caches
-    registry["grouped_quantiles"].fn(spark, sf_dir).collect()
+    # session warm-up through the SAME noop-sink path the timed runs use:
+    # a collect() warm-up (rounds 1-4) left the noop DataWritingCommand
+    # classload + write-path codegen to the first timed query, which is why
+    # slot 1 (grouped_quantiles) ran ~2x its mid-run time in every BENCH_rN
+    (
+        registry["grouped_quantiles"]
+        .fn(spark, sf_dir)
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
 
     def time_query(name: str) -> float:
         qd = registry[name]
