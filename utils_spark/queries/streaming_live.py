@@ -131,6 +131,65 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_session_windows_append",
+    # PRODUCTION-form session stream: append output + watermark. Only
+    # sessions the terminal watermark (max event time - 2h) has passed are
+    # emitted — the oracle re-derives that eviction boundary in SQL, so
+    # the driver gate certifies streaming state EVICTION, not just state
+    # content. (Spark truncates watermarks to whole milliseconds; the
+    # testdata has no session ending inside the sub-millisecond boundary
+    # band at any SF — verified for all four candidate boundary rules —
+    # so the microsecond-exact SQL below is unambiguous.)
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ),
+    gaps AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM gaps
+    ),
+    agg AS (
+      SELECT user_id, MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL '30 minutes' AS session_end,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             ROUND(SUM(value), 4) AS session_value
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT * FROM agg
+    WHERE session_end <= (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM ev) - INTERVAL '2 hours'
+    """,
+    tags=("streaming", "session", "live", "append"),
+)
+def stream_session_windows_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE session-window streaming in its UNBOUNDED-production shape
+    (§2.9): readStream → session_window state → ``append`` output with a
+    2-hour watermark. Unlike the ``complete``-mode twin (which
+    rematerializes full state into the sink every batch — fine for
+    availableNow gating, wrong for an unbounded run), append emits each
+    session exactly once, when the watermark passes its end, and the state
+    store EVICTS it — bounded state forever. The oracle filters batch
+    sessionization to sessions the terminal watermark finalized, so the
+    eviction boundary itself is cross-engine-checked."""
+    from utils_spark.streaming import read_events_stream, sessionized_stream
+
+    out = _run_to_table(
+        spark, sessionized_stream(read_events_stream(spark, sf_dir)), "append"
+    )
+    return out.select(
+        "user_id", "session_start", "session_end", "n_events", "session_value"
+    )
+
+
+@register(
     "stream_stateful_dedup",
     oracle="""
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
