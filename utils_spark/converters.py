@@ -35,6 +35,28 @@ class ConverterUnavailable(RuntimeError):
     """Raised when the optional source-format library is not installed."""
 
 
+def matrix_contract_schema():
+    """The fixed arrow schema of ``matrix.parquet`` — single source of
+    truth shared by every writer of the contract (the h5py block streamer
+    and any in-memory producer), so a contract drift is impossible."""
+    import pyarrow as pa
+
+    return pa.schema(
+        [("cell_id", pa.int64()), ("gene_id", pa.int64()), ("value", pa.float64())]
+    )
+
+
+def open_matrix_writer(out_dir: str):
+    """Open the contract ParquetWriter for ``<out_dir>/matrix.parquet``.
+    Callers append COO chunks with ``w.write_table(pa.table({...},
+    schema=matrix_contract_schema()))`` — the same incremental row-group
+    path ``loom_to_parquet`` streams HDF5 blocks through."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    return pq.ParquetWriter(os.path.join(out_dir, "matrix.parquet"), matrix_contract_schema())
+
+
 def loom_to_parquet(loom_path: str, out_dir: str, chunk_cols: int = 2048) -> dict:
     """Convert a .loom file (HDF5: /matrix genes×cells, /row_attrs,
     /col_attrs — the layout LoomExperiment::import reads at
@@ -64,11 +86,9 @@ def loom_to_parquet(loom_path: str, out_dir: str, chunk_cols: int = 2048) -> dic
     with h5py.File(loom_path, "r") as f:
         mat = f["/matrix"]  # loom convention: genes (rows) × cells (cols)
         n_genes, n_cells = mat.shape
-        schema = pa.schema(
-            [("cell_id", pa.int64()), ("gene_id", pa.int64()), ("value", pa.float64())]
-        )
+        schema = matrix_contract_schema()
         nnz = 0
-        with pq.ParquetWriter(os.path.join(out_dir, "matrix.parquet"), schema) as w:
+        with open_matrix_writer(out_dir) as w:
             for start in range(0, n_cells, chunk_cols):
                 block = np.asarray(mat[:, start : start + chunk_cols], dtype=float)
                 g_idx, c_idx = np.nonzero(block)

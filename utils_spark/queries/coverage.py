@@ -463,3 +463,107 @@ def csv_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s_suppkey").cast("long").alias("key_checksum"),
         F.sum(F.length("s_name")).cast("long").alias("name_chars"),
     )
+
+
+@register(
+    "converter_roundtrip",
+    # the matrix is derived from lineitem with a BOUNDED key space
+    # (97 cells x 61 genes), so the oracle can recompute the identical
+    # pseudobulk straight from lineitem: double sums of integer-valued
+    # quantities are exact in both engines
+    oracle="""
+    WITH coo AS (
+      SELECT CAST(l_orderkey % 97 AS BIGINT) AS cell_id,
+             CAST(l_partkey % 61 AS BIGINT) AS gene_id,
+             SUM(CAST(l_quantity AS DOUBLE)) AS value
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT 'grp_' || CAST(cell_id % 5 AS VARCHAR) AS label,
+           gene_id,
+           ROUND(SUM(value), 4) AS total,
+           CAST(COUNT(*) AS BIGINT) AS n_cells_expressing
+    FROM coo GROUP BY 1, 2
+    """,
+    tags=("io", "S5", "S6", "S9", "converter", "roundtrip"),
+)
+def converter_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converter-contract roundtrip (reference S5/S6/S9: R/reference.R:38,78
+    readRDS / LoomExperiment::import — converted offline per SURVEY §2.1):
+    a COO matrix derived from lineitem is written through the converters'
+    OWN parquet contract writer (same arrow schema + incremental row-group
+    ParquetWriter that ``loom_to_parquet`` streams HDF5 blocks into, in two
+    chunks to exercise multi-row-group appends), read back through
+    ``load_matrix_tables`` (which enforces the dtype contract), and pushed
+    through ``pseudobulk_from_matrix`` — the reference's first post-load
+    step. The h5py block *reader* stays env-gated (no h5py here); this
+    anchors everything downstream of it: schema, writer, validation,
+    loader, and first operator.
+
+    The driver-side collect is bounded by the 97x61 key space (<= 5,917
+    rows at ANY SF), not the data volume."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from utils_spark.converters import (
+        load_matrix_tables,
+        matrix_contract_schema,
+        open_matrix_writer,
+        pseudobulk_from_matrix,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    coo = (
+        li.select(
+            (F.col("l_orderkey") % 97).cast("long").alias("cell_id"),
+            (F.col("l_partkey") % 61).cast("long").alias("gene_id"),
+            F.col("l_quantity").cast("double").alias("value"),
+        )
+        .groupBy("cell_id", "gene_id")
+        .agg(F.sum("value").alias("value"))
+        .orderBy("cell_id", "gene_id")
+    )
+    rows = coo.collect()
+    out_dir = f"/tmp/utils_spark_converter_roundtrip_{uuid.uuid4().hex[:12]}"
+    schema = matrix_contract_schema()
+    with open_matrix_writer(out_dir) as w:
+        half = max(1, len(rows) // 2)
+        for chunk in (rows[:half], rows[half:]):
+            if chunk:
+                w.write_table(
+                    pa.table(
+                        {
+                            "cell_id": [r["cell_id"] for r in chunk],
+                            "gene_id": [r["gene_id"] for r in chunk],
+                            "value": [r["value"] for r in chunk],
+                        },
+                        schema=schema,
+                    )
+                )
+    pq.write_table(
+        pa.table(
+            {
+                "cell_id": pa.array(range(97), pa.int64()),
+                "label": [f"grp_{i % 5}" for i in range(97)],
+            }
+        ),
+        f"{out_dir}/cells.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "gene_id": pa.array(range(61), pa.int64()),
+                "symbol": [f"G{i:03d}" for i in range(61)],
+            }
+        ),
+        f"{out_dir}/genes.parquet",
+    )
+    tables = load_matrix_tables(spark, out_dir)
+    pb = pseudobulk_from_matrix(tables, "label")
+    return pb.select(
+        "label",
+        "gene_id",
+        F.round("total", 4).alias("total"),
+        "n_cells_expressing",
+    )
