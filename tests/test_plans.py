@@ -135,11 +135,12 @@ def test_curation_pipeline_no_cartesian(spark, sf_dir):
 def test_louvain_job_count_bounded(spark, sf_dir):
     """Iterative-op job-count contract (machine-independent, unlike wall
     time): the planted-clique Louvain query must converge within a bounded
-    number of Spark jobs — level-1 sweeps reach the desired-move fixed
-    point in 3 sweeps (2 parity moves + 1 convergence check), and the
-    pre-contraction crossing probe must skip level 2 entirely. A job-count
-    blowup here is a lost early-stop or a lineage regression even when
-    results stay correct."""
+    number of Spark jobs — id-decreasing moves are ungated, so each clique
+    collapses onto its min node in one sweep and level 1 reaches the
+    desired-move fixed point in ~2-3 sweeps, and the pre-contraction
+    crossing probe must skip level 2 entirely. A job-count blowup here is
+    a lost early-stop or a lineage regression even when results stay
+    correct."""
     sc = spark.sparkContext
     group = "louvain_job_count"
     sc.setJobGroup(group, "louvain job-count contract")
@@ -150,13 +151,14 @@ def test_louvain_job_count_bounded(spark, sf_dir):
     tracker = sc.statusTracker()
     n_jobs = len(tracker.getJobIdsForGroup(group))
     # AQE submits every shuffle stage as its own job, so the count is high
-    # but deterministic FOR A GIVEN SPARK VERSION: baseline measured on
-    # Spark 4.1.2 (3 reps identical) after the round-4 early-stop. AQE's
-    # stage-as-job accounting shifts across minor versions, so the bound is
-    # deliberately coarse: losing the desired-move convergence (2 extra
-    # sweeps) or the pre-contraction probe adds ~40+ stage-jobs, which this
-    # still catches with room for accounting drift.
-    assert 0 < n_jobs <= 185, f"louvain ran {n_jobs} jobs — early-stop or lineage regression?"
+    # but deterministic FOR A GIVEN SPARK VERSION: baseline 79 measured on
+    # Spark 4.1.2 after the round-5 ungated-id-decreasing-move change
+    # (was 151 with parity-only gating). AQE's stage-as-job accounting
+    # shifts across minor versions, so the bound is deliberately coarse:
+    # losing the id-decreasing fast path or the desired-move early-stop
+    # adds back 3+ sweeps (~40+ stage-jobs), which this still catches with
+    # room for accounting drift.
+    assert 0 < n_jobs <= 120, f"louvain ran {n_jobs} jobs — early-stop or lineage regression?"
 
 
 def test_dedup_keep_best_no_raw_gram_join(spark, sf_dir):

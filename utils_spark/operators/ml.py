@@ -223,13 +223,20 @@ def louvain_communities(
     R/wrapper.R:296-303 FindClusters algorithm 1 — Blondel et al. 2008),
     distributed as synchronous local moving + graph contraction.
 
-    Each sweep every (parity-eligible) node evaluates, per neighboring
-    community C, the resolution-scaled modularity gain
+    Each sweep every node evaluates, per neighboring community C, the
+    resolution-scaled modularity gain
     ΔQ(i→C) = w(i→C)/2m − γ·k_i·tot(C∖i)/(2m)² and adopts the argmax if it
     strictly beats staying (ties → smallest community id). Synchronous
-    moves can oscillate in bipartite-ish structures, so only nodes with
-    xxhash64(node)%2 == iter%2 may move each sweep — deterministic and
-    convergent. After the sweeps converge, the graph is contracted
+    moves can oscillate in bipartite-ish structures; two gates make the
+    sweep deterministic and convergent without halving throughput:
+    a move to a SMALLER community id is always allowed (each such move
+    strictly decreases that node's label, and labels are bounded below, so
+    id-decreasing moves can never cycle — and since ties break toward the
+    smallest id, this is the common direction: cliques collapse onto their
+    min node in one sweep instead of log₂(size) parity rounds), while an
+    id-increasing move additionally requires xxhash64(node)%2 == iter%2
+    (the parity gate that breaks A⇄B swap cycles, which are always
+    id-increasing on one side). After the sweeps converge, the graph is contracted
     (communities become super-nodes, parallel edges summed) and the next
     level repeats on the quotient graph; final labels compose the levels.
 
@@ -304,7 +311,12 @@ def louvain_communities(
                     F.col("u").alias("node"),
                     F.col("c").alias("c_best"),
                     F.col("c_own"),
-                    (F.pmod(F.xxhash64("u"), F.lit(2)) == F.lit(it % 2)).alias("eligible"),
+                    # id-decreasing moves are monotone (can't cycle) → always
+                    # eligible; id-increasing moves need the parity gate
+                    (
+                        (F.col("c") < F.col("c_own"))
+                        | (F.pmod(F.xxhash64("u"), F.lit(2)) == F.lit(it % 2))
+                    ).alias("eligible"),
                 )
             )
             moved = best.withColumn(
