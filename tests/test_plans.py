@@ -184,3 +184,12 @@ def test_dedup_keep_best_no_raw_gram_join(spark, sf_dir):
         only_gram = all(a.startswith("gram#") for a in attrs)
         assert not only_gram, f"raw gram-gram join reappeared: [{keys}]\n{text[:3000]}"
     assert "CartesianProduct" not in text and "BroadcastNestedLoopJoin" not in text
+
+
+def test_quality_classifier_scoring_map_only(spark, sf_dir):
+    """The learned quality gate's scoring pass must be a broadcast-model
+    scan-transform: exactly one exchange (the final global agg), no joins —
+    at 100 TB the corpus scoring is a pure map."""
+    p = _plan(spark, sf_dir, "quality_classifier_filter")
+    assert p.n_exchanges <= 1, p.text[:2000]
+    assert p.n_broadcast_joins == 0 and p.n_sortmerge_joins == 0

@@ -1400,3 +1400,76 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("total_tokens", F.lit(0)).alias("total_tokens"),
         )
     )
+
+
+@register(
+    "quality_classifier_filter",
+    # exact-recovery certificate for MODEL-BASED quality filtering: the
+    # planted feature margin (+-1 signal, |noise| <= 0.1) makes the seed
+    # set linearly separable with margin ~0.9, so the trained separator
+    # provably classifies every doc (seed or not) by the signal's sign —
+    # the keep set equals the planted doc_id rule and the oracle is exact
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_seed,
+           CAST(SUM(CASE WHEN doc_id % 7 < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN doc_id % 7 < 3 THEN doc_id ELSE 0 END) AS BIGINT)
+             AS kept_checksum,
+           1.0 AS accuracy
+    FROM documents
+    """,
+    tags=("text", "quality", "llm-pipeline", "ml", "certificate"),
+)
+def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering — the classifier gate modern curation
+    pipelines run after rule-based cleaning (train a quality model on a
+    labeled seed set, score the whole corpus, keep docs above threshold;
+    the FineWeb-Edu / DCLM-style stage). Rule-based quality lives in
+    `quality_score`; this adds the LEARNED gate with the same engine
+    contract.
+
+    Distributed shape: LogisticRegression.fit is a treeAggregate over the
+    seed partition (no driver-side data pass), and scoring is a
+    broadcast-model `transform` — map-only over the corpus, no shuffle; at
+    100 TB the scoring pass is a pure scan-transform and only the (tiny)
+    seed set feeds training.
+
+    Certificate: quality ground truth is planted as doc_id % 7 < 3; the
+    signal feature is the label's +-1 encoding plus md5-derived noise
+    bounded in [-0.1, 0.1) (margin ~0.9), a real lexical-diversity feature
+    rides along as an uninformative second dimension, and the seed is
+    doc_id % 3 == 0 (both classes present at every SF). Any separator of
+    the seed margin classifies ALL docs by the signal's sign, so
+    exact-recovery (accuracy 1.0, keep-set checksum) has a constant-free
+    SQL oracle over the planted rule."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = (F.pmod("doc_id", F.lit(7)) < 3).cast("double")
+    noise = (md5_long(F.col("doc_id").cast("string")) % 1000) / 5000.0 - 0.1
+    toks = word_tokens("text")
+    feat = docs.select(
+        "doc_id",
+        planted.alias("y"),
+        array_to_vector(
+            F.array(
+                (F.when(planted == 1.0, 1.0).otherwise(-1.0) + noise).alias("signal"),
+                (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)),
+            )
+        ).alias("features"),
+    )
+    seed = feat.filter(F.pmod("doc_id", F.lit(3)) == 0)
+    model = LogisticRegression(
+        featuresCol="features", labelCol="y", maxIter=50, regParam=0.01
+    ).fit(seed)
+    scored = model.transform(feat).select("doc_id", "y", "prediction")
+    return scored.agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.pmod("doc_id", F.lit(3)) == 0).cast("long")).alias("n_seed"),
+        F.sum((F.col("prediction") == 1.0).cast("long")).alias("n_kept"),
+        F.sum(F.when(F.col("prediction") == 1.0, F.col("doc_id")).otherwise(0))
+        .cast("long")
+        .alias("kept_checksum"),
+        F.round(F.avg((F.col("prediction") == F.col("y")).cast("double")), 6).alias("accuracy"),
+    )
