@@ -58,6 +58,7 @@ _PRIORITY = (
     "stream_session_windows_append",  # r5: production append+watermark form
     "converter_roundtrip",  # r5: S5/S6/S9 contract writer+loader+pseudobulk
     "quality_classifier_filter",  # r5: learned quality gate certificate
+    "stream_curation_funnel",  # r5: incremental curation (stream quality+dedup)
     # -- tier 2: first driver-green in round 4
     "sequence_packing",
     "pii_scrub",

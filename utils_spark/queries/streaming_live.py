@@ -338,3 +338,76 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         F.sum(F.col("event_id") + F.col("event_id_r")).cast("long").alias("pair_checksum"),
     )
+
+
+@register(
+    "stream_curation_funnel",
+    # streamed re-crawl: the document stream unioned with itself (every doc
+    # arrives twice) -> per-(source, dedup-key) streaming state; passing
+    # docs key by normalized-text fingerprint (duplicates collapse in
+    # state), rejects key uniquely (p_/r_ prefix disambiguates). The sink
+    # is invariant to arrival order, so the batch SQL funnel is exact.
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             len(regexp_split_to_array(trim(text), '\\s+')) >= 40 AS pass,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+             doc_id
+      FROM documents
+    )
+    SELECT source,
+           CAST(2 * COUNT(*) AS BIGINT) AS docs_in,
+           CAST(2 * SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS docs_pass,
+           CAST(COUNT(DISTINCT CASE WHEN pass THEN fp END) AS BIGINT) AS uniq_docs
+    FROM t GROUP BY source
+    """,
+    tags=("streaming", "llm-pipeline", "dedup", "quality", "live"),
+)
+def stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE streaming curation funnel — the north-star pipeline in its
+    INCREMENTAL form (new crawl data lands as a stream; the batch twin is
+    `curation_pipeline`): document file stream, self-unioned to simulate a
+    re-crawl delivering every doc twice → token-count quality gate (map) →
+    per-(source, dedup-key) streaming aggregation, where passing docs key
+    by normalized-text md5 fingerprint so re-crawled duplicates collapse
+    into one state row. The drained sink is batch-aggregated into the
+    per-source funnel: docs seen, docs passing, unique passing docs.
+
+    Scale shape: the quality gate is a stateless map; the only state is
+    one row per distinct (source, fingerprint) — the same key-compression
+    exact dedup uses in batch — so state grows with UNIQUE content, not
+    stream length. On a cluster the identical plan runs unbounded with a
+    watermarked ingest timestamp for state TTL."""
+    docs_schema = load_table_schema(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    stream = stream.union(stream)  # re-crawl: every doc arrives twice
+    from utils_spark.functions import word_tokens
+
+    passing = F.size(word_tokens("text")) >= 40
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    keyed = stream.select(
+        "source",
+        F.when(passing, F.concat(F.lit("p_"), fp))
+        .otherwise(F.concat(F.lit("r_"), F.col("doc_id").cast("string")))
+        .alias("key"),
+    )
+    counts = keyed.groupBy("source", "key").agg(F.count("*").alias("n"))
+    out = _run_to_table(spark, counts, "complete")
+    is_pass = F.col("key").startswith("p_")
+    return out.groupBy("source").agg(
+        F.sum("n").cast("long").alias("docs_in"),
+        F.sum(F.when(is_pass, F.col("n")).otherwise(0)).cast("long").alias("docs_pass"),
+        F.sum(is_pass.cast("long")).alias("uniq_docs"),
+    )
+
+
+def load_table_schema(spark: SparkSession, sf_dir: str):
+    """Schema for the documents file stream, taken from the batch loader so
+    stream and batch agree by construction."""
+    from utils_spark.io import load_table
+
+    return load_table(spark, sf_dir, "documents").schema
