@@ -59,6 +59,7 @@ _PRIORITY = (
     "converter_roundtrip",  # r5: S5/S6/S9 contract writer+loader+pseudobulk
     "quality_classifier_filter",  # r5: learned quality gate certificate
     "stream_curation_funnel",  # r5: incremental curation (stream quality+dedup)
+    "strict_na_aggregation",  # r5: R-default NA-poisoning aggregates
     # -- tier 2: first driver-green in round 4
     "sequence_packing",
     "pii_scrub",

@@ -92,6 +92,24 @@ def test_pairwise_ks_matches_reference(spark):
     assert r["n_a"] == len(a) and r["n_b"] == len(b)
 
 
+def test_strict_aggregates_poison_on_null(spark):
+    """strict_mean/strict_sum must return NULL when any input is NULL
+    (R default na.rm=FALSE) and the plain aggregate otherwise."""
+    from utils_spark.functions import strict_mean, strict_sum
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0), ("b", 2.0), ("b", 4.0)], ["g", "v"]
+    )
+    rows = {
+        r["g"]: r
+        for r in df.groupBy("g")
+        .agg(strict_mean("v").alias("m"), strict_sum("v").alias("s"))
+        .collect()
+    }
+    assert rows["a"]["m"] is None and rows["a"]["s"] is None
+    assert rows["b"]["m"] == 3.0 and rows["b"]["s"] == 6.0
+
+
 def test_pairwise_ks_one_sided_matches_reference(spark):
     """One-sided alternatives follow the scipy/R convention (group_a is the
     first sample): greater -> D+ = max(F_a - F_b), less -> D- = max(F_b - F_a),

@@ -104,6 +104,23 @@ def word_tokens(text: Column | str) -> Column:
     return F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != "")
 
 
+def strict_mean(value: Column | str) -> Column:
+    """NA-poisoning mean — R's ``mean(x)`` DEFAULT (na.rm=FALSE): NULL if
+    ANY input is NULL, else the mean. Spark's ``avg`` matches only R's
+    na.rm=TRUE form (SURVEY §1.2 semantics gap); this aggregate closes the
+    default case: ``count(*) == count(col)`` detects poisoning NULLs with
+    zero extra passes. Use inside ``groupBy(...).agg(...)``."""
+    v = F.col(value) if isinstance(value, str) else value
+    return F.when(F.count(F.lit(1)) == F.count(v), F.avg(v))
+
+
+def strict_sum(value: Column | str) -> Column:
+    """NA-poisoning sum — R's ``sum(x)`` default (na.rm=FALSE): NULL if any
+    input is NULL. See ``strict_mean``."""
+    v = F.col(value) if isinstance(value, str) else value
+    return F.when(F.count(F.lit(1)) == F.count(v), F.sum(v))
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<double> columns, JVM-side.
 

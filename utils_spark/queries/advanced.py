@@ -55,6 +55,58 @@ def na_drop_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "strict_na_aggregation",
+    # R-default NA semantics (na.rm=FALSE): any NULL poisons the aggregate.
+    # Values are 2dp-quantized, so the 100x-scaled LONG sum is exact in
+    # both engines and the mean is a deterministic integer/count division
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CASE WHEN event_id % 997 = 0 AND event_type <> 'click' THEN NULL
+                  ELSE CAST(ROUND(value * 100) AS BIGINT) END AS v100
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) - COUNT(v100) AS BIGINT) AS n_null,
+           CASE WHEN COUNT(*) = COUNT(v100) THEN SUM(v100) / 100.0 END AS strict_sum_v,
+           ROUND(CASE WHEN COUNT(*) = COUNT(v100) THEN AVG(v100) / 100.0 END, 6)
+             AS strict_mean_v,
+           ROUND(AVG(v100) / 100.0, 6) AS mean_na_rm
+    FROM e GROUP BY event_type
+    """,
+    tags=("advanced", "nulls", "semantics"),
+)
+def strict_na_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R-DEFAULT NA aggregation semantics (SURVEY §1.2 semantics gap:
+    R's ``mean(x)``/``sum(x)`` are NA-poisoning by default — na.rm=FALSE —
+    while Spark's avg/sum silently skip NULLs, matching only the explicit
+    na.rm=TRUE calls like R/slingshot.R:83). The ``strict_mean`` /
+    ``strict_sum`` aggregates close the default case: NULL out the result
+    when any input is NULL, detected by count(*) vs count(col) — zero
+    extra passes, same single-shuffle plan. NULLs are synthesized
+    deterministically (event_id % 997, sparing 'click' so a clean group
+    always exists); poisoned and clean groups appear side by side with
+    the null-skipping mean for contrast."""
+    from utils_spark.functions import strict_mean, strict_sum
+
+    poisoned = (F.col("event_id") % 997 == 0) & (F.col("event_type") != "click")
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(poisoned, None)
+        .otherwise(F.round(F.col("value") * 100).cast("long"))
+        .alias("v100"),
+    )
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_total"),
+        (F.count("*") - F.count("v100")).cast("long").alias("n_null"),
+        (strict_sum("v100") / 100.0).alias("strict_sum_v"),
+        F.round(strict_mean("v100") / 100.0, 6).alias("strict_mean_v"),
+        F.round(F.avg("v100") / 100.0, 6).alias("mean_na_rm"),
+    )
+
+
+@register(
     "array_row_aggs",
     oracle="""
     SELECT vec_id,
