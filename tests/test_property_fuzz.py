@@ -193,3 +193,50 @@ def test_char_entropy_bounds(spark, reps, alpha):
     assert abs(h - math.log(alpha)) < 1e-9  # uniform hits the upper bound
     if alpha == 1:
         assert abs(h) < 1e-12
+
+
+@given(
+    n_docs=st.integers(min_value=2, max_value=8),
+    n_dups=st.integers(min_value=0, max_value=4),
+    seed=st.integers(min_value=0, max_value=10),
+)
+@settings(**SETTINGS)
+def test_lsh_verified_pairs_fuzz(spark, n_docs, n_dups, seed):
+    """lsh_verified_pairs must equal brute-force exact-Jaccard pairs on
+    corpora with a constructed margin: near-dups are one-word edits of a
+    base doc (jaccard >= ~0.9), distinct docs share no content words
+    (jaccard ~= 0) — so the 0.8 threshold sits inside a wide gap and the
+    LSH candidate stage (deterministic hashes) must recall every true
+    pair; exact verification must kill every false one."""
+    import random
+
+    from utils_spark.operators.dedup import lsh_verified_pairs
+
+    rng = random.Random(seed)
+    words = [f"tokenword{seed}x{i}" for i in range(40)]
+    docs = {}
+    for i in range(n_docs):
+        base = rng.sample(words, 12) + [f"uniq{i}q{j}" for j in range(8)]
+        docs[i] = " ".join(base)
+    for j in range(min(n_dups, n_docs)):
+        text = docs[j].split()
+        text[rng.randrange(len(text))] = "editedword"
+        docs[100 + j] = " ".join(text)  # near-dup of doc j
+
+    def shingles(t, k=5):
+        return {t[i : i + k] for i in range(max(len(t) - k + 1, 1))}
+
+    truth = set()
+    ids = sorted(docs)
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            sa, sb = shingles(docs[ids[a]]), shingles(docs[ids[b]])
+            if len(sa & sb) / len(sa | sb) >= 0.8:
+                truth.add((ids[a], ids[b]))
+
+    df = spark.createDataFrame(list(docs.items()), ["id", "text"])
+    got = {
+        (r["key_a"], r["key_b"])
+        for r in lsh_verified_pairs(df, "text", "id", min_jaccard=0.8).collect()
+    }
+    assert got == truth, (got, truth)
