@@ -60,6 +60,7 @@ _PRIORITY = (
     "quality_classifier_filter",  # r5: learned quality gate certificate
     "stream_curation_funnel",  # r5: incremental curation (stream quality+dedup)
     "strict_na_aggregation",  # r5: R-default NA-poisoning aggregates
+    "bm25_retrieval",  # r5: BM25 top-k retrieval primitive
     # -- tier 2: first driver-green in round 4
     "sequence_packing",
     "pii_scrub",

@@ -1473,3 +1473,107 @@ def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kept_checksum"),
         F.round(F.avg((F.col("prediction") == F.col("y")).cast("double")), 6).alias("accuracy"),
     )
+
+
+@register(
+    "bm25_retrieval",
+    # identical BM25 arithmetic (k1=1.2, b=0.75, ln-IDF) in both engines;
+    # ranking key is (9dp-rounded score DESC, doc_id) in BOTH so the top-20
+    # prefix is deterministic cross-engine
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS dlen
+      FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(dlen) AS avglen FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok
+      WHERE token IN ('window', 'join', 'column') GROUP BY doc_id, token
+    ),
+    idf AS (
+      SELECT token,
+             ln(1 + ((SELECT n_docs FROM stats) - COUNT(DISTINCT doc_id) + 0.5)
+                    / (COUNT(DISTINCT doc_id) + 0.5)) AS idf
+      FROM tf GROUP BY token
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(idf.idf * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dlen / (SELECT avglen FROM stats))))
+               AS score
+      FROM tf JOIN idf USING (token) JOIN dl USING (doc_id)
+      GROUP BY tf.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY ROUND(score, 9) DESC, doc_id) AS rank
+      FROM scored
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, doc_id, ROUND(score, 6) AS bm25
+    FROM ranked WHERE rank <= 20
+    """,
+    tags=("text", "retrieval", "llm-pipeline", "bm25"),
+)
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval over the corpus — the scoring primitive behind
+    retrieval-based decontamination and retrieval-augmented data selection
+    (query terms: 'window join column', k1=1.2, b=0.75, the
+    Robertson/Sparck-Jones ln-IDF).
+
+    Scale shape: the token explode is filtered to the query terms BEFORE
+    any shuffle (an In predicate on the exploded token), so tf is keyed by
+    (doc, term) with |terms| bounded by the query; df/IDF aggregate over
+    the query terms only; corpus stats (N, avg doclen) are one scalar agg
+    broadcast via crossJoin; the top-20 is a distributed
+    TakeOrderedAndProject (per-partition top-k, then merge), never a
+    global sort."""
+    TERMS = ["window", "join", "column"]
+    K1, B = 1.2, 0.75
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", word_tokens("text").alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").alias("dlen"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dlen").alias("avglen"))
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("token"))
+        .filter(F.col("token").isin(TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = (
+        tf.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "token",
+            F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avglen")))
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * F.col("tf")
+            * (K1 + 1)
+            / (F.col("tf") + K1 * (1 - B + B * F.col("dlen") / F.col("avglen"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    top = scored.orderBy(F.round("score", 9).desc(), F.col("doc_id")).limit(20)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.round("score", 9).desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("bm25"),
+    )
