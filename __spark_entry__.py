@@ -61,6 +61,7 @@ _PRIORITY = (
     "stream_curation_funnel",  # r5: incremental curation (stream quality+dedup)
     "strict_na_aggregation",  # r5: R-default NA-poisoning aggregates
     "bm25_retrieval",  # r5: BM25 top-k retrieval primitive
+    "importance_weights_dsir",  # r5: hashed-feature importance weighting
     # -- tier 2: first driver-green in round 4
     "sequence_packing",
     "pii_scrub",

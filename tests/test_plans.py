@@ -193,3 +193,12 @@ def test_quality_classifier_scoring_map_only(spark, sf_dir):
     p = _plan(spark, sf_dir, "quality_classifier_filter")
     assert p.n_exchanges <= 1, p.text[:2000]
     assert p.n_broadcast_joins == 0 and p.n_sortmerge_joins == 0
+
+
+def test_bm25_distributed_topk(spark, sf_dir):
+    """BM25's top-20 must be a distributed TakeOrdered (per-partition
+    top-k, then merge), never a global single-task sort; the only
+    cross joins are broadcast-of-scalar-aggregate stats."""
+    p = _plan(spark, sf_dir, "bm25_retrieval")
+    assert "TakeOrderedAndProject" in p.text, p.text[:2000]
+    assert "CartesianProduct" not in p.text

@@ -1577,3 +1577,94 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round("score", 6).alias("bm25"),
     )
+
+
+@register(
+    "importance_weights_dsir",
+    # DSIR-style hashed-feature importance weights: identical md5 bucket
+    # arithmetic, identical Laplace smoothing, identical ln ratios in both
+    # engines; per-doc log-weight sums rounded at 6dp; top-20 ranked on
+    # the 9dp-rounded weight with doc_id tiebreak so the prefix is
+    # deterministic cross-engine
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(unnest(regexp_split_to_array(trim(text), '\\s+'))), 1, 15))
+                  AS BIGINT) % 256 AS b
+      FROM documents
+    ),
+    bucket AS (
+      SELECT b,
+             SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+             SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS cs
+      FROM tok GROUP BY b
+    ),
+    tot AS (SELECT SUM(ct) AS tt, SUM(cs) AS ts FROM bucket),
+    ratio AS (
+      SELECT b, ln( ((ct + 1.0) / ((SELECT tt FROM tot) + 256.0))
+                  / ((cs + 1.0) / ((SELECT ts FROM tot) + 256.0)) ) AS lr
+      FROM bucket
+    ),
+    w AS (
+      SELECT t.doc_id, SUM(r.lr) AS lw
+      FROM tok t JOIN ratio r USING (b)
+      WHERE t.source <> 'src0'
+      GROUP BY t.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, lw, row_number() OVER (ORDER BY ROUND(lw, 9) DESC, doc_id) AS rank
+      FROM w
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, doc_id, ROUND(lw, 6) AS log_weight
+    FROM ranked WHERE rank <= 20
+    """,
+    tags=("text", "data-selection", "llm-pipeline", "dsir"),
+)
+def importance_weights_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting for targeted data selection (Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling" — public method): raw-corpus docs are scored by the
+    log-likelihood ratio of a TARGET distribution vs the RAW distribution
+    over hashed unigram features (md5 % 256 buckets, Laplace-smoothed);
+    the top-weighted docs are the ones importance resampling would keep.
+    Here docs from 'src0' proxy the target corpus and all other sources
+    are the raw pool; the query returns the top-20 selection.
+
+    Scale shape: the feature space is FIXED (256 buckets), so the
+    distribution estimate is one bounded groupBy; the per-doc score is a
+    broadcast join of the 256-row log-ratio table onto the token stream +
+    one (doc) aggregation; selection is a distributed TakeOrdered. The
+    heavy raw corpus is touched by exactly one scan, one bounded agg, and
+    one map-side-combined doc agg."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "source", F.explode(word_tokens("text")).alias("token")).select(
+        "doc_id", "source", F.pmod(md5_long("token"), F.lit(256)).alias("b")
+    )
+    is_target = F.col("source") == "src0"
+    bucket = tok.groupBy("b").agg(
+        F.sum(is_target.cast("long")).alias("ct"),
+        F.sum((~is_target).cast("long")).alias("cs"),
+    )
+    tot = bucket.agg(F.sum("ct").alias("tt"), F.sum("cs").alias("ts"))
+    ratio = bucket.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.log(
+            ((F.col("ct") + 1.0) / (F.col("tt") + 256.0))
+            / ((F.col("cs") + 1.0) / (F.col("ts") + 256.0))
+        ).alias("lr"),
+    )
+    w = (
+        tok.filter(~is_target)
+        .join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("lr").alias("lw"))
+    )
+    top = w.orderBy(F.round("lw", 9).desc(), F.col("doc_id")).limit(20)
+    from pyspark.sql import Window
+
+    rw = Window.orderBy(F.round("lw", 9).desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(rw)).select(
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("lw", 6).alias("log_weight"),
+    )
