@@ -41,18 +41,28 @@ def main() -> None:
     # 4. exact + near dedup (hash groupBy; MinHash+LSH banding — never n²)
     show("doc_fingerprint")
     show("minhash_lsh_pairs")
-    # 5. canonical-doc selection per duplicate cluster
+    # 5. canonical-doc selection per duplicate cluster (LSH-verified
+    #    candidate pairs — corpus-scale, no doc cap)
     show("dedup_keep_best")
-    # 6. similarity search over embeddings (broadcast queries; IVF scale path)
+    # 6. learned quality gate (seed-trained classifier, broadcast-model
+    #    map-only corpus scoring)
+    show("quality_classifier_filter")
+    # 7. similarity search over embeddings (broadcast queries; IVF scale path)
     show("cosine_topk")
-    # 7. decontamination vs a benchmark split + corpus mixing
+    # 8. retrieval + targeted selection (BM25 scoring; DSIR importance weights)
+    show("bm25_retrieval")
+    show("importance_weights_dsir")
+    # 9. decontamination vs a benchmark split + corpus mixing
     show("benchmark_decontamination")
     show("corpus_mixture_sample")
-    # 8. tokenizer support + sequence packing
+    # 10. tokenizer support + sequence packing
     show("vocab_coverage")
     show("sequence_packing")
-    # 9. the whole funnel as ONE cross-engine-proved query
+    # 11. the whole funnel as ONE cross-engine-proved query...
     show("curation_pipeline", n=10)
+    # 12. ...and its INCREMENTAL (streaming) twin — quality gate + dedup
+    #     state over a live document stream
+    show("stream_curation_funnel")
 
     spark.stop()
 
