@@ -204,10 +204,15 @@ def test_char_entropy_bounds(spark, reps, alpha):
 def test_lsh_verified_pairs_fuzz(spark, n_docs, n_dups, seed):
     """lsh_verified_pairs must equal brute-force exact-Jaccard pairs on
     corpora with a constructed margin: near-dups are one-word edits of a
-    base doc (jaccard >= ~0.9), distinct docs share no content words
-    (jaccard ~= 0) — so the 0.8 threshold sits inside a wide gap and the
-    LSH candidate stage (deterministic hashes) must recall every true
-    pair; exact verification must kill every false one."""
+    base doc (jaccard ~0.85-0.92 — these short docs sit CLOSER to the 0.8
+    threshold than the testdata corpus does), distinct docs share no
+    content words (jaccard ~= 0). Banding is therefore chosen to match
+    THIS margin: 16 bands x 2 rows puts the per-pair miss probability at
+    (1-j^2)^16 ~= 4e-11 at j=0.88 (the operator's 8x4 default is tuned
+    for the corpus's j>=0.93 gap and would miss ~7e-4 of pairs here —
+    banding must always be chosen against the corpus's similarity gap,
+    which is exactly what this test documents). Exact verification must
+    kill every false candidate regardless."""
     import random
 
     from utils_spark.operators.dedup import lsh_verified_pairs
@@ -237,6 +242,8 @@ def test_lsh_verified_pairs_fuzz(spark, n_docs, n_dups, seed):
     df = spark.createDataFrame(list(docs.items()), ["id", "text"])
     got = {
         (r["key_a"], r["key_b"])
-        for r in lsh_verified_pairs(df, "text", "id", min_jaccard=0.8).collect()
+        for r in lsh_verified_pairs(
+            df, "text", "id", n_hashes=32, n_bands=16, min_jaccard=0.8
+        ).collect()
     }
     assert got == truth, (got, truth)

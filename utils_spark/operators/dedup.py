@@ -53,6 +53,15 @@ def minhash_lsh_candidates(
     from utils_spark.queries.text import _minhash_sig_col
 
     rows_per_band = n_hashes // n_bands
+    # signature computation is CPU-bound (n_hashes × grams/doc per row); a
+    # single-file local scan arrives as ONE partition (parquet splits at
+    # row-group granularity), which would serialize it. Spread only when
+    # the scan's parallelism is actually low — on a cluster read (many
+    # files/row groups) this adds no Exchange.
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, par // 2):
+        df = df.repartition(par)
     sig = df.select(
         F.col(key_col).alias("__key"),
         _minhash_sig_col(char_shingles(text_col, shingle_k), n_hashes).alias("sig"),
@@ -119,6 +128,11 @@ def lsh_verified_pairs(
     """
     from utils_spark.functions import char_shingles as _shingles
 
+    # same single-file-scan parallelism guard as minhash_lsh_candidates:
+    # the shingle explode below is CPU-bound map work
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, par // 2):
+        df = df.repartition(par)
     cand = minhash_lsh_candidates(
         df, text_col, key_col, n_hashes=n_hashes, n_bands=n_bands,
         shingle_k=shingle_k, min_est_jaccard=min_est_jaccard,
