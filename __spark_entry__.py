@@ -62,6 +62,7 @@ _PRIORITY = (
     "strict_na_aggregation",  # r5: R-default NA-poisoning aggregates
     "bm25_retrieval",  # r5: BM25 top-k retrieval primitive
     "importance_weights_dsir",  # r5: hashed-feature importance weighting
+    "curated_export_roundtrip",  # r5: apply-side partitioned export+rescan
     # -- tier 2: first driver-green in round 4
     "sequence_packing",
     "pii_scrub",

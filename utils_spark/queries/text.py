@@ -1668,3 +1668,71 @@ def importance_weights_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round("lw", 6).alias("log_weight"),
     )
+
+
+@register(
+    "curated_export_roundtrip",
+    # the APPLY side of curation: quality gate -> exact dedup of a
+    # self-unioned (re-crawled) corpus -> partitioned parquet export ->
+    # rescan -> per-source checksums. The oracle computes the same funnel
+    # directly; integer checksums make the roundtrip hash-exact
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+      WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 40
+    ),
+    keep AS (SELECT norm, MIN(doc_id) AS doc_id FROM t GROUP BY norm)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+           CAST(SUM(n_tokens) AS BIGINT) AS token_sum
+    FROM t JOIN keep USING (norm, doc_id)
+    GROUP BY source
+    """,
+    tags=("text", "llm-pipeline", "io", "S9", "O7", "roundtrip"),
+)
+def curated_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of curation — materialize the curated corpus, the
+    part every pipeline ends with but demos usually skip: quality gate →
+    exact dedup (the corpus is unioned with itself to simulate a re-crawl,
+    so dedup genuinely halves it, keeping the min-doc_id copy per
+    normalized-text fingerprint) → `write_parquet(partition_by=source)`
+    (S9 sink + O7 physical partitioning: one output directory per source,
+    the layout downstream training jobs partition-prune on) → rescan →
+    per-source accounting. The rescan of the partitioned layout proves the
+    export is complete and readable, and integer checksums prove the
+    kept-set is exactly the quality-passing canonical docs (at sf0.1 the
+    corpus contains real cross-doc_id exact duplicates, so the min-doc_id
+    keep rule is exercised for real, not just on the synthetic
+    self-union)."""
+    import uuid
+
+    from utils_spark.io import write_parquet
+    from utils_spark.operators.dedup import exact_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    recrawl = d.unionAll(d)
+    passing = recrawl.filter(F.size(word_tokens("text")) >= 40)
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    # exact_dedup picks ONE key per fingerprint; the re-crawl's copies
+    # carry the SAME doc_id, so both identical rows survive the semi-join
+    # and a row-level distinct finishes the job (deterministic — the
+    # surviving rows are bit-identical)
+    curated = (
+        exact_dedup(passing.withColumn("fp", fp), ["fp"], "doc_id")
+        .select("doc_id", "source", F.size(word_tokens("text")).alias("n_tokens"))
+        .distinct()
+    )
+    # per-invocation token; the rescan below is lazy, so no eager cleanup
+    # (same discipline as csv_roundtrip_scan)
+    path = f"/tmp/utils_spark_curated_export_{uuid.uuid4().hex[:12]}"
+    write_parquet(curated, path, partition_by=["source"])
+    back = spark.read.parquet(path)
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+        F.sum("n_tokens").cast("long").alias("token_sum"),
+    )
