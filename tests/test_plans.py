@@ -151,9 +151,10 @@ def test_louvain_job_count_bounded(spark, sf_dir):
     tracker = sc.statusTracker()
     n_jobs = len(tracker.getJobIdsForGroup(group))
     # AQE submits every shuffle stage as its own job, so the count is high
-    # but deterministic FOR A GIVEN SPARK VERSION: baseline 79 measured on
-    # Spark 4.1.2 after the round-5 ungated-id-decreasing-move change
-    # (was 151 with parity-only gating). AQE's stage-as-job accounting
+    # but deterministic FOR A GIVEN SPARK VERSION: baseline 77 measured on
+    # Spark 4.1.2 after the round-5 ungated-id-decreasing-move change and
+    # the fused candidate aggregation (was 151 with parity-only gating
+    # and the right-join candidate shape). AQE's stage-as-job accounting
     # shifts across minor versions, so the bound is deliberately coarse:
     # losing the id-decreasing fast path or the desired-move early-stop
     # adds back 3+ sweeps (~40+ stage-jobs), which this still catches with

@@ -274,21 +274,24 @@ def louvain_communities(
             # (super-node internal weight after contraction) are excluded —
             # they travel with the node, so they cancel in gain comparisons
             # and must not inflate the stay option.
-            nbr = (
+            nbr_pre = (
                 und.filter(F.col("u") != F.col("v"))
                 .join(asg.withColumnRenamed("node", "v").withColumnRenamed("community", "c"), "v")
-                .groupBy("u", "c")
-                .agg(F.sum("w").alias("w_ic"))
+                .select("u", "c", F.col("w").alias("w_ic"))
             )
             own = asg.select(F.col("node").alias("u"), F.col("community").alias("c_own"))
-            # ensure the stay option exists even with zero in-community weight
+            # the zero-weight stay row is unioned BEFORE the aggregation so
+            # one groupBy builds the full candidate set (the stay seed sums
+            # into the real in-community weight when present, stands alone
+            # otherwise — incl. isolated nodes); tagging c_own afterwards is
+            # a plain u-keyed join. One shuffle fewer per sweep than the old
+            # right-join + union + re-aggregate shape.
+            stay = own.select("u", F.col("c_own").alias("c"), F.lit(0.0).alias("w_ic"))
             cand = (
-                nbr.join(own, "u", "right")
-                .unionByName(
-                    own.select("u", F.col("c_own").alias("c"), F.lit(0.0).alias("w_ic"), "c_own")
-                )
-                .groupBy("u", "c", "c_own")
-                .agg(F.max("w_ic").alias("w_ic"))
+                nbr_pre.unionByName(stay)
+                .groupBy("u", "c")
+                .agg(F.sum("w_ic").alias("w_ic"))
+                .join(own, "u")
             )
             scored = (
                 cand.join(ctot.withColumnRenamed("community", "c"), "c")
