@@ -340,6 +340,14 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def load_table_schema(spark: SparkSession, sf_dir: str):
+    """Schema for the documents file stream, taken from the batch loader so
+    stream and batch agree by construction."""
+    from utils_spark.io import load_table
+
+    return load_table(spark, sf_dir, "documents").schema
+
+
 @register(
     "stream_curation_funnel",
     # streamed re-crawl: the document stream unioned with itself (every doc
@@ -404,10 +412,3 @@ def stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(is_pass.cast("long")).alias("uniq_docs"),
     )
 
-
-def load_table_schema(spark: SparkSession, sf_dir: str):
-    """Schema for the documents file stream, taken from the batch loader so
-    stream and batch agree by construction."""
-    from utils_spark.io import load_table
-
-    return load_table(spark, sf_dir, "documents").schema
