@@ -63,6 +63,7 @@ _PRIORITY = (
     "bm25_retrieval",  # r5: BM25 top-k retrieval primitive
     "importance_weights_dsir",  # r5: hashed-feature importance weighting
     "curated_export_roundtrip",  # r5: apply-side partitioned export+rescan
+    "cross_doc_ngram_duplication",  # r5: inter-document repetition profile
     # -- tier 2: first driver-green in round 4
     "sequence_packing",
     "pii_scrub",

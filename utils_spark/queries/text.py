@@ -1736,3 +1736,80 @@ def curated_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("long").alias("id_checksum"),
         F.sum("n_tokens").cast("long").alias("token_sum"),
     )
+
+
+@register(
+    "cross_doc_ngram_duplication",
+    # inter-document repetition: per doc, the fraction of its distinct
+    # word 8-grams that occur in at least one OTHER doc. Distinct
+    # (doc, gram) pairs -> per-gram doc frequency -> join back -> per-doc
+    # fraction; identical integer arithmetic and 6dp division both engines
+    oracle="""
+    WITH grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(toks[i:i+7], ' ') AS gram
+      FROM (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+      ), UNNEST(range(1, GREATEST(len(toks) - 7, 0) + 1)) AS t(i)
+    ),
+    df AS (SELECT gram, COUNT(*) AS n_docs FROM grams GROUP BY gram),
+    per_doc AS (
+      SELECT g.doc_id,
+             COUNT(*) AS n_grams,
+             SUM(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS n_dup
+      FROM grams g JOIN df USING (gram)
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_dup AS BIGINT) AS n_dup_grams,
+           ROUND(CAST(n_dup AS DOUBLE) / n_grams, 6) AS dup_fraction
+    FROM per_doc
+    """,
+    tags=("text", "dedup", "llm-pipeline", "repetition"),
+)
+def cross_doc_ngram_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-document repetition — per document, the fraction of its
+    distinct word 8-grams that also appear in at least one OTHER document
+    (the corpus-level duplication profile curation reports use to decide
+    how aggressive near-dedup must be; within-doc repetition is the
+    separate `repetition_filter`).
+
+    Scale shape: the inverted index is built from DISTINCT (doc, gram)
+    pairs (deduped within doc before the shuffle), the per-gram doc
+    frequency is one gram-keyed aggregation with map-side combine, and the
+    flag join back to (doc, gram) is gram-keyed — df counts, never df²
+    pair enumeration (contrast `ngram_jaccard_pairs`: this query answers
+    "how much of each doc is duplicated", not "which docs pair up")."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", word_tokens("text").alias("toks"))
+    # sequence(a, b) DESCENDS when b < a, so short docs need an explicit
+    # empty index (they then drop out of the output, matching the oracle)
+    idx = F.when(
+        F.size("toks") >= 8, F.sequence(F.lit(0), F.size("toks") - 8)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    grams = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(idx, lambda i: F.array_join(F.slice("toks", i + 1, 8), " "))
+                )
+            ).alias("gram"),
+        )
+    )
+    df_tbl = grams.groupBy("gram").agg(F.count("*").alias("n_docs"))
+    per_doc = (
+        grams.join(df_tbl, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("n_docs") > 1).cast("long")).alias("n_dup"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_dup").cast("long").alias("n_dup_grams"),
+        F.round(F.col("n_dup").cast("double") / F.col("n_grams"), 6).alias("dup_fraction"),
+    )
