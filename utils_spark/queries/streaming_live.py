@@ -412,3 +412,44 @@ def stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(is_pass.cast("long")).alias("uniq_docs"),
     )
 
+
+
+@register(
+    "stream_sliding_counts",
+    # sliding windows (1h window, 30min slide): each event lands in TWO
+    # overlapping windows — the oracle materializes both membership rows
+    # per event (window starts = the 30-min bucket and the one before)
+    # and aggregates; completes the LIVE gate over every §2.9 window kind
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ),
+    member AS (
+      SELECT event_type, value,
+             time_bucket(INTERVAL '30 minutes', ts) - off AS window_start
+      FROM ev, UNNEST([INTERVAL '0 minutes', INTERVAL '30 minutes']) AS t(off)
+    )
+    SELECT window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM member GROUP BY 1, 2
+    """,
+    tags=("streaming", "S10", "windows", "sliding", "live"),
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE sliding-window streaming aggregation (§2.9 — the one window
+    kind the live gate didn't yet cover): readStream → watermark → 1-hour
+    windows sliding every 30 minutes (each event maintains state in two
+    overlapping windows) → memory sink, vs batch SQL that materializes
+    both window memberships per event. Certifies the overlapping-window
+    state expansion the tumbling gate cannot."""
+    from utils_spark.streaming import read_events_stream, windowed_counts_stream
+
+    out = _run_to_table(
+        spark,
+        windowed_counts_stream(
+            read_events_stream(spark, sf_dir), window="1 hour", slide="30 minutes"
+        ),
+        "complete",
+    )
+    return out.select("window_start", "event_type", "n", "total_value")
