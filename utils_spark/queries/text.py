@@ -1813,3 +1813,115 @@ def cross_doc_ngram_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_dup").cast("long").alias("n_dup_grams"),
         F.round(F.col("n_dup").cast("double") / F.col("n_grams"), 6).alias("dup_fraction"),
     )
+
+
+@register(
+    "lm_perplexity_filter",
+    # CCNet-style LM quality filter: train an add-k-smoothed bigram word LM
+    # on the in-domain (English) subset, score EVERY document's
+    # cross-entropy under it, flag low-perplexity docs. DuckDB rebuilds the
+    # identical model (same counts, same smoothing rationals, same ln) so
+    # the check is hash-exact after 6dp rounding.
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '') AS toks
+      FROM documents
+    ),
+    ref AS (SELECT toks FROM tok WHERE lang = 'en'),
+    uni AS (SELECT w, COUNT(*) AS c FROM (SELECT unnest(toks) AS w FROM ref) GROUP BY w),
+    vocab AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+    bi AS (
+      SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS c
+      FROM (SELECT unnest(list_transform(range(1, len(toks)),
+                                         i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS bg
+            FROM ref)
+      GROUP BY 1, 2
+    ),
+    docbi AS (
+      SELECT doc_id, lang, bg.w1 AS w1, bg.w2 AS w2
+      FROM (SELECT doc_id, lang,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS bg
+            FROM tok)
+    ),
+    scored AS (
+      SELECT d.doc_id, d.lang,
+             ln((COALESCE(b.c, 0) + 0.5) / (COALESCE(u.c, 0) + 0.5 * v.v)) AS lp
+      FROM docbi d
+      LEFT JOIN bi b ON b.w1 = d.w1 AND b.w2 = d.w2
+      LEFT JOIN uni u ON u.w = d.w1
+      CROSS JOIN vocab v
+    )
+    SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(-AVG(lp), 6) AS cross_entropy,
+           ROUND(exp(-AVG(lp)), 6) AS perplexity,
+           CASE WHEN ROUND(-AVG(lp), 6) <= 3.43 THEN 1 ELSE 0 END AS passes_lm_filter
+    FROM scored
+    GROUP BY doc_id, lang
+    """,
+    tags=("text", "quality", "llm-pipeline", "language-model", "perplexity"),
+)
+def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-perplexity quality filtering (the CCNet / GPT-3 'score against an
+    in-domain language model' curation stage): train an add-0.5-smoothed
+    bigram word LM on the English subset, then score every document's
+    per-bigram cross-entropy  H = -avg ln P(w2 | w1)  and keep docs below
+    a perplexity threshold. On this corpus the English docs genuinely score
+    lower than de/es/fr/zh — the filter discriminates in-domain text.
+
+    Scale shape: the MODEL (unigram + bigram count tables) is the output of
+    two map-side-combined aggregations over the reference subset and is
+    bounded by observed vocabulary, not corpus size — it broadcasts, so
+    corpus scoring is map-only (tokenize → bigram explode → two broadcast
+    hash joins → per-doc agg). A 100 TB corpus is scored in one pass with
+    no corpus-side shuffle except the final per-doc combine; if the model
+    outgrows broadcast, the joins fall back to bigram-keyed shuffles whose
+    volume is corpus token count, never pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", word_tokens("text").alias("toks"))
+    # adjacent-pair (w1, w2) structs; sequence() DESCENDS when end < start,
+    # so short docs need an explicit empty index (they drop from the output)
+    idx = F.when(
+        F.size("toks") >= 2, F.sequence(F.lit(1), F.size("toks") - 1)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    bigrams = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(F.col("toks"), i).alias("w1"),
+            F.element_at(F.col("toks"), i + 1).alias("w2"),
+        ),
+    )
+    ref = tok.filter(F.col("lang") == "en")
+    uni = (
+        ref.select(F.explode("toks").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("uni_c"))
+    )
+    vocab = uni.agg(F.count("*").cast("double").alias("v"))
+    bi = (
+        ref.select(F.explode(bigrams).alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("bi_c"))
+    )
+    docbi = tok.select("doc_id", "lang", F.explode(bigrams).alias("bg")).select(
+        "doc_id", "lang", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    lp = F.log(
+        (F.coalesce(F.col("bi_c"), F.lit(0)) + 0.5)
+        / (F.coalesce(F.col("uni_c"), F.lit(0)) + 0.5 * F.col("v"))
+    )
+    scored = (
+        docbi.join(F.broadcast(bi), ["w1", "w2"], "left")
+        .join(F.broadcast(uni), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", "lang", lp.alias("lp"))
+    )
+    ce = -F.avg("lp")
+    return scored.groupBy("doc_id", "lang").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(ce, 6).alias("cross_entropy"),
+        F.round(F.exp(ce), 6).alias("perplexity"),
+        F.when(F.round(ce, 6) <= 3.43, 1).otherwise(0).alias("passes_lm_filter"),
+    )
