@@ -66,6 +66,7 @@ _PRIORITY = (
     "cross_doc_ngram_duplication",  # r5: inter-document repetition profile
     "stream_sliding_counts",  # r5: live sliding-window gate (last §2.9 kind)
     "lm_perplexity_filter",  # r5: CCNet-style bigram-LM quality filter
+    "bpe_merge_candidates",  # r5: distributed BPE merge-pair counting
     # -- tier 2: first driver-green in round 4
     "sequence_packing",
     "pii_scrub",

@@ -1925,3 +1925,57 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(ce), 6).alias("perplexity"),
         F.when(F.round(ce, 6) <= 3.43, 1).otherwise(0).alias("passes_lm_filter"),
     )
+
+
+@register(
+    "bpe_merge_candidates",
+    # tokenizer induction, distributed: the first BPE merge round — count
+    # adjacent character pairs across the corpus weighted by word frequency
+    # and emit the top-20 merge candidates. Integer counts, deterministic
+    # (count desc, pair asc) tie-break in both engines → hash-exact.
+    oracle="""
+    WITH words AS (
+      SELECT w, COUNT(*) AS n
+      FROM (SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS w
+            FROM documents)
+      GROUP BY w
+    ),
+    pairs AS (
+      SELECT substr(w, t.i, 2) AS pair, SUM(n) AS cnt
+      FROM words, UNNEST(range(1, length(w))) AS t(i)
+      GROUP BY 1
+    )
+    SELECT pair, CAST(cnt AS BIGINT) AS pair_count
+    FROM pairs ORDER BY cnt DESC, pair LIMIT 20
+    """,
+    tags=("text", "tokenizer", "llm-pipeline", "bpe"),
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary induction — the counting round at the heart of
+    BPE training: tally every adjacent character pair over the corpus,
+    weighted by word occurrence count, and rank the top merge candidates
+    (the pair a BPE trainer would merge first, then re-count).
+
+    Scale shape: the corpus collapses to its WORD FREQUENCY TABLE first
+    (one map-side-combined aggregation — the classic BPE-trainer trick:
+    pair counting is then O(vocab × word-length), independent of corpus
+    size), pair tallies are a second bounded aggregation (≤ alphabet²
+    keys), and the global top-k is TakeOrdered (per-partition top-k then a
+    driver merge of k-sized heads — no single-task full sort). A 100 TB
+    corpus pays one token-keyed shuffle bounded by vocabulary, nothing
+    pairwise."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(word_tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    # adjacent char-pair index 1..len-1 (empty for single-char words)
+    idx = F.when(
+        F.length("w") >= 2, F.sequence(F.lit(1), F.length("w") - 1)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    pair_rows = words.select(
+        "n", F.explode(F.transform(idx, lambda i: F.col("w").substr(i, F.lit(2)))).alias("pair")
+    )
+    tallies = pair_rows.groupBy("pair").agg(F.sum("n").cast("long").alias("pair_count"))
+    return tallies.orderBy(F.desc("pair_count"), F.asc("pair")).limit(20)
