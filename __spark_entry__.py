@@ -67,6 +67,7 @@ _PRIORITY = (
     "stream_sliding_counts",  # r5: live sliding-window gate (last §2.9 kind)
     "lm_perplexity_filter",  # r5: CCNet-style bigram-LM quality filter
     "bpe_merge_candidates",  # r5: distributed BPE merge-pair counting
+    "semantic_dedup_keep",  # r5: SemDeDup LSH + CC + canonical keep
     # -- tier 2: first driver-green in round 4
     "sequence_packing",
     "pii_scrub",

@@ -219,3 +219,105 @@ def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wtop = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return sims.withColumn("rn", F.row_number().over(wtop)).filter(F.col("rn") <= 5).drop("rn")
+
+
+@register(
+    "semantic_dedup_keep",
+    # SemDeDup-style end-to-end semantic dedup with a canonical-keep
+    # policy. The corpus has no natural cosine-0.95 near-dups (max pair
+    # cosine ~0.6), so 20 duplicate CHAINS are planted with engine-exact
+    # arithmetic: for vec_id < 20, B = A + d and C = A + 2d with
+    # d_i = 0.008·(((vec_id·31 + i·17) mod 13) − 6). |d| ≈ 0.24 against
+    # unit-norm vectors ⇒ cos(A,B) ≈ cos(B,C) ≈ 0.97 (in-cluster edges)
+    # while cos(A,C) ≈ 0.90 < 0.95 — so each cluster is a PATH, not a
+    # clique, and min-label propagation must actually iterate. The oracle
+    # recomputes pairs BRUTE FORCE and clusters by RECURSIVE-CTE
+    # reachability, cross-checking LSH recall AND the distributed CC.
+    oracle="""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    planted AS (
+      SELECT v.vec_id + 1000000 AS vec_id,
+             list_transform(range(1, 65),
+                            i -> v.e[i] + 0.008 * (((v.vec_id * 31 + i * 17) % 13) - 6)) AS e
+      FROM v WHERE v.vec_id < 20
+      UNION ALL
+      SELECT v.vec_id + 2000000 AS vec_id,
+             list_transform(range(1, 65),
+                            i -> v.e[i] + 0.016 * (((v.vec_id * 31 + i * 17) % 13) - 6)) AS e
+      FROM v WHERE v.vec_id < 20
+    ),
+    aug AS (SELECT * FROM v UNION ALL SELECT * FROM planted),
+    pairs AS (
+      SELECT a.vec_id AS pa, b.vec_id AS pb
+      FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.95
+    ),
+    edges AS (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION SELECT pb AS src, pa AS dst FROM pairs
+    ),
+    reach(node, via) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.via FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT CAST(node AS BIGINT) AS vec_id,
+           CAST(MIN(via) AS BIGINT) AS cluster_rep,
+           CASE WHEN node = MIN(via) THEN 1 ELSE 0 END AS is_kept
+    FROM reach GROUP BY node
+    """,
+    tags=("vector", "dedup", "semantic-dedup", "connected-components"),
+)
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication with a keep policy (the SemDeDup recipe:
+    drop all-but-one of every group of embedding-near-duplicate docs):
+    hyperplane-LSH candidate pairs → exact-cosine (≥ 0.95) verification on
+    candidates only → connected components → keep the minimum vec_id per
+    cluster. Vectors with no near-duplicate are trivially kept and not
+    emitted. Because the corpus has no natural cosine-0.95 pairs, 20
+    three-vector duplicate chains (A—B—C with A—C below threshold) are
+    planted deterministically, so the output certifies LSH recall, exact
+    verification, multi-round label propagation, AND the keep rule — the
+    expected result is 60 rows: each chain collapses to cluster_rep =
+    A.vec_id with exactly A kept.
+
+    Scale shape: identical to `embedding_near_dup` (banded equi-join,
+    never all-pairs; 32 bands push per-pair miss probability below 2e-8 —
+    ~2e-11 at the planted cosine 0.97) plus `duplicate_clusters`'
+    min-label propagation, whose per-round cost is one edge-keyed shuffle
+    and whose round count is cluster diameter (the planted paths force
+    ≥ 2 rounds). The keep flag is a comparison against the component
+    label — no extra pass."""
+    from utils_spark.operators.dedup import duplicate_clusters
+    from utils_spark.operators.similarity import lsh_near_dup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", to_double_array("embedding").alias("v"))
+    seed = v.filter(F.col("vec_id") < 20)
+
+    def perturbed(offset: int, scale: float) -> DataFrame:
+        # the new id is aliased in a SEPARATE select: naming it `vec_id` in
+        # the same projection would let Spark's lateral-column-alias
+        # resolution bind the lambda's vec_id to the OFFSET id (DuckDB
+        # binds the original) — the planted deltas then silently stop
+        # being parallel and the B—C chain edges vanish
+        return seed.select(
+            (F.col("vec_id") + offset).alias("new_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda i: F.element_at(F.col("v"), i)
+                + F.lit(scale) * (((F.col("vec_id") * 31 + i * 17) % 13) - 6),
+            ).alias("v"),
+        ).select(F.col("new_id").alias("vec_id"), "v")
+
+    aug = v.unionAll(perturbed(1000000, 0.008)).unionAll(perturbed(2000000, 0.016))
+    pairs = lsh_near_dup_pairs(aug, "vec_id", "v", threshold=0.95, bands=32, dim=64)
+    cc = duplicate_clusters(pairs, "key_a", "key_b")
+    return cc.select(
+        F.col("key").cast("long").alias("vec_id"),
+        F.col("component").cast("long").alias("cluster_rep"),
+        F.when(F.col("key") == F.col("component"), 1).otherwise(0).alias("is_kept"),
+    )
