@@ -68,6 +68,7 @@ _PRIORITY = (
     "lm_perplexity_filter",  # r5: CCNet-style bigram-LM quality filter
     "bpe_merge_candidates",  # r5: distributed BPE merge-pair counting
     "semantic_dedup_keep",  # r5: SemDeDup LSH + CC + canonical keep
+    "zorder_layout",  # r5: Morton data layout + pruning footprints
     # -- tier 2: first driver-green in round 4
     "sequence_packing",
     "pii_scrub",

@@ -78,3 +78,69 @@ def test_lsh_near_dup_recall_on_planted_pairs(spark):
     assert set(got) == set(want), (set(want) - set(got), set(got) - set(want))
     for k in want:
         assert abs(got[k] - want[k]) < 1e-5
+
+
+def test_zorder_write_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """Drive the Z-order layout through an actual sorted parquet write and
+    verify the data-skipping property on the FILES: after
+    repartitionByRange(morton) + sortWithinPartitions(morton), a selective
+    predicate on EITHER interleaved key overlaps only a small fraction of
+    files' min/max footprints — the judgment a parquet reader makes from
+    row-group stats. A single-column sort gives this for one key only."""
+    from utils_spark.io import load_table
+    from utils_spark.queries.scalepath import _ZORDER_MORTON
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ext = F.broadcast(
+        li.agg(
+            F.min("l_orderkey").alias("minx"),
+            F.max("l_orderkey").alias("maxx"),
+            F.min("l_partkey").alias("miny"),
+            F.max("l_partkey").alias("maxy"),
+        )
+    )
+    z = (
+        li.select("l_orderkey", "l_partkey")
+        .crossJoin(ext)
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            F.expr("((l_orderkey - minx) * 256) DIV (maxx - minx + 1)").alias("xb"),
+            F.expr("((l_partkey - miny) * 256) DIV (maxy - miny + 1)").alias("yb"),
+        )
+        .withColumn("morton", F.expr(_ZORDER_MORTON))
+    )
+    out = str(tmp_path / "zsorted")
+    n_files = 16
+    z.repartitionByRange(n_files, "morton").sortWithinPartitions("morton").write.mode(
+        "overwrite"
+    ).parquet(out)
+
+    # per-file footprints = the min/max stats a reader prunes with
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    foot = []
+    for f in sorted(_glob.glob(out + "/part-*.parquet")):
+        md = pq.read_metadata(f)
+        xs, ys = [], []
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            cols = {row.column(i).path_in_schema: row.column(i) for i in range(row.num_columns)}
+            xs += [cols["xb"].statistics.min, cols["xb"].statistics.max]
+            ys += [cols["yb"].statistics.min, cols["yb"].statistics.max]
+        foot.append((min(xs), max(xs), min(ys), max(ys)))
+    assert len(foot) == n_files
+
+    # a 1/16-wide predicate on EITHER dimension must overlap only a
+    # minority of file footprints (perfect Z-layout: ~1/4 of files for a
+    # 1/16 slice at 16 files; a single-column sort leaves the OTHER
+    # dimension overlapping EVERY file)
+    def overlapping(lo, hi, dim):
+        a, b = (0, 1) if dim == "x" else (2, 3)
+        return sum(1 for ft in foot if not (ft[b] < lo or ft[a] > hi))
+
+    x_hit = overlapping(0, 15, "x")
+    y_hit = overlapping(0, 15, "y")
+    assert x_hit <= n_files // 2, (x_hit, foot)
+    assert y_hit <= n_files // 2, (y_hit, foot)

@@ -329,3 +329,79 @@ def train_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("doc_id").cast("long").alias("id_checksum"),
     )
+
+
+_ZORDER_MORTON = " + ".join(
+    f"(((xb >> {b}) & 1) << {2 * b}) + (((yb >> {b}) & 1) << {2 * b + 1})"
+    for b in range(8)
+)
+
+
+@register(
+    "zorder_layout",
+    # multi-dimensional data layout: range-bucket two join/filter keys to
+    # 8 bits each, interleave the bits (16-bit Morton / Z-order code), and
+    # report per-Z-chunk min/max footprints — the exact statistics a
+    # parquet reader prunes row groups with. Pure integer arithmetic,
+    # bit-identical across engines.
+    oracle=f"""
+    WITH ext AS (
+      SELECT MIN(l_orderkey) AS minx, MAX(l_orderkey) AS maxx,
+             MIN(l_partkey) AS miny, MAX(l_partkey) AS maxy
+      FROM lineitem
+    ),
+    bucketed AS (
+      SELECT ((l_orderkey - minx) * 256) // (maxx - minx + 1) AS xb,
+             ((l_partkey - miny) * 256) // (maxy - miny + 1) AS yb
+      FROM lineitem CROSS JOIN ext
+    ),
+    z AS (SELECT xb, yb, ({_ZORDER_MORTON}) AS morton FROM bucketed)
+    SELECT CAST(morton >> 8 AS INT) AS z_chunk,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(xb) AS INT) AS min_xb, CAST(MAX(xb) AS INT) AS max_xb,
+           CAST(MIN(yb) AS INT) AS min_yb, CAST(MAX(yb) AS INT) AS max_yb
+    FROM z GROUP BY 1
+    """,
+    tags=("layout", "scale-path", "zorder", "data-skipping"),
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering layout for multi-dimensional data
+    skipping: range-bucket (l_orderkey, l_partkey) into 256 levels each,
+    interleave the bits into a 16-bit Z-code, and emit each 256-row-group
+    Z-chunk's min/max footprint in BOTH dimensions. Sorting files by this
+    code before writing gives every chunk a ≤ 16/256 span in every
+    interleaved dimension simultaneously — so a predicate on EITHER key
+    prunes ~15/16 of row groups from parquet min/max stats alone, which a
+    single-column sort only achieves for its one leading column.
+
+    Scale shape: the extent probe is one tiny all-agg broadcast; bucket +
+    interleave are map-only integer expressions (whole-stage codegen, no
+    UDF); the chunk profile is a single bounded aggregation (256 keys).
+    The write path is `repartitionByRange(morton)` + sortWithinPartitions
+    — one range shuffle, the same cost as any global sort-write
+    (tests/test_scalepath.py drives the actual file write and verifies
+    per-file footprints prune)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ext = F.broadcast(
+        li.agg(
+            F.min("l_orderkey").alias("minx"),
+            F.max("l_orderkey").alias("maxx"),
+            F.min("l_partkey").alias("miny"),
+            F.max("l_partkey").alias("maxy"),
+        )
+    )
+    bucketed = li.select("l_orderkey", "l_partkey").crossJoin(ext).select(
+        F.expr("((l_orderkey - minx) * 256) DIV (maxx - minx + 1)").alias("xb"),
+        F.expr("((l_partkey - miny) * 256) DIV (maxy - miny + 1)").alias("yb"),
+    )
+    z = bucketed.withColumn("morton", F.expr(_ZORDER_MORTON))
+    return (
+        z.groupBy(F.shiftright("morton", 8).cast("int").alias("z_chunk"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("xb").cast("int").alias("min_xb"),
+            F.max("xb").cast("int").alias("max_xb"),
+            F.min("yb").cast("int").alias("min_yb"),
+            F.max("yb").cast("int").alias("max_yb"),
+        )
+    )
