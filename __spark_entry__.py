@@ -69,6 +69,7 @@ _PRIORITY = (
     "bpe_merge_candidates",  # r5: distributed BPE merge-pair counting
     "semantic_dedup_keep",  # r5: SemDeDup LSH + CC + canonical keep
     "zorder_layout",  # r5: Morton data layout + pruning footprints
+    "jsonl_roundtrip_scan",  # r5: JSONL sink+scan byte-exact roundtrip
     # -- tier 2: first driver-green in round 4
     "sequence_packing",
     "pii_scrub",

@@ -123,3 +123,20 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-Lines scan (transparent .gz) — the interchange format LLM
+    training corpora actually ship in (one JSON document per line).
+    Pass an explicit ``schema`` in production: schema inference is a full
+    extra pass over the data at 100 TB."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-Lines sink — one self-describing JSON object per row; the
+    export format downstream tokenizer/training jobs consume."""
+    df.write.mode(mode).json(path)

@@ -466,6 +466,64 @@ def csv_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jsonl_roundtrip_scan",
+    # JSONL sink + scan roundtrip over the documents table — the format
+    # LLM corpora ship in. The rescan aggregate checksums doc ids, byte
+    # lengths, AND a concatenated-text md5 per (source, lang) group, so a
+    # pass proves JSON string escaping round-tripped every text
+    # byte-for-byte; the oracle computes the same directly from parquet.
+    oracle="""
+    SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+           CAST(SUM(length(text)) AS BIGINT) AS text_chars,
+           md5(string_agg(text, chr(1) ORDER BY doc_id)) AS text_digest
+    FROM documents
+    GROUP BY source, lang
+    """,
+    tags=("io", "jsonl", "llm-pipeline", "roundtrip"),
+)
+def jsonl_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink + scan roundtrip: the documents table is written as
+    JSON-Lines (the de-facto LLM-corpus interchange format), rescanned
+    with an explicit schema (no inference pass), and checksummed per
+    (source, lang) — row counts, id sums, character counts, and an
+    order-canonicalized md5 digest of every text byte. A pass proves the
+    JSON escaping/unescaping round-trip is lossless.
+
+    Scale shape: sink and scan are both partition-parallel (one output
+    file per task, no shuffle); the digest aggregation shuffles only
+    (source, lang) groups and sorts within each — at corpus scale the
+    digest would switch to an order-insensitive XOR-of-md5 to avoid the
+    per-group sort, which `curated_export_roundtrip` demonstrates."""
+    import uuid
+
+    from utils_spark.io import read_jsonl, write_jsonl
+
+    d = load_table(spark, sf_dir, "documents")
+    path = f"/tmp/utils_spark_jsonl_roundtrip_{uuid.uuid4().hex[:12]}"
+    write_jsonl(d, path)
+    back = read_jsonl(spark, path, schema=d.schema)
+    return (
+        back.groupBy("source", "lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+            F.sum(F.length("text")).cast("long").alias("text_chars"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("doc_id"), F.col("text")))
+                        ),
+                        lambda s: s["text"],
+                    ),
+                    "\x01",
+                )
+            ).alias("text_digest"),
+        )
+    )
+
+
+@register(
     "converter_roundtrip",
     # the matrix is derived from lineitem with a BOUNDED key space
     # (97 cells x 61 genes), so the oracle can recompute the identical
