@@ -70,6 +70,7 @@ _PRIORITY = (
     "semantic_dedup_keep",  # r5: SemDeDup LSH + CC + canonical keep
     "zorder_layout",  # r5: Morton data layout + pruning footprints
     "jsonl_roundtrip_scan",  # r5: JSONL sink+scan byte-exact roundtrip
+    "embedding_near_dup",  # r5: now non-vacuous (planted near-dup pairs)
     # -- tier 2: first driver-green in round 4
     "sequence_packing",
     "pii_scrub",

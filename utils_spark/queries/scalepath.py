@@ -91,13 +91,25 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_near_dup",
+    # the raw corpus has NO cosine-0.95 pairs (max pair cosine ~0.6), so
+    # an un-augmented run is vacuously green; 20 perturbed copies (same
+    # engine-exact arithmetic as semantic_dedup_keep) plant real near-dups
+    # so the LSH candidate stage + exact verify emit actual pairs that the
+    # brute-force oracle must reproduce value-for-value
     oracle="""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    planted AS (
+      SELECT v.vec_id + 1000000 AS vec_id,
+             list_transform(range(1, 65),
+                            i -> v.e[i] + 0.008 * (((v.vec_id * 31 + i * 17) % 13) - 6)) AS e
+      FROM v WHERE v.vec_id < 20
+    ),
+    aug AS (SELECT * FROM v UNION ALL SELECT * FROM planted)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND(list_dot_product(a.e, b.e)
                  / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
              AS cosine
-    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    FROM aug a JOIN aug b ON a.vec_id < b.vec_id
     WHERE list_dot_product(a.e, b.e)
           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.95
     """,
@@ -108,17 +120,24 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic-dedup primitive of the north star, in its 100 TB shape:
     random-hyperplane LSH candidate generation (banded equi-self-join,
     never a cross join) + exact-cosine verification on candidates only.
-    The oracle stays the brute-force all-pairs SQL; LSH recall is
-    probabilistic, so the compare can in principle miss a borderline pair —
-    32 bands push the miss probability per cosine-0.95 pair below 2e-8
-    (→0 as cosine→1), i.e. far below one expected miss over every pair at
-    any tested SF, but a pass certifies recall on this data, not in general.
-    tests/test_plans.py asserts the physical plan has no cartesian/BNLJ;
-    tests/test_scalepath.py proves recall on planted near-dups."""
+    The corpus carries no natural cosine-0.95 pair (max ~0.6), so 20
+    deterministic perturbed copies (cosine ≈ 0.97 to their originals) are
+    planted — the query must surface exactly those pairs with exact
+    cosines, making recall a VALUE-level driver check rather than a
+    vacuous empty match. The oracle is the brute-force all-pairs SQL over
+    the same augmented set; LSH recall is probabilistic, but 32 bands
+    push the per-pair miss probability below 2e-8 at the threshold
+    (~2e-11 at the planted cosine). tests/test_plans.py asserts the
+    physical plan has no cartesian/BNLJ; tests/test_scalepath.py proves
+    recall on independently planted near-dups."""
     from utils_spark.operators.similarity import lsh_near_dup_pairs
+    from utils_spark.functions import to_double_array as _tda
+    from utils_spark.queries.vector import perturbed_copies
 
     e = load_table(spark, sf_dir, "embeddings")
-    pairs = lsh_near_dup_pairs(e, "vec_id", "embedding", threshold=0.95, bands=32, dim=64)
+    v = e.select("vec_id", _tda("embedding").alias("v"))
+    aug = v.unionAll(perturbed_copies(v.filter(F.col("vec_id") < 20), 1000000, 0.008))
+    pairs = lsh_near_dup_pairs(aug, "vec_id", "v", threshold=0.95, bands=32, dim=64)
     return pairs.select(
         F.col("key_a").alias("vec_a"), F.col("key_b").alias("vec_b"), "cosine"
     )

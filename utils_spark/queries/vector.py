@@ -221,6 +221,25 @@ def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sims.withColumn("rn", F.row_number().over(wtop)).filter(F.col("rn") <= 5).drop("rn")
 
 
+def perturbed_copies(seed: DataFrame, offset: int, scale: float) -> DataFrame:
+    """Deterministic perturbed copies of (vec_id, v) rows for planting
+    near-duplicates: v'_i = v_i + scale·(((vec_id·31 + i·17) mod 13) − 6),
+    new id = vec_id + offset. Pure integer+double arithmetic an SQL oracle
+    reproduces bit-exactly. The new id is aliased in a SEPARATE select:
+    naming it `vec_id` in the same projection would let Spark's
+    lateral-column-alias resolution bind the lambda's vec_id to the OFFSET
+    id (DuckDB binds the original) — the planted deltas then silently stop
+    being parallel across scales."""
+    return seed.select(
+        (F.col("vec_id") + offset).alias("new_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.element_at(F.col("v"), i)
+            + F.lit(scale) * (((F.col("vec_id") * 31 + i * 17) % 13) - 6),
+        ).alias("v"),
+    ).select(F.col("new_id").alias("vec_id"), "v")
+
+
 @register(
     "semantic_dedup_keep",
     # SemDeDup-style end-to-end semantic dedup with a canonical-keep
@@ -298,22 +317,9 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = e.select("vec_id", to_double_array("embedding").alias("v"))
     seed = v.filter(F.col("vec_id") < 20)
 
-    def perturbed(offset: int, scale: float) -> DataFrame:
-        # the new id is aliased in a SEPARATE select: naming it `vec_id` in
-        # the same projection would let Spark's lateral-column-alias
-        # resolution bind the lambda's vec_id to the OFFSET id (DuckDB
-        # binds the original) — the planted deltas then silently stop
-        # being parallel and the B—C chain edges vanish
-        return seed.select(
-            (F.col("vec_id") + offset).alias("new_id"),
-            F.transform(
-                F.sequence(F.lit(1), F.lit(64)),
-                lambda i: F.element_at(F.col("v"), i)
-                + F.lit(scale) * (((F.col("vec_id") * 31 + i * 17) % 13) - 6),
-            ).alias("v"),
-        ).select(F.col("new_id").alias("vec_id"), "v")
-
-    aug = v.unionAll(perturbed(1000000, 0.008)).unionAll(perturbed(2000000, 0.016))
+    aug = v.unionAll(perturbed_copies(seed, 1000000, 0.008)).unionAll(
+        perturbed_copies(seed, 2000000, 0.016)
+    )
     pairs = lsh_near_dup_pairs(aug, "vec_id", "v", threshold=0.95, bands=32, dim=64)
     cc = duplicate_clusters(pairs, "key_a", "key_b")
     return cc.select(
