@@ -71,6 +71,7 @@ _PRIORITY = (
     "zorder_layout",  # r5: Morton data layout + pruning footprints
     "jsonl_roundtrip_scan",  # r5: JSONL sink+scan byte-exact roundtrip
     "embedding_near_dup",  # r5: now non-vacuous (planted near-dup pairs)
+    "incremental_dedup_batch",  # r5: new-crawl-vs-index incremental dedup
     # -- tier 2: first driver-green in round 4
     "sequence_packing",
     "pii_scrub",

@@ -1979,3 +1979,102 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tallies = pair_rows.groupBy("pair").agg(F.sum("n").cast("long").alias("pair_count"))
     return tallies.orderBy(F.desc("pair_count"), F.asc("pair")).limit(20)
+
+
+@register(
+    "incremental_dedup_batch",
+    # the INCREMENTAL dedup mode of a production pipeline: a new crawl
+    # batch (fresh docs + a simulated re-crawl of history + planted
+    # within-batch copies) is deduped against the EXISTING corpus's
+    # fingerprint index — never re-fingerprinting history. Exact integer
+    # accounting per source; both engines compute identical md5
+    # fingerprints over identically normalized text.
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, source,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    hist AS (SELECT DISTINCT fp FROM f WHERE doc_id % 5 <> 0),
+    batch AS (
+      SELECT doc_id, source, fp FROM f WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 10000000, source, fp FROM f WHERE doc_id % 5 <> 0 AND doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 20000000, source, fp FROM f WHERE doc_id % 5 = 0 AND doc_id % 3 = 0
+    ),
+    flagged AS (
+      SELECT b.doc_id, b.source, b.fp,
+             CASE WHEN h.fp IS NOT NULL THEN 1 ELSE 0 END AS dup_hist
+      FROM batch b LEFT JOIN hist h ON b.fp = h.fp
+    ),
+    ranked AS (
+      SELECT *, CASE WHEN dup_hist = 0 THEN
+                  row_number() OVER (PARTITION BY fp, dup_hist ORDER BY doc_id)
+                ELSE NULL END AS rn
+      FROM flagged
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_new,
+           CAST(SUM(dup_hist) AS BIGINT) AS n_dup_vs_history,
+           CAST(SUM(CASE WHEN dup_hist = 0 AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_within_batch,
+           CAST(SUM(CASE WHEN dup_hist = 0 AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_accepted,
+           CAST(SUM(CASE WHEN dup_hist = 0 AND rn = 1 THEN doc_id ELSE 0 END) AS BIGINT)
+             AS accepted_id_checksum
+    FROM ranked GROUP BY source
+    """,
+    tags=("text", "dedup", "llm-pipeline", "incremental"),
+)
+def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup — the mode a production pipeline actually
+    runs between crawls: fingerprint ONLY the new batch, anti-check it
+    against the standing fingerprint index of the already-curated corpus,
+    then dedup the survivors within the batch (min-id keep). History is
+    simulated as doc_id % 5 ≠ 0; the new batch is the fresh docs plus a
+    deterministic re-crawl slice of history (same text, new ids — must be
+    caught by the index) plus planted second copies of some fresh docs
+    (must be caught by within-batch dedup). Emits per-source funnel
+    accounting with accepted-id checksums.
+
+    Scale shape: the index is a stored fingerprint table — the batch join
+    shuffles 16-byte keys of BATCH size (history is never rescanned, the
+    asymmetry that makes incremental curation cheap); within-batch keep is
+    a window over fingerprint groups (tiny partitions by construction).
+    All map-side fingerprinting, zero UDFs."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    f = d.select("doc_id", "source", fp.alias("fp"))
+    hist = f.filter(F.col("doc_id") % 5 != 0).select("fp").distinct()
+    fresh = f.filter(F.col("doc_id") % 5 == 0)
+    batch = (
+        fresh.unionAll(
+            f.filter((F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 7 == 0)).select(
+                (F.col("doc_id") + 10000000).alias("doc_id"), "source", "fp"
+            )
+        ).unionAll(
+            fresh.filter(F.col("doc_id") % 3 == 0).select(
+                (F.col("doc_id") + 20000000).alias("doc_id"), "source", "fp"
+            )
+        )
+    )
+    flagged = batch.join(
+        hist.withColumn("dup_hist", F.lit(1)), "fp", "left"
+    ).withColumn("dup_hist", F.coalesce(F.col("dup_hist"), F.lit(0)))
+    w = Window.partitionBy("fp", "dup_hist").orderBy("doc_id")
+    ranked = flagged.withColumn(
+        "rn", F.when(F.col("dup_hist") == 0, F.row_number().over(w))
+    )
+    acc = (F.col("dup_hist") == 0) & (F.col("rn") == 1)
+    return ranked.groupBy("source").agg(
+        F.count("*").alias("n_new"),
+        F.sum("dup_hist").cast("long").alias("n_dup_vs_history"),
+        F.sum(((F.col("dup_hist") == 0) & (F.col("rn") > 1)).cast("long"))
+        .cast("long")
+        .alias("n_dup_within_batch"),
+        F.sum(acc.cast("long")).cast("long").alias("n_accepted"),
+        F.sum(F.when(acc, F.col("doc_id")).otherwise(0)).cast("long").alias("accepted_id_checksum"),
+    )
