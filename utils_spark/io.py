@@ -125,6 +125,18 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     w.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — the other splittable columnar format warehouse data
+    arrives in; schema travels with the files."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (predicate-pushdown-capable columnar interchange with
+    Hive-ecosystem consumers)."""
+    df.write.mode(mode).orc(path)
+
+
 def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """JSON-Lines scan (transparent .gz) — the interchange format LLM
     training corpora actually ship in (one JSON document per line).

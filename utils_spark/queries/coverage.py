@@ -524,6 +524,49 @@ def jsonl_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orc_roundtrip_scan",
+    # ORC sink + scan roundtrip (DuckDB cannot read ORC, so the oracle
+    # computes the identical aggregate straight from parquet — the rescan
+    # must reproduce every row, key, timestamp, and decimal exactly)
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+           ROUND(SUM(value), 4) AS total_value,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS first_ts_us,
+           CAST(epoch_us(MAX(ts)) AS BIGINT) AS last_ts_us
+    FROM events GROUP BY event_type
+    """,
+    tags=("io", "orc", "roundtrip"),
+)
+def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan roundtrip over the events table: write ORC, rescan,
+    and checksum per event type — counts, id sums, value totals, and
+    epoch-microsecond min/max TIMESTAMPS (the type whose representation is
+    most likely to drift across formats). A pass proves the ORC
+    writer/reader preserves longs, doubles, and microsecond timestamps
+    exactly.
+
+    Scale shape: format conversion is partition-parallel map-only (no
+    shuffle); the checksum aggregation shuffles a handful of event-type
+    keys."""
+    import uuid
+
+    from utils_spark.io import read_orc, write_orc
+
+    e = load_table(spark, sf_dir, "events")
+    path = f"/tmp/utils_spark_orc_roundtrip_{uuid.uuid4().hex[:12]}"
+    write_orc(e, path)
+    back = read_orc(spark, path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("event_id").cast("long").alias("id_checksum"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.unix_micros(F.min("ts")).alias("first_ts_us"),
+        F.unix_micros(F.max("ts")).alias("last_ts_us"),
+    )
+
+
+@register(
     "converter_roundtrip",
     # the matrix is derived from lineitem with a BOUNDED key space
     # (97 cells x 61 genes), so the oracle can recompute the identical
