@@ -203,3 +203,38 @@ def test_bm25_distributed_topk(spark, sf_dir):
     p = _plan(spark, sf_dir, "bm25_retrieval")
     assert "TakeOrderedAndProject" in p.text, p.text[:2000]
     assert "CartesianProduct" not in p.text
+
+
+def test_bpe_merge_candidates_take_ordered(spark, sf_dir):
+    """The global top-20 must be TakeOrdered (per-partition heads + driver
+    merge), never a full Sort of the pair tallies; and the whole pipeline
+    is two bounded aggregations (word vocab, pair tally)."""
+    p = _plan(spark, sf_dir, "bpe_merge_candidates")
+    assert "TakeOrderedAndProject" in p.text, p.text[:1500]
+    assert p.n_exchanges <= 2, p.text[:1500]
+
+
+def test_lm_perplexity_scoring_is_broadcast(spark, sf_dir):
+    """Corpus scoring must happen via broadcast joins of the (bounded) LM
+    count tables — the corpus side shuffles only for the final per-doc
+    combine, never for the model lookups."""
+    p = _plan(spark, sf_dir, "lm_perplexity_filter")
+    assert p.n_broadcast_joins >= 3, p.text[:2000]  # bi, uni, vocab scalar
+    assert p.n_sortmerge_joins == 0, "model lookups must not shuffle the corpus"
+
+
+def test_incremental_dedup_never_rescans_history_pairwise(spark, sf_dir):
+    """The batch-vs-index check is one fingerprint-keyed join (broadcast or
+    shuffle) — no pairwise/nested-loop anything; bounded exchange count."""
+    p = _plan(spark, sf_dir, "incremental_dedup_batch")
+    assert "CartesianProduct" not in p.text
+    assert p.n_exchanges <= 4, p.text[:1500]
+
+
+def test_zorder_layout_map_only_plus_one_agg(spark, sf_dir):
+    """Bucketing + bit interleave are map-side expressions; the only DATA
+    shuffle is the 256-key chunk aggregation — plus the extent probe's own
+    single-row partial→final exchange (one ~8-row shuffle, then broadcast)."""
+    p = _plan(spark, sf_dir, "zorder_layout")
+    assert p.n_exchanges <= 2, p.text[:1500]
+    assert p.n_sortmerge_joins == 0
