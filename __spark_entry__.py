@@ -73,6 +73,7 @@ _PRIORITY = (
     "embedding_near_dup",  # r5: now non-vacuous (planted near-dup pairs)
     "incremental_dedup_batch",  # r5: new-crawl-vs-index incremental dedup
     "orc_roundtrip_scan",  # r5: ORC sink+scan exact roundtrip
+    "audio_energy_certificate",  # r5: real PCM16 decode + windowed energy
     # -- tier 2: first driver-green in round 4
     "sequence_packing",
     "pii_scrub",

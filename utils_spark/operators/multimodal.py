@@ -268,3 +268,99 @@ def media_dedup_by_content(media: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_copies"), F.min("media_id").alias("canonical_id"))
         .filter(F.col("n_copies") > 1)
     )
+
+
+AUDIO_ENERGY_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("window_idx", IntegerType()),
+        StructField("channel", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_sq", LongType()),
+        StructField("peak", IntegerType()),
+    ]
+)
+
+
+def _parse_wav_pcm(b: bytes) -> tuple[int, int, int, int, int]:
+    """Like ``_parse_wav`` but also returns the data chunk's byte offset so
+    the PCM payload itself can be decoded: (channels, rate, bits,
+    data_offset, data_size)."""
+    if len(b) < 12 or b[8:12] != b"WAVE":
+        raise ValueError("not a WAVE RIFF")
+    channels = rate = bits = None
+    data_off = data_size = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        (csize,) = struct.unpack_from("<I", b, i + 4)
+        if cid == b"fmt " and i + 24 <= len(b):
+            channels, rate = struct.unpack_from("<HI", b, i + 10)
+            (bits,) = struct.unpack_from("<H", b, i + 22)
+        elif cid == b"data":
+            data_off, data_size = i + 8, csize
+        i += 8 + csize + (csize & 1)
+    if not channels or not rate or not bits or data_off is None:
+        raise ValueError("missing fmt/data chunk")
+    if bits != 16:
+        raise ValueError(f"audio energy requires 16-bit PCM, got {bits}")
+    return int(channels), int(rate), int(bits), data_off, int(data_size)
+
+
+def audio_energy_windows(media: DataFrame, window_ms: int = 100) -> DataFrame:
+    """Windowed audio-energy profile over PCM16 WAV blobs — the audio
+    feature-extraction pattern (VAD energy gating, silence trimming,
+    loudness normalization stats) in its Spark shape: Arrow-batched
+    ``mapInPandas``, numpy-vectorized per blob (frombuffer → reshape
+    (frames, channels) → per-window reductions), emitting one row per
+    (media_id, window, channel) with INTEGER sum-of-squares and peak so
+    downstream math (and the certificate oracle) is exact — RMS is
+    sqrt(sum_sq / n_samples) whenever a float is actually wanted.
+
+    Scale shape: partition-parallel over media rows, zero shuffle; output
+    size is duration/window per row, independent of sample rate. Malformed
+    or non-PCM16 blobs are skipped (row-level tolerance, same policy as
+    ``decode_media_metadata``'s err channel)."""
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = [f.name for f in AUDIO_ENERGY_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    if content is None:
+                        raise ValueError("null content")
+                    b = bytes(content)
+                    ch, rate, _bits, off, dsize = _parse_wav_pcm(b)
+                    n_vals = min(dsize, len(b) - off) // 2
+                    frames = n_vals // ch
+                    if frames == 0:
+                        continue
+                    x = (
+                        np.frombuffer(b, dtype="<i2", count=frames * ch, offset=off)
+                        .reshape(frames, ch)
+                        .astype(np.int64)
+                    )
+                    win = max(rate * window_ms // 1000, 1)
+                    for w in range((frames + win - 1) // win):
+                        seg = x[w * win : (w + 1) * win]
+                        ss = (seg * seg).sum(axis=0)
+                        pk = np.abs(seg).max(axis=0)
+                        for c in range(ch):
+                            rows.append(
+                                {
+                                    "media_id": int(mid),
+                                    "window_idx": w,
+                                    "channel": c,
+                                    "n_samples": int(seg.shape[0]),
+                                    "sum_sq": int(ss[c]),
+                                    "peak": int(pk[c]),
+                                }
+                            )
+                except (ValueError, struct.error, TypeError):
+                    continue
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", "content").mapInPandas(proc, AUDIO_ENERGY_SCHEMA)

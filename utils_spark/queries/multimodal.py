@@ -214,3 +214,94 @@ def video_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_frames"),
         F.sum("frame_ts_ms").cast("long").alias("ts_checksum"),
     )
+
+
+def _planted_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, content) PCM16 WAV blobs with REAL sample data: every doc
+    becomes a mono/stereo 8 kHz clip of (doc_id % 50 + 1)*10 ms whose
+    interleaved samples are s(frame n, channel c) =
+    ((n*7 + c*3 + doc_id) % 256 - 128) * 64 — pure integer arithmetic an
+    SQL oracle reproduces exactly (certificate scaffolding; the operator
+    under test is the PCM decoder + windower)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    ids = load_table(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ch = d % 2 + 1
+                dur_ms = (d % 50 + 1) * 10
+                frames = 8 * dur_ms  # 8 kHz
+                n = np.arange(frames).reshape(-1, 1)
+                c = np.arange(ch).reshape(1, -1)
+                vals = (((n * 7 + c * 3 + d) % 256 - 128) * 64).astype("<i2")
+                data = vals.reshape(-1).tobytes()
+                blob = (
+                    b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                    + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, 8000, 16000 * ch, 2 * ch, 16)
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                rows.append({"media_id": d, "content": blob})
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("content", BinaryType())]
+    )
+    return ids.mapInPandas(gen, schema)
+
+
+@register(
+    "audio_energy_certificate",
+    # every PCM sample is arithmetic in (frame, channel, doc_id), so each
+    # 100 ms window's integer sum-of-squares and peak have an exact SQL
+    # twin: the oracle regenerates the same samples with range() and
+    # aggregates — certifying RIFF walk, int16 LE decode, interleaved
+    # channel split, and window segmentation (incl. the short tail window)
+    oracle="""
+    WITH wav AS (
+      SELECT doc_id AS media_id, doc_id % 2 + 1 AS ch,
+             8 * ((doc_id % 50 + 1) * 10) AS n_frames
+      FROM documents
+    ),
+    samp AS (
+      SELECT media_id, t.n AS n, c.c AS channel, n_frames
+      FROM wav, UNNEST(range(0, n_frames)) t(n), UNNEST(range(0, ch)) c(c)
+    ),
+    vals AS (
+      SELECT media_id, CAST(channel AS INT) AS channel,
+             CAST(n // 800 AS INT) AS window_idx,
+             ((n * 7 + channel * 3 + media_id) % 256 - 128) * 64 AS s
+      FROM samp
+    )
+    SELECT CAST(media_id AS BIGINT) AS media_id, window_idx, channel,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+           CAST(MAX(ABS(s)) AS INT) AS peak
+    FROM vals GROUP BY media_id, window_idx, channel
+    """,
+    tags=("multimodal", "audio", "mapInPandas", "certificate"),
+)
+def audio_energy_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction through the REAL PCM path: every document
+    becomes a PCM16 WAV clip with planted deterministic samples, and
+    `audio_energy_windows` must recover each 100 ms window's exact integer
+    sum-of-squares and peak per channel — certifying the RIFF chunk walk,
+    little-endian int16 decode, interleaved-channel deinterleave, and
+    window segmentation (including the final short window) against an SQL
+    oracle that regenerates the identical samples arithmetically.
+
+    Scale shape: generation and decode are both Arrow-batched map-only
+    stages; nothing shuffles until the (tiny) certificate aggregation.
+    This is the audio twin of `multimodal_decode_certificate` — metadata
+    there, sample-level signal processing here."""
+    from utils_spark.operators.multimodal import audio_energy_windows
+
+    media = _planted_audio(spark, sf_dir)
+    return audio_energy_windows(media, window_ms=100)
