@@ -1982,6 +1982,104 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "line_level_dedup",
+    # RefinedWeb-style line-level corpus dedup: strip any LINE that occurs
+    # in more than 10 documents (data-driven boilerplate removal — no
+    # regex rules). Documents are single-line in the fixture, so two
+    # deterministic boilerplate lines are planted (a per-source footer and
+    # a global newsletter CTA on even ids); the cleaned text is md5'd per
+    # doc so the strip + order-preserving rebuild is byte-exact.
+    oracle="""
+    WITH built AS (
+      SELECT doc_id, source,
+             list_value(text, 'FOOTER :: ' || source)
+             || CASE WHEN doc_id % 2 = 0
+                     THEN ['Subscribe to our newsletter for updates!'] ELSE [] END AS lines
+      FROM documents
+    ),
+    lined AS (
+      SELECT doc_id, source, t.p.pos AS pos, t.p.line AS line
+      FROM (SELECT doc_id, source,
+                   unnest(list_transform(range(1, len(lines) + 1),
+                                         i -> struct_pack(pos := i, line := lines[i]))) AS p
+            FROM built) t(doc_id, source, p)
+    ),
+    df AS (SELECT line, COUNT(*) AS n_docs FROM lined GROUP BY line),
+    kept AS (
+      SELECT l.doc_id, l.source, l.pos, l.line, df.n_docs
+      FROM lined l JOIN df USING (line)
+    )
+    SELECT doc_id, ANY_VALUE(source) AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN n_docs <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(string_agg(CASE WHEN n_docs <= 10 THEN line END, chr(10) ORDER BY pos))
+             AS cleaned_md5
+    FROM kept GROUP BY doc_id
+    """,
+    tags=("text", "dedup", "llm-pipeline", "boilerplate", "line-level"),
+)
+def line_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level corpus deduplication (the RefinedWeb/Falcon recipe):
+    split every document into lines, count each distinct line's document
+    frequency across the WHOLE corpus, and strip lines appearing in more
+    than 10 documents — boilerplate discovered from the data itself
+    (contrast `boilerplate_strip`, which applies fixed rules, and
+    `cross_doc_ngram_duplication`, which only profiles). The fixture's
+    docs are single-line, so a per-source footer and a global CTA line are
+    planted; the md5 of each rebuilt document certifies both the strip
+    decision and the order-preserving reconstruction byte-for-byte. (At
+    sf0.001 the per-source footers fall under the df threshold and are
+    correctly KEPT — the threshold is corpus-relative evidence, which is
+    the point of the technique.)
+
+    Scale shape: the line df table is one line-keyed aggregation with
+    map-side combine (bounded by distinct lines); the strip decision joins
+    back on the same key — at 100 TB the df table can also be broadcast
+    after a `HAVING n_docs > k` filter, since only frequent lines matter.
+    The rebuild groups by doc with an in-group array_sort, never a global
+    sort."""
+    d = load_table(spark, sf_dir, "documents")
+    built = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.array(F.col("text"), F.concat(F.lit("FOOTER :: "), F.col("source"))),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.array(F.lit("Subscribe to our newsletter for updates!")),
+            ).otherwise(F.expr("array()").cast("array<string>")),
+        ).alias("lines"),
+    )
+    lined = built.select(
+        "doc_id", "source", F.posexplode("lines").alias("pos0", "line")
+    ).withColumn("pos", F.col("pos0") + 1)
+    df_tbl = lined.groupBy("line").agg(F.count("*").alias("n_docs"))
+    kept = lined.join(df_tbl, "line")
+    keep = F.col("n_docs") <= 10
+    return kept.groupBy("doc_id").agg(
+        F.first("source").alias("source"),
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(keep.cast("long")).cast("long").alias("n_kept"),
+        F.when(
+            F.sum(keep.cast("long")) > 0,
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(keep, F.struct(F.col("pos"), F.col("line")))
+                            )
+                        ),
+                        lambda s: s["line"],
+                    ),
+                    "\n",
+                )
+            ),
+        ).alias("cleaned_md5"),
+    )
+
+
+@register(
     "incremental_dedup_batch",
     # the INCREMENTAL dedup mode of a production pipeline: a new crawl
     # batch (fresh docs + a simulated re-crawl of history + planted
