@@ -152,3 +152,63 @@ def test_over_representation_end_to_end(spark):
     assert res["A"]["p_adjusted"] <= res["B"]["p_adjusted"]
     # the all-universe term C is uninformative: p == 1
     assert math.isclose(res["C"]["pvalue"], 1.0)
+
+
+def test_audio_energy_windows_exact_and_robust(spark):
+    """audio_energy_windows must (a) recover exact integer energy/peak from
+    a hand-built PCM16 WAV, (b) handle a short tail window, stereo
+    deinterleave, and extra RIFF chunks, and (c) SKIP malformed blobs
+    (truncated data, 8-bit PCM, garbage, null) without failing the task."""
+    import struct
+
+    import numpy as np
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from utils_spark.operators.multimodal import audio_energy_windows
+
+    def wav(ch, rate, frames, fn, extra_chunk=False, bits=16, truncate=0):
+        n = np.arange(frames).reshape(-1, 1)
+        c = np.arange(ch).reshape(1, -1)
+        data = np.broadcast_to(fn(n, c), (frames, ch)).astype("<i2").reshape(-1).tobytes()
+        if truncate:
+            data = data[:-truncate]
+        mid = b""
+        if extra_chunk:  # a LIST chunk before data — the walk must skip it
+            mid = b"LIST" + struct.pack("<I", 4) + b"INFO"
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(mid) + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, rate, rate * 2 * ch, 2 * ch, bits)
+            + mid + b"data" + struct.pack("<I", len(data) + truncate) + data
+        )
+
+    # 1 kHz mono, 250 frames -> windows of 100 (100 ms): 100+100+50
+    mono = wav(1, 1000, 250, lambda n, c: (n % 4) * 100)
+    # stereo with an extra LIST chunk: channel 1 louder than channel 0
+    stereo = wav(2, 1000, 120, lambda n, c: (c + 1) * 200, extra_chunk=True)
+    rows = [
+        (1, mono),
+        (2, stereo),
+        (3, wav(1, 1000, 100, lambda n, c: n, bits=8)),  # 8-bit -> skipped
+        (4, b"RIFF\x04\x00\x00\x00WAVE"),  # no fmt/data -> skipped
+        (5, b"not audio at all"),  # garbage -> skipped
+        (6, None),  # null -> skipped
+        (7, wav(1, 1000, 100, lambda n, c: n * 0 + 300, truncate=2)),  # short data: decode what's there
+    ]
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("content", BinaryType())]
+    )
+    out = audio_energy_windows(spark.createDataFrame(rows, schema), window_ms=100)
+    got = {(r.media_id, r.window_idx, r.channel): r for r in out.collect()}
+
+    assert {k[0] for k in got} == {1, 2, 7}
+    # mono: pattern 0,100,200,300 repeating; per-100-window sumsq = 25*(0+1e4+4e4+9e4)
+    assert got[(1, 0, 0)].sum_sq == 25 * (0 + 100**2 + 200**2 + 300**2)
+    assert got[(1, 0, 0)].n_samples == 100 and got[(1, 0, 0)].peak == 300
+    assert got[(1, 2, 0)].n_samples == 50  # tail window
+    # n in [200, 250): 13 zeros, 13×100, 12×200, 12×300
+    assert got[(1, 2, 0)].sum_sq == 13 * 100**2 + 12 * 200**2 + 12 * 300**2
+    # stereo: constant 200 on ch0, 400 on ch1, both windows
+    assert got[(2, 0, 0)].sum_sq == 100 * 200**2 and got[(2, 0, 1)].sum_sq == 100 * 400**2
+    assert got[(2, 1, 0)].n_samples == 20 and got[(2, 1, 1)].peak == 400
+    # truncated: 99 full frames decodable
+    assert got[(7, 0, 0)].n_samples == 99 and got[(7, 0, 0)].peak == 300
