@@ -75,6 +75,7 @@ _PRIORITY = (
     "orc_roundtrip_scan",  # r5: ORC sink+scan exact roundtrip
     "audio_energy_certificate",  # r5: real PCM16 decode + windowed energy
     "line_level_dedup",  # r5: RefinedWeb df-threshold line stripping
+    "corpus_datasheet",  # r5: per-source curation summary report
     # -- tier 2: first driver-green in round 4
     "sequence_packing",
     "pii_scrub",

@@ -1982,6 +1982,64 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_datasheet",
+    # the per-source corpus "datasheet" a curation run reports: volume,
+    # token counts, language spread, exact-dup rate, heuristic quality
+    # pass rate — one bounded aggregation, integer/6dp-exact both engines
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, lang, text,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '')) AS n_toks,
+             len(list_distinct(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                           w -> w <> ''))) AS n_distinct
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           ROUND(AVG(CAST(n_toks AS DOUBLE)), 6) AS avg_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups,
+           ROUND(AVG(CASE WHEN n_toks BETWEEN 10 AND 1000
+                           AND CAST(n_distinct AS DOUBLE) / n_toks > 0.2
+                     THEN 1.0 ELSE 0.0 END), 6) AS quality_pass_rate
+    FROM t GROUP BY source
+    """,
+    tags=("text", "reporting", "llm-pipeline", "datasheet"),
+)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus datasheet — the summary table a curation run
+    publishes alongside the data: document/token volume, language spread,
+    exact-duplicate rate, and the heuristic quality pass rate (the
+    `quality_score` gate aggregated). One pass over the corpus: all
+    per-doc fields are map-side array expressions; the only shuffle is the
+    per-source aggregation (count-distincts of lang and fingerprint are
+    partial-aggregated; at 100 TB swap `approx_count_distinct` per the
+    documented scale path)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = word_tokens("text")
+    t = d.select(
+        "source",
+        "lang",
+        "text",
+        F.size(toks).alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    quality = (
+        F.col("n_toks").between(10, 1000)
+        & (F.col("n_distinct").cast("double") / F.col("n_toks") > 0.2)
+    ).cast("double")
+    return t.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.round(F.avg(F.col("n_toks").cast("double")), 6).alias("avg_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        (F.count("*") - F.countDistinct(F.md5("text"))).cast("long").alias("n_exact_dups"),
+        F.round(F.avg(quality), 6).alias("quality_pass_rate"),
+    )
+
+
+@register(
     "line_level_dedup",
     # RefinedWeb-style line-level corpus dedup: strip any LINE that occurs
     # in more than 10 documents (data-driven boilerplate removal — no
