@@ -76,6 +76,8 @@ _PRIORITY = (
     "audio_energy_certificate",  # r5: real PCM16 decode + windowed energy
     "line_level_dedup",  # r5: RefinedWeb df-threshold line stripping
     "corpus_datasheet",  # r5: per-source curation summary report
+    "late_shipment_priority_counts",  # r5: Q4-shape EXISTS semi-join
+    "priority_class_line_counts",  # r5: Q12-shape conditional aggregates
     # -- tier 2: first driver-green in round 4
     "sequence_packing",
     "pii_scrub",

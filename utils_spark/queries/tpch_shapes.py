@@ -135,3 +135,82 @@ def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("days_to_y2k"),
     )
+
+
+@register(
+    "late_shipment_priority_counts",
+    # Q4 shape adapted to the fixture schema (no l_commitdate): orders in
+    # a half-year window with AT LEAST ONE line shipped after the order
+    # date, counted by priority — the decorrelated-EXISTS (left-semi with
+    # an extra non-equi conjunct) optimizer path
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    tags=("tpch", "semi-join", "Q4-shape"),
+)
+def late_shipment_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-correlated subquery → left-semi join with a
+    compound (equi + non-equi) condition, then a tiny priority rollup.
+    Catalyst plans the semi join on the equi key with the date comparison
+    as a join residual — the date window pushes into the orders scan, and
+    the semi join never duplicates orders however many late lines match.
+
+    Scale shape: the filtered orders side is the small build side; the
+    lineitem probe shuffles on l_orderkey only. No aggregation-before-join
+    is needed because semi-join semantics dedup matches for free."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "priority_class_line_counts",
+    # Q12 shape adapted (no l_shipmode): per returnflag, count lines of
+    # high- vs low-priority orders shipped inside one year — the
+    # two-conditional-aggregate pattern over a fact-fact join
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+    tags=("tpch", "joins", "Q12-shape"),
+)
+def priority_class_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join the filtered fact to orders and split the
+    count by a priority predicate inside two conditional aggregates —
+    exercises join + CASE-in-agg codegen. The ship-date window pushes
+    into the lineitem scan; only (l_orderkey, l_returnflag) survive the
+    projection, so the shuffle carries two columns."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_orderkey", "l_returnflag")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(hi.cast("long")).cast("long").alias("high_line_count"),
+            F.sum((~hi).cast("long")).cast("long").alias("low_line_count"),
+        )
+    )
