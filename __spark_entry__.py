@@ -78,6 +78,8 @@ _PRIORITY = (
     "corpus_datasheet",  # r5: per-source curation summary report
     "late_shipment_priority_counts",  # r5: Q4-shape EXISTS semi-join
     "priority_class_line_counts",  # r5: Q12-shape conditional aggregates
+    "top_revenue_supplier",  # r5: Q15-shape max-over-aggregate join-back
+    "important_part_values",  # r5: Q11-shape global-share threshold
     # -- tier 2: first driver-green in round 4
     "sequence_packing",
     "pii_scrub",

@@ -214,3 +214,77 @@ def priority_class_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((~hi).cast("long")).cast("long").alias("low_line_count"),
         )
     )
+
+
+@register(
+    "top_revenue_supplier",
+    # Q15 shape: quarterly revenue per supplier (an aggregate "view"),
+    # then the supplier(s) achieving the MAXIMUM of that aggregate —
+    # max-over-aggregate join-back; revenue rounded to 4dp BEFORE the max
+    # so tie/argmax selection is engine-stable
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    tags=("tpch", "aggregates", "Q15-shape"),
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: build the revenue 'view' (one agg over the
+    date-filtered fact), take its scalar max, and join back to keep every
+    supplier tying the maximum — aggregate-of-aggregate with a
+    broadcast-scalar comparison rather than a window (no per-row ranking
+    pass over the view). The date filter pushes into the lineitem scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    top = rev.crossJoin(F.broadcast(mx)).filter(F.col("total_revenue") == F.col("mx"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return s.join(top, s.s_suppkey == top.l_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+@register(
+    "important_part_values",
+    # Q11 shape: per-part value, kept only when above a FRACTION OF THE
+    # GLOBAL TOTAL — the scalar-subquery-threshold pattern (HAVING vs a
+    # second aggregate over the same view)
+    oracle="""
+    WITH val AS (
+      SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS v
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, ROUND(v, 4) AS part_value
+    FROM val WHERE v > (SELECT SUM(v) * 0.0005 FROM val)
+    """,
+    tags=("tpch", "aggregates", "Q11-shape"),
+)
+def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group value filtered against a fraction of the
+    GLOBAL total of the same aggregate — the scalar-subquery HAVING
+    pattern. The view aggregates once; the global total is a 1-row
+    broadcast compared map-side, so the second 'pass' over the view is
+    free (no re-aggregation, no window)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    val = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v")
+    )
+    thr = val.agg((F.sum("v") * 0.0005).alias("thr"))
+    return (
+        val.crossJoin(F.broadcast(thr))
+        .filter(F.col("v") > F.col("thr"))
+        .select("l_partkey", F.round("v", 4).alias("part_value"))
+    )
