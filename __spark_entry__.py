@@ -80,6 +80,7 @@ _PRIORITY = (
     "priority_class_line_counts",  # r5: Q12-shape conditional aggregates
     "top_revenue_supplier",  # r5: Q15-shape max-over-aggregate join-back
     "important_part_values",  # r5: Q11-shape global-share threshold
+    "image_stats_certificate",  # r5: real raster decode + channel stats
     # -- tier 2: first driver-green in round 4
     "sequence_packing",
     "pii_scrub",

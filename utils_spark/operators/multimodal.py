@@ -364,3 +364,76 @@ def audio_energy_windows(media: DataFrame, window_ms: int = 100) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return media.select("media_id", "content").mapInPandas(proc, AUDIO_ENERGY_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("channel", IntegerType()),
+        StructField("n_pixels", LongType()),
+        StructField("sum_val", LongType()),
+        StructField("min_val", IntegerType()),
+        StructField("max_val", IntegerType()),
+        StructField("stride2_sum", LongType()),
+    ]
+)
+
+
+def image_channel_stats(media: DataFrame) -> DataFrame:
+    """Sample-level image statistics over binary P6 (RGB) PPM blobs — the
+    image feature-extraction pattern (channel means for normalization,
+    min/max for exposure checks, strided downsample as the resize
+    primitive) in its Spark shape: Arrow-batched ``mapInPandas``,
+    numpy-vectorized per blob (frombuffer → reshape (h, w, 3) → per-channel
+    reductions + a stride-2 nearest-neighbor subsample). All-integer
+    outputs, so downstream math has no float hazards.
+
+    Scale shape: partition-parallel over media rows, zero shuffle; output
+    is 3 rows per image regardless of resolution. Malformed rasters
+    (truncated, non-P6, null) are skipped row-level, same policy as
+    ``audio_energy_windows``."""
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = [f.name for f in IMAGE_STATS_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    if content is None:
+                        raise ValueError("null content")
+                    b = bytes(content)
+                    # header: P6 <w> <h> <maxval> then EXACTLY ONE
+                    # whitespace byte before the raster (PPM spec) — a
+                    # whitespace-split would eat raster bytes that happen
+                    # to be 0x20/0x0a, so anchor with a regex instead
+                    import re as _re
+
+                    m = _re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", b)
+                    if not m:
+                        raise ValueError("not a P6 PPM")
+                    w, h = int(m.group(1)), int(m.group(2))
+                    raster = np.frombuffer(b, dtype=np.uint8, offset=m.end())
+                    if raster.size < w * h * 3:
+                        raise ValueError("truncated raster")
+                    img = raster[: w * h * 3].reshape(h, w, 3).astype(np.int64)
+                    sub = img[::2, ::2, :]
+                    for c in range(3):
+                        ch = img[:, :, c]
+                        rows.append(
+                            {
+                                "media_id": int(mid),
+                                "channel": c,
+                                "n_pixels": int(ch.size),
+                                "sum_val": int(ch.sum()),
+                                "min_val": int(ch.min()),
+                                "max_val": int(ch.max()),
+                                "stride2_sum": int(sub[:, :, c].sum()),
+                            }
+                        )
+                except (ValueError, TypeError):
+                    continue
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", "content").mapInPandas(proc, IMAGE_STATS_SCHEMA)

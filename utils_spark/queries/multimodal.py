@@ -305,3 +305,85 @@ def audio_energy_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = _planted_audio(spark, sf_dir)
     return audio_energy_windows(media, window_ms=100)
+
+
+def _planted_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, content) P6 PPM blobs with REAL raster data: every doc
+    becomes a (doc_id % 31 + 1) × (doc_id % 17 + 1) RGB image whose pixel
+    at column x, row y, channel c is (3x + 5y + 7c + doc_id) % 256 — pure
+    integer arithmetic an SQL oracle regenerates exactly."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    ids = load_table(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 31 + 1, d % 17 + 1
+                x = np.arange(w).reshape(1, -1, 1)
+                y = np.arange(h).reshape(-1, 1, 1)
+                c = np.arange(3).reshape(1, 1, -1)
+                img = ((3 * x + 5 * y + 7 * c + d) % 256).astype(np.uint8)
+                blob = f"P6 {w} {h} 255\n".encode() + img.tobytes()
+                rows.append({"media_id": d, "content": blob})
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("content", BinaryType())]
+    )
+    return ids.mapInPandas(gen, schema)
+
+
+@register(
+    "image_stats_certificate",
+    # every pixel is arithmetic in (x, y, channel, doc_id), so each
+    # channel's integer sum/min/max and the stride-2 subsample sum have an
+    # exact SQL twin — certifying the P6 header parse (incl. the
+    # one-whitespace rule), raster reshape, channel split, and the resize
+    # primitive
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id AS media_id, doc_id % 31 + 1 AS w, doc_id % 17 + 1 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT media_id, w, h, t.x AS x, u.y AS y, c.c AS channel,
+             (3 * t.x + 5 * u.y + 7 * c.c + media_id) % 256 AS v
+      FROM dims, UNNEST(range(0, w)) t(x), UNNEST(range(0, h)) u(y),
+           UNNEST(range(0, 3)) c(c)
+    )
+    SELECT CAST(media_id AS BIGINT) AS media_id, CAST(channel AS INT) AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           CAST(SUM(v) AS BIGINT) AS sum_val,
+           CAST(MIN(v) AS INT) AS min_val,
+           CAST(MAX(v) AS INT) AS max_val,
+           CAST(SUM(CASE WHEN x % 2 = 0 AND y % 2 = 0 THEN v ELSE 0 END) AS BIGINT)
+             AS stride2_sum
+    FROM px GROUP BY media_id, channel
+    """,
+    tags=("multimodal", "image", "mapInPandas", "certificate"),
+)
+def image_stats_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image processing through the REAL raster path: every document
+    becomes a P6 PPM with planted deterministic pixels, and
+    `image_channel_stats` must recover each channel's exact integer
+    sum/min/max plus the stride-2 (nearest-neighbor downscale) sum —
+    certifying the header parse, (h, w, 3) reshape, channel deinterleave,
+    and the resize primitive against an SQL oracle that regenerates the
+    identical pixels arithmetically. The image twin of
+    `audio_energy_certificate`; compressed codecs (JPEG/PNG) remain
+    honestly env-stubbed.
+
+    Scale shape: generation and decode are Arrow-batched map-only; output
+    is 3 rows per image regardless of resolution; only the certificate
+    aggregation shuffles."""
+    from utils_spark.operators.multimodal import image_channel_stats
+
+    media = _planted_images(spark, sf_dir)
+    return image_channel_stats(media)
