@@ -212,3 +212,42 @@ def test_audio_energy_windows_exact_and_robust(spark):
     assert got[(2, 1, 0)].n_samples == 20 and got[(2, 1, 1)].peak == 400
     # truncated: 99 full frames decodable
     assert got[(7, 0, 0)].n_samples == 99 and got[(7, 0, 0)].peak == 300
+
+
+def test_image_channel_stats_whitespace_raster_and_robust(spark):
+    """image_channel_stats must (a) recover exact integer stats from a
+    hand-built P6 whose FIRST raster byte is whitespace (0x20) — the case
+    a naive whitespace-split header parse silently shifts — and (b) skip
+    truncated/garbage/null blobs without failing the task."""
+    import numpy as np
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from utils_spark.operators.multimodal import image_channel_stats
+
+    w, h = 4, 3
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[0, 0, 0] = 0x20  # leading raster byte IS whitespace
+    img[:, :, 1] = 10
+    img[2, 3, 2] = 255
+    good = f"P6 {w} {h} 255\n".encode() + img.tobytes()
+    rows = [
+        (1, good),
+        (2, f"P6 {w} {h} 255\n".encode() + img.tobytes()[:-5]),  # truncated
+        (3, b"P5 2 2 255\n\x00\x00\x00\x00"),  # PGM, not P6
+        (4, b"nonsense"),
+        (5, None),
+    ]
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("content", BinaryType())]
+    )
+    out = image_channel_stats(spark.createDataFrame(rows, schema))
+    got = {(r.media_id, r.channel): r for r in out.collect()}
+    assert {k[0] for k in got} == {1}
+    assert got[(1, 0)].sum_val == 0x20 and got[(1, 0)].max_val == 0x20
+    # the 0x20 byte sits at x=0, y=0 -> included in the stride-2 subsample
+    assert got[(1, 0)].stride2_sum == 0x20
+    assert got[(1, 1)].sum_val == 10 * w * h and got[(1, 1)].min_val == 10
+    # stride-2 keeps x in {0, 2}, y in {0, 2} -> 4 pixels of channel 1
+    assert got[(1, 1)].stride2_sum == 10 * 4
+    assert got[(1, 2)].max_val == 255 and got[(1, 2)].stride2_sum == 0
+    assert all(r.n_pixels == w * h for r in got.values())
