@@ -247,3 +247,58 @@ def test_lsh_verified_pairs_fuzz(spark, n_docs, n_dups, seed):
         ).collect()
     }
     assert got == truth, (got, truth)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d", "e", "f"]), min_size=1, max_size=5),
+        min_size=1,
+        max_size=12,
+    ),
+    max_df=st.integers(min_value=1, max_value=4),
+)
+@settings(**SETTINGS)
+def test_strip_frequent_lines_fuzz(spark, docs, max_df):
+    """strip_frequent_lines vs a pure-python reference on random corpora:
+    df counts DISTINCT docs (internal repeats count once), strip keeps
+    order, all-stripped docs yield NULL cleaned_text."""
+    from utils_spark.operators.dedup import strip_frequent_lines
+
+    df = spark.createDataFrame(
+        [(i, "\n".join(lines)) for i, lines in enumerate(docs)], ["key", "text"]
+    )
+    got = {r["key"]: r for r in strip_frequent_lines(df, "key", "text", max_df=max_df).collect()}
+
+    dfreq = {}
+    for lines in docs:
+        for line in set(lines):
+            dfreq[line] = dfreq.get(line, 0) + 1
+    for i, lines in enumerate(docs):
+        kept = [ln for ln in lines if dfreq[ln] <= max_df]
+        assert got[i]["n_lines"] == len(lines)
+        assert got[i]["n_kept"] == len(kept)
+        assert got[i]["cleaned_text"] == ("\n".join(kept) if kept else None)
+
+
+@given(
+    batch=st.lists(st.sampled_from("pqrs"), min_size=1, max_size=12),
+    hist=st.lists(st.sampled_from("pqrs"), min_size=0, max_size=6),
+)
+@settings(**SETTINGS)
+def test_incremental_dedup_fuzz(spark, batch, hist):
+    """incremental_dedup vs a pure-python reference: history hits flagged,
+    exactly one accepted (min key) per novel fingerprint."""
+    from utils_spark.operators.dedup import incremental_dedup
+
+    bdf = spark.createDataFrame([(i, fp) for i, fp in enumerate(batch)], ["key", "fp"])
+    hdf = spark.createDataFrame([(fp,) for fp in hist], ["fp"]) if hist else bdf.filter("1=0").select("fp")
+    got = {r["key"]: r for r in incremental_dedup(bdf, hdf, "key", "fp").collect()}
+
+    hist_set = set(hist)
+    first_novel = {}
+    for i, fp in enumerate(batch):
+        if fp not in hist_set and fp not in first_novel:
+            first_novel[fp] = i
+    for i, fp in enumerate(batch):
+        assert got[i]["dup_hist"] == (1 if fp in hist_set else 0)
+        assert got[i]["accepted"] == (1 if first_novel.get(fp) == i else 0)

@@ -202,3 +202,80 @@ def duplicate_clusters(edges: DataFrame, src: str = "key_a", dst: str = "key_b",
         if changed == 0:
             break
     return parent.select(F.col("u").alias("key"), F.col("p").alias("component"))
+
+
+def strip_frequent_lines(
+    df: DataFrame, key_col: str, text_col: str, max_df: int = 10
+) -> DataFrame:
+    """Line-level corpus dedup (the RefinedWeb recipe): split ``text_col``
+    on newlines, count each distinct line's DOCUMENT frequency across the
+    whole corpus (distinct ``key_col`` values — an internally repeated
+    line counts once), strip lines appearing in more than ``max_df``
+    documents, and rebuild each document order-preserved. Returns
+    (key, n_lines, n_kept, cleaned_text) with cleaned_text NULL when every
+    line was stripped.
+
+    Scale shape: one line-keyed aggregation with map-side combine (the
+    distinct-doc count partial-aggregates after an in-doc line distinct),
+    one join back on the same key, and a per-document rebuild via in-group
+    array_sort — no global sort. At 100 TB, pre-filter the df table with
+    ``HAVING n_docs > max_df`` and broadcast it: only frequent lines
+    matter for the strip decision."""
+    lines = F.split(F.col(text_col), "\n")
+    lined = df.select(
+        F.col(key_col), F.posexplode(lines).alias("pos", "line")
+    )
+    df_tbl = lined.groupBy("line").agg(
+        F.countDistinct(key_col).alias("n_docs")
+    )
+    kept = lined.join(df_tbl, "line")
+    keep = F.col("n_docs") <= max_df
+    kflag = keep.cast("long")
+    return kept.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(kflag).cast("long").alias("n_kept"),
+        F.when(
+            F.sum(kflag) > 0,
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(keep, F.struct(F.col("pos"), F.col("line"))))
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ),
+        ).alias("cleaned_text"),
+    )
+
+
+def incremental_dedup(
+    batch: DataFrame, index: DataFrame, key_col: str, fp_col: str
+) -> DataFrame:
+    """Incremental (between-crawls) dedup: flag each new-batch row against
+    a standing fingerprint ``index`` (any DataFrame exposing ``fp_col``),
+    then keep the minimum-key row per fingerprint among index-misses.
+    Returns the batch columns plus ``dup_hist`` (1 = fingerprint already
+    in the corpus) and ``accepted`` (1 = the canonical new row). History
+    is never rescanned — the asymmetry that makes incremental curation
+    cheap.
+
+    Scale shape: one fingerprint-keyed left join against the (distinct)
+    index — broadcast when the index fits, shuffle otherwise — and one
+    window over per-fingerprint groups (tiny partitions by construction;
+    the window orders within a fingerprint, never globally)."""
+    from pyspark.sql import Window
+
+    idx = index.select(F.col(fp_col)).distinct().withColumn("__hit", F.lit(1))
+    flagged = (
+        batch.join(idx, fp_col, "left")
+        .withColumn("dup_hist", F.coalesce(F.col("__hit"), F.lit(0)))
+        .drop("__hit")
+    )
+    w = Window.partitionBy(fp_col, "dup_hist").orderBy(key_col)
+    ranked = flagged.withColumn(
+        "rn", F.when(F.col("dup_hist") == 0, F.row_number().over(w))
+    )
+    return ranked.withColumn(
+        "accepted", ((F.col("dup_hist") == 0) & (F.col("rn") == 1)).cast("int")
+    ).drop("rn")

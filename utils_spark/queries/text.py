@@ -2096,44 +2096,30 @@ def line_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     after a `HAVING n_docs > k` filter, since only frequent lines matter.
     The rebuild groups by doc with an in-group array_sort, never a global
     sort."""
+    from utils_spark.operators.dedup import strip_frequent_lines
+
     d = load_table(spark, sf_dir, "documents")
     built = d.select(
         "doc_id",
         "source",
-        F.concat(
-            F.array(F.col("text"), F.concat(F.lit("FOOTER :: "), F.col("source"))),
-            F.when(
-                F.col("doc_id") % 2 == 0,
-                F.array(F.lit("Subscribe to our newsletter for updates!")),
-            ).otherwise(F.expr("array()").cast("array<string>")),
-        ).alias("lines"),
-    )
-    lined = built.select(
-        "doc_id", "source", F.posexplode("lines").alias("pos0", "line")
-    ).withColumn("pos", F.col("pos0") + 1)
-    df_tbl = lined.groupBy("line").agg(F.count("*").alias("n_docs"))
-    kept = lined.join(df_tbl, "line")
-    keep = F.col("n_docs") <= 10
-    return kept.groupBy("doc_id").agg(
-        F.first("source").alias("source"),
-        F.count("*").cast("long").alias("n_lines"),
-        F.sum(keep.cast("long")).cast("long").alias("n_kept"),
-        F.when(
-            F.sum(keep.cast("long")) > 0,
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.when(keep, F.struct(F.col("pos"), F.col("line")))
-                            )
-                        ),
-                        lambda s: s["line"],
-                    ),
-                    "\n",
-                )
+        F.array_join(
+            F.concat(
+                F.array(F.col("text"), F.concat(F.lit("FOOTER :: "), F.col("source"))),
+                F.when(
+                    F.col("doc_id") % 2 == 0,
+                    F.array(F.lit("Subscribe to our newsletter for updates!")),
+                ).otherwise(F.expr("array()").cast("array<string>")),
             ),
-        ).alias("cleaned_md5"),
+            "\n",
+        ).alias("text"),
+    )
+    cleaned = strip_frequent_lines(built, "doc_id", "text", max_df=10)
+    return cleaned.join(built.select("doc_id", "source"), "doc_id").select(
+        "doc_id",
+        "source",
+        "n_lines",
+        "n_kept",
+        F.md5("cleaned_text").alias("cleaned_md5"),
     )
 
 
@@ -2199,12 +2185,12 @@ def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     asymmetry that makes incremental curation cheap); within-batch keep is
     a window over fingerprint groups (tiny partitions by construction).
     All map-side fingerprinting, zero UDFs."""
-    from pyspark.sql import Window
+    from utils_spark.operators.dedup import incremental_dedup
 
     d = load_table(spark, sf_dir, "documents")
     fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
     f = d.select("doc_id", "source", fp.alias("fp"))
-    hist = f.filter(F.col("doc_id") % 5 != 0).select("fp").distinct()
+    hist = f.filter(F.col("doc_id") % 5 != 0).select("fp")
     fresh = f.filter(F.col("doc_id") % 5 == 0)
     batch = (
         fresh.unionAll(
@@ -2217,20 +2203,14 @@ def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    flagged = batch.join(
-        hist.withColumn("dup_hist", F.lit(1)), "fp", "left"
-    ).withColumn("dup_hist", F.coalesce(F.col("dup_hist"), F.lit(0)))
-    w = Window.partitionBy("fp", "dup_hist").orderBy("doc_id")
-    ranked = flagged.withColumn(
-        "rn", F.when(F.col("dup_hist") == 0, F.row_number().over(w))
-    )
-    acc = (F.col("dup_hist") == 0) & (F.col("rn") == 1)
-    return ranked.groupBy("source").agg(
+    flagged = incremental_dedup(batch, hist, "doc_id", "fp")
+    acc = F.col("accepted") == 1
+    return flagged.groupBy("source").agg(
         F.count("*").alias("n_new"),
         F.sum("dup_hist").cast("long").alias("n_dup_vs_history"),
-        F.sum(((F.col("dup_hist") == 0) & (F.col("rn") > 1)).cast("long"))
+        F.sum(((F.col("dup_hist") == 0) & ~acc).cast("long"))
         .cast("long")
         .alias("n_dup_within_batch"),
-        F.sum(acc.cast("long")).cast("long").alias("n_accepted"),
+        F.sum("accepted").cast("long").alias("n_accepted"),
         F.sum(F.when(acc, F.col("doc_id")).otherwise(0)).cast("long").alias("accepted_id_checksum"),
     )
