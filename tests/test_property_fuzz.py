@@ -302,3 +302,47 @@ def test_incremental_dedup_fuzz(spark, batch, hist):
     for i, fp in enumerate(batch):
         assert got[i]["dup_hist"] == (1 if fp in hist_set else 0)
         assert got[i]["accepted"] == (1 if first_novel.get(fp) == i else 0)
+
+
+@given(
+    ref_docs=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z"]), min_size=2, max_size=6),
+        min_size=1,
+        max_size=6,
+    ),
+    docs=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z", "q"]), min_size=0, max_size=6),
+        min_size=1,
+        max_size=6,
+    ),
+)
+@settings(**SETTINGS)
+def test_bigram_lm_scores_fuzz(spark, ref_docs, docs):
+    """bigram_lm_scores vs a pure-python add-k bigram LM on random tiny
+    corpora — incl. out-of-vocab tokens (q) and <2-token docs (dropped)."""
+    from collections import Counter
+
+    from utils_spark.operators.textmodel import bigram_lm_scores
+
+    k = 0.5
+    rdf = spark.createDataFrame([(" ".join(d),) for d in ref_docs], ["text"])
+    ddf = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)], ["key", "text"]
+    )
+    got = {r["key"]: r for r in bigram_lm_scores(ddf, "key", "text", ref=rdf, smoothing_k=k).collect()}
+
+    uni = Counter(w for d in ref_docs for w in d)
+    bi = Counter((d[i], d[i + 1]) for d in ref_docs for i in range(len(d) - 1))
+    V = len(uni)
+    for i, d in enumerate(docs):
+        if len(d) < 2:
+            assert i not in got
+            continue
+        lps = [
+            math.log((bi.get((d[j], d[j + 1]), 0) + k) / (uni.get(d[j], 0) + k * V))
+            for j in range(len(d) - 1)
+        ]
+        ce = -sum(lps) / len(lps)
+        assert got[i]["n_bigrams"] == len(d) - 1
+        assert math.isclose(got[i]["cross_entropy"], round(ce, 6), rel_tol=0, abs_tol=5e-6)
+        assert math.isclose(got[i]["perplexity"], round(math.exp(ce), 6), rel_tol=1e-5)

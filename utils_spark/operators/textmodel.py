@@ -1,0 +1,114 @@
+"""Corpus-level text modeling operators: n-gram language-model scoring
+(the CCNet-style perplexity quality gate) and BPE merge-pair counting
+(the tokenizer trainer's inner loop) as reusable building blocks over
+arbitrary (key, text) DataFrames.
+
+Design for 100 TB: the LM's count tables are bounded by observed
+vocabulary, broadcast for map-only corpus scoring; BPE counting collapses
+the corpus to its word-frequency table first so pair tallies cost
+O(vocab × word-length), independent of corpus size. Zero UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from utils_spark.functions import word_tokens
+
+
+def _bigram_structs(toks_col: str):
+    """array<struct<w1,w2>> of adjacent token pairs; empty for <2 tokens
+    (sequence() DESCENDS when end < start, hence the explicit guard)."""
+    idx = F.when(
+        F.size(toks_col) >= 2, F.sequence(F.lit(1), F.size(toks_col) - 1)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(F.col(toks_col), i).alias("w1"),
+            F.element_at(F.col(toks_col), i + 1).alias("w2"),
+        ),
+    )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    ref: DataFrame,
+    smoothing_k: float = 0.5,
+) -> DataFrame:
+    """Score every document of ``df`` under an add-k-smoothed bigram word
+    LM trained on ``ref`` (a DataFrame exposing ``text_col`` — the
+    in-domain reference corpus):  P(w2 | w1) = (c(w1,w2) + k) /
+    (c(w1) + k·V).  Returns (key, n_bigrams, cross_entropy, perplexity)
+    for documents with ≥ 2 tokens; cross-entropy is the mean −ln P over
+    the document's bigrams (lower = more in-domain — the CCNet filter
+    signal). Rounded to 6dp for cross-engine-stable comparisons.
+
+    Scale shape: the model (unigram + bigram counts + vocab size) is two
+    map-side-combined aggregations over the reference, bounded by
+    vocabulary — it broadcasts, so corpus scoring is map-only plus one
+    per-key combine. If the model outgrows broadcast, drop the hints: the
+    joins fall back to bigram-keyed shuffles of corpus-token volume."""
+    toks = word_tokens(text_col)
+    doc = df.select(F.col(key_col), toks.alias("__toks"))
+    reft = ref.select(toks.alias("__toks"))
+    uni = (
+        reft.select(F.explode("__toks").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("__uni_c"))
+    )
+    vocab = uni.agg(F.count("*").cast("double").alias("__v"))
+    bi = (
+        reft.select(F.explode(_bigram_structs("__toks")).alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("__bi_c"))
+    )
+    docbi = doc.select(
+        key_col, F.explode(_bigram_structs("__toks")).alias("bg")
+    ).select(key_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    lp = F.log(
+        (F.coalesce(F.col("__bi_c"), F.lit(0)) + smoothing_k)
+        / (F.coalesce(F.col("__uni_c"), F.lit(0)) + smoothing_k * F.col("__v"))
+    )
+    ce = -F.avg("__lp")
+    return (
+        docbi.join(F.broadcast(bi), ["w1", "w2"], "left")
+        .join(F.broadcast(uni), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(key_col, lp.alias("__lp"))
+        .groupBy(key_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(ce, 6).alias("cross_entropy"),
+            F.round(F.exp(ce), 6).alias("perplexity"),
+        )
+    )
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Adjacent character-pair counts over the corpus, weighted by word
+    occurrence — the counting round of BPE tokenizer training. Returns
+    (pair, pair_count); the caller ranks/limits (TakeOrdered) and applies
+    the chosen merge.
+
+    Scale shape: the corpus collapses to its WORD FREQUENCY TABLE first
+    (the classic BPE-trainer trick — pair counting is then O(vocab ×
+    word-length) regardless of corpus size), then one bounded pair
+    aggregation (≤ alphabet² keys)."""
+    words = (
+        df.select(F.explode(word_tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    idx = F.when(
+        F.length("w") >= 2, F.sequence(F.lit(1), F.length("w") - 1)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    pair_rows = words.select(
+        "n",
+        F.explode(F.transform(idx, lambda i: F.col("w").substr(i, F.lit(2)))).alias("pair"),
+    )
+    return pair_rows.groupBy("pair").agg(F.sum("n").cast("long").alias("pair_count"))

@@ -1878,52 +1878,19 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     no corpus-side shuffle except the final per-doc combine; if the model
     outgrows broadcast, the joins fall back to bigram-keyed shuffles whose
     volume is corpus token count, never pairs."""
+    from utils_spark.operators.textmodel import bigram_lm_scores
+
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", "lang", word_tokens("text").alias("toks"))
-    # adjacent-pair (w1, w2) structs; sequence() DESCENDS when end < start,
-    # so short docs need an explicit empty index (they drop from the output)
-    idx = F.when(
-        F.size("toks") >= 2, F.sequence(F.lit(1), F.size("toks") - 1)
-    ).otherwise(F.expr("array()").cast("array<int>"))
-    bigrams = F.transform(
-        idx,
-        lambda i: F.struct(
-            F.element_at(F.col("toks"), i).alias("w1"),
-            F.element_at(F.col("toks"), i + 1).alias("w2"),
-        ),
+    scores = bigram_lm_scores(
+        d, "doc_id", "text", ref=d.filter(F.col("lang") == "en"), smoothing_k=0.5
     )
-    ref = tok.filter(F.col("lang") == "en")
-    uni = (
-        ref.select(F.explode("toks").alias("w1"))
-        .groupBy("w1")
-        .agg(F.count("*").alias("uni_c"))
-    )
-    vocab = uni.agg(F.count("*").cast("double").alias("v"))
-    bi = (
-        ref.select(F.explode(bigrams).alias("bg"))
-        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-        .groupBy("w1", "w2")
-        .agg(F.count("*").alias("bi_c"))
-    )
-    docbi = tok.select("doc_id", "lang", F.explode(bigrams).alias("bg")).select(
-        "doc_id", "lang", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
-    )
-    lp = F.log(
-        (F.coalesce(F.col("bi_c"), F.lit(0)) + 0.5)
-        / (F.coalesce(F.col("uni_c"), F.lit(0)) + 0.5 * F.col("v"))
-    )
-    scored = (
-        docbi.join(F.broadcast(bi), ["w1", "w2"], "left")
-        .join(F.broadcast(uni), "w1", "left")
-        .crossJoin(F.broadcast(vocab))
-        .select("doc_id", "lang", lp.alias("lp"))
-    )
-    ce = -F.avg("lp")
-    return scored.groupBy("doc_id", "lang").agg(
-        F.count("*").cast("long").alias("n_bigrams"),
-        F.round(ce, 6).alias("cross_entropy"),
-        F.round(F.exp(ce), 6).alias("perplexity"),
-        F.when(F.round(ce, 6) <= 3.43, 1).otherwise(0).alias("passes_lm_filter"),
+    return scores.join(d.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "cross_entropy",
+        "perplexity",
+        F.when(F.col("cross_entropy") <= 3.43, 1).otherwise(0).alias("passes_lm_filter"),
     )
 
 
@@ -1964,20 +1931,10 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver merge of k-sized heads — no single-task full sort). A 100 TB
     corpus pays one token-keyed shuffle bounded by vocabulary, nothing
     pairwise."""
+    from utils_spark.operators.textmodel import bpe_pair_counts
+
     d = load_table(spark, sf_dir, "documents")
-    words = (
-        d.select(F.explode(word_tokens("text")).alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("n"))
-    )
-    # adjacent char-pair index 1..len-1 (empty for single-char words)
-    idx = F.when(
-        F.length("w") >= 2, F.sequence(F.lit(1), F.length("w") - 1)
-    ).otherwise(F.expr("array()").cast("array<int>"))
-    pair_rows = words.select(
-        "n", F.explode(F.transform(idx, lambda i: F.col("w").substr(i, F.lit(2)))).alias("pair")
-    )
-    tallies = pair_rows.groupBy("pair").agg(F.sum("n").cast("long").alias("pair_count"))
+    tallies = bpe_pair_counts(d, "text")
     return tallies.orderBy(F.desc("pair_count"), F.asc("pair")).limit(20)
 
 
