@@ -88,7 +88,7 @@ def test_zorder_write_prunes_both_dimensions(spark, sf_dir, tmp_path):
     files' min/max footprints — the judgment a parquet reader makes from
     row-group stats. A single-column sort gives this for one key only."""
     from utils_spark.io import load_table
-    from utils_spark.queries.scalepath import _ZORDER_MORTON
+    from utils_spark.functions import morton_interleave
 
     li = load_table(spark, sf_dir, "lineitem")
     ext = F.broadcast(
@@ -108,7 +108,7 @@ def test_zorder_write_prunes_both_dimensions(spark, sf_dir, tmp_path):
             F.expr("((l_orderkey - minx) * 256) DIV (maxx - minx + 1)").alias("xb"),
             F.expr("((l_partkey - miny) * 256) DIV (maxy - miny + 1)").alias("yb"),
         )
-        .withColumn("morton", F.expr(_ZORDER_MORTON))
+        .withColumn("morton", morton_interleave("xb", "yb", bits=8))
     )
     out = str(tmp_path / "zsorted")
     n_files = 16
@@ -144,3 +144,28 @@ def test_zorder_write_prunes_both_dimensions(spark, sf_dir, tmp_path):
     y_hit = overlapping(0, 15, "y")
     assert x_hit <= n_files // 2, (x_hit, foot)
     assert y_hit <= n_files // 2, (y_hit, foot)
+
+
+def test_morton_interleave_bijective_and_local(spark):
+    """morton_interleave must be a bijection [0,2^b)² → [0,4^b) matching
+    the reference bit-interleave, and adjacent codes must stay adjacent in
+    at least one dimension (the locality that makes Z-order prune)."""
+    from utils_spark.functions import morton_interleave
+
+    bits = 4  # exhaustive 16×16 grid
+    rows = [(x, y) for x in range(1 << bits) for y in range(1 << bits)]
+    df = spark.createDataFrame(rows, ["xb", "yb"]).withColumn(
+        "m", morton_interleave("xb", "yb", bits=bits)
+    )
+    got = {(r.xb, r.yb): r.m for r in df.collect()}
+
+    def ref(x, y):
+        m = 0
+        for b in range(bits):
+            m |= ((x >> b) & 1) << (2 * b)
+            m |= ((y >> b) & 1) << (2 * b + 1)
+        return m
+
+    assert all(got[(x, y)] == ref(x, y) for x, y in rows)
+    assert len(set(got.values())) == len(rows)  # bijection
+    assert sorted(got.values()) == list(range(len(rows)))  # onto [0, 4^b)

@@ -137,3 +137,19 @@ def to_double_array(col: Column | str) -> Column:
     """Cast array<float> → array<double> elementwise (stable arithmetic)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.transform(c, lambda x: x.cast("double"))
+
+
+def morton_interleave(xb: Column | str, yb: Column | str, bits: int = 8) -> Column:
+    """Z-order (Morton) code: interleave the low ``bits`` bits of two
+    bucket columns into a 2·bits-bit locality-preserving code. Sorting or
+    range-partitioning on this code clusters BOTH dimensions
+    simultaneously, so parquet min/max stats prune on either key — the
+    multi-dimensional data-layout primitive (see `zorder_layout`).
+    Pure shift/mask integer expressions, whole-stage-codegen friendly."""
+    x = F.col(xb) if isinstance(xb, str) else xb
+    y = F.col(yb) if isinstance(yb, str) else yb
+    code = F.lit(0)
+    for b in range(bits):
+        code = code + F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b)
+        code = code + F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+    return code

@@ -413,7 +413,9 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("((l_orderkey - minx) * 256) DIV (maxx - minx + 1)").alias("xb"),
         F.expr("((l_partkey - miny) * 256) DIV (maxy - miny + 1)").alias("yb"),
     )
-    z = bucketed.withColumn("morton", F.expr(_ZORDER_MORTON))
+    from utils_spark.functions import morton_interleave
+
+    z = bucketed.withColumn("morton", morton_interleave("xb", "yb", bits=8))
     return (
         z.groupBy(F.shiftright("morton", 8).cast("int").alias("z_chunk"))
         .agg(
