@@ -81,6 +81,7 @@ _PRIORITY = (
     "top_revenue_supplier",  # r5: Q15-shape max-over-aggregate join-back
     "important_part_values",  # r5: Q11-shape global-share threshold
     "image_stats_certificate",  # r5: real raster decode + channel stats
+    "windowed_event_dedup",  # r5: batch twin of watermarked stream dedup
     # -- tier 2: first driver-green in round 4
     "sequence_packing",
     "pii_scrub",

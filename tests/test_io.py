@@ -158,3 +158,32 @@ def test_load_table_survives_unset_timezone_conf(spark, sf_dir):
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_read_jsonl_corrupt_line_tolerance(spark, tmp_path):
+    """A corrupt line in a JSONL shard must become a row-level
+    _corrupt_record (PERMISSIVE mode), never a task failure — one bad line
+    in a 100 TB corpus cannot kill the scan. Valid rows still parse."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        "this is not json at all\n"
+        '{"doc_id": 2, "text": "second"}\n'
+        '{"doc_id": 3, "text": "unterminated\n'
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    from utils_spark.io import read_jsonl
+
+    rows = read_jsonl(spark, str(p), schema=schema).collect()
+    ok = {r.doc_id: r.text for r in rows if r._corrupt_record is None}
+    bad = [r._corrupt_record for r in rows if r._corrupt_record is not None]
+    assert ok == {1: "hello world", 2: "second"}
+    assert len(bad) == 2 and "not json" in bad[0]

@@ -186,3 +186,66 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", F.col("day_offset").cast("int").alias("day_offset"))
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "windowed_event_dedup",
+    # time-windowed dedup: within each 1-hour tumbling window, keep only
+    # the FIRST (min event_id) occurrence of each (user, event_type) — the
+    # batch twin of the streaming dropDuplicatesWithinWatermark gate
+    # (`stream_stateful_dedup`): the window bound is what makes streaming
+    # dedup state evictable, and this query pins the identical semantics
+    # in batch
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, event_type, value,
+             time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start
+      FROM events
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY window_start, user_id, event_type
+                                   ORDER BY event_id) AS rn
+      FROM w
+    )
+    SELECT window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn = 1 THEN event_id ELSE 0 END) AS BIGINT) AS kept_id_checksum,
+           ROUND(SUM(CASE WHEN rn = 1 THEN value ELSE 0 END), 4) AS kept_value
+    FROM ranked GROUP BY window_start
+    """,
+    tags=("temporal", "dedup", "windowed", "streaming-batch"),
+)
+def windowed_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed deduplication: within each 1-hour tumbling window,
+    keep only the first (min event_id) occurrence of each
+    (user_id, event_type) — re-publication/retry collapsing with a bounded
+    memory horizon. This is the exact batch semantics of
+    `dropDuplicatesWithinWatermark` (driver-gated live in
+    `stream_stateful_dedup`): the window bound is what lets streaming
+    state evict, and a batch/stream pair with the SAME window rule is how
+    a pipeline backfills history consistently with its live path.
+
+    Scale shape: one shuffle on (window, user, type) for the in-window
+    ranking — groups are tiny by construction (bounded by per-user-hour
+    activity), so the window sort never concentrates; the per-window
+    rollup reuses the same exchange via partial aggregation."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.window("ts", "1 hour").start.alias("window_start"),
+    )
+    rk = Window.partitionBy("window_start", "user_id", "event_type").orderBy("event_id")
+    ranked = w.withColumn("rn", F.row_number().over(rk))
+    first = F.col("rn") == 1
+    return ranked.groupBy("window_start").agg(
+        F.count("*").alias("n_events"),
+        F.sum(first.cast("long")).cast("long").alias("n_kept"),
+        F.sum(F.when(first, F.col("event_id")).otherwise(0)).cast("long").alias("kept_id_checksum"),
+        F.round(F.sum(F.when(first, F.col("value")).otherwise(0.0)), 4).alias("kept_value"),
+    )
