@@ -82,6 +82,7 @@ _PRIORITY = (
     "important_part_values",  # r5: Q11-shape global-share threshold
     "image_stats_certificate",  # r5: real raster decode + channel stats
     "windowed_event_dedup",  # r5: batch twin of watermarked stream dedup
+    "event_funnel_conversion",  # r5: ordered multi-step funnel analytics
     # -- tier 2: first driver-green in round 4
     "sequence_packing",
     "pii_scrub",

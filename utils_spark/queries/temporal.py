@@ -249,3 +249,103 @@ def windowed_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(first, F.col("event_id")).otherwise(0)).cast("long").alias("kept_id_checksum"),
         F.round(F.sum(F.when(first, F.col("value")).otherwise(0.0)), 4).alias("kept_value"),
     )
+
+
+@register(
+    "event_funnel_conversion",
+    # ordered multi-step funnel with per-step deadlines: first view →
+    # first click within 24 h of it → first purchase within 24 h of THAT.
+    # Step counts + converter-id checksums; exact timestamp arithmetic
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT v.user_id, MIN(e.ts) AS t_click
+      FROM v JOIN events e ON e.user_id = v.user_id
+       AND e.event_type = 'click' AND e.ts > v.t_view
+       AND e.ts <= v.t_view + INTERVAL '24 hours'
+      GROUP BY v.user_id
+    ),
+    p AS (
+      SELECT c.user_id
+      FROM c JOIN events e ON e.user_id = c.user_id
+       AND e.event_type = 'purchase' AND e.ts > c.t_click
+       AND e.ts <= c.t_click + INTERVAL '24 hours'
+      GROUP BY c.user_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS step_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS step_click,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS step_purchase,
+           (SELECT CAST(COALESCE(SUM(user_id), 0) AS BIGINT) FROM c) AS click_user_checksum,
+           (SELECT CAST(COALESCE(SUM(user_id), 0) AS BIGINT) FROM p) AS purchase_user_checksum
+    """,
+    tags=("temporal", "funnel", "sequence-analytics"),
+)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis — the product-analytics staple: users who
+    VIEWED, then CLICKED within 24 h of their first view, then PURCHASED
+    within 24 h of that first qualifying click. Each step requires strict
+    temporal order with a per-step deadline, so naive per-type min-ts
+    comparison is wrong — the deadline anchors on the PREVIOUS step's
+    qualifying event.
+
+    Scale shape: each step is a user-keyed join of the (shrinking)
+    converter set against the one needed event type — the event scan
+    prunes on event_type (pushed filter) and the join key is user_id, so
+    step N costs |converters at N−1| × matching events, never a
+    self-cartesian. The summary is three tiny scalar aggregates."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.expr("INTERVAL 24 HOURS")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    c = (
+        v.join(
+            clicks,
+            (F.col("cu") == F.col("user_id"))
+            & (F.col("cts") > F.col("t_view"))
+            & (F.col("cts") <= F.col("t_view") + day),
+        )
+        .groupBy("user_id")
+        .agg(F.min("cts").alias("t_click"))
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    p = (
+        c.join(
+            buys,
+            (F.col("pu") == F.col("user_id"))
+            & (F.col("pts") > F.col("t_click"))
+            & (F.col("pts") <= F.col("t_click") + day),
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("_n"))
+    )
+    sv = v.agg(F.count("*").cast("long").alias("step_view"))
+    sc = c.agg(
+        F.count("*").cast("long").alias("step_click"),
+        F.coalesce(F.sum("user_id"), F.lit(0)).cast("long").alias("click_user_checksum"),
+    )
+    sp = p.agg(
+        F.count("*").cast("long").alias("step_purchase"),
+        F.coalesce(F.sum("user_id"), F.lit(0)).cast("long").alias("purchase_user_checksum"),
+    )
+    return (
+        sv.crossJoin(F.broadcast(sc))
+        .crossJoin(F.broadcast(sp))
+        .select(
+            "step_view",
+            "step_click",
+            "step_purchase",
+            "click_user_checksum",
+            "purchase_user_checksum",
+        )
+    )
