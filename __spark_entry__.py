@@ -83,6 +83,7 @@ _PRIORITY = (
     "image_stats_certificate",  # r5: real raster decode + channel stats
     "windowed_event_dedup",  # r5: batch twin of watermarked stream dedup
     "event_funnel_conversion",  # r5: ordered multi-step funnel analytics
+    "event_transition_matrix",  # r5: Markov sequence transitions
     # -- tier 2: first driver-green in round 4
     "sequence_packing",
     "pii_scrub",

@@ -349,3 +349,54 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_user_checksum",
         )
     )
+
+
+@register(
+    "event_transition_matrix",
+    # first-order Markov transition matrix of user event sequences:
+    # lead() per user (ts, event_id total order), pair counts, row-
+    # normalized probabilities at 6dp
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT from_type, SUM(n) AS t FROM pairs GROUP BY from_type)
+    SELECT p.from_type, p.to_type, CAST(p.n AS BIGINT) AS n_transitions,
+           ROUND(CAST(p.n AS DOUBLE) / t.t, 6) AS prob
+    FROM pairs p JOIN tot t USING (from_type)
+    """,
+    tags=("temporal", "sequence-analytics", "markov"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    for each consecutive (event, next-event) pair in a user's timeline
+    (total order (ts, event_id) so ties are deterministic), the transition
+    count and row-normalized probability — the behavioral-model summary
+    behind next-action prediction and anomaly scoring.
+
+    Scale shape: one user-keyed window (per-user sequences are short), a
+    bounded (type × type) pair aggregation with map-side combine, and a
+    broadcast-sized row-total join. Nothing global ever sorts."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    pairs = seq.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("t"))
+    return pairs.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n_transitions"),
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("prob"),
+    )
