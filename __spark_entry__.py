@@ -84,6 +84,7 @@ _PRIORITY = (
     "windowed_event_dedup",  # r5: batch twin of watermarked stream dedup
     "event_funnel_conversion",  # r5: ordered multi-step funnel analytics
     "event_transition_matrix",  # r5: Markov sequence transitions
+    "k_anonymity_audit",  # r5: quasi-identifier privacy audit
     # -- tier 2: first driver-green in round 4
     "sequence_packing",
     "pii_scrub",

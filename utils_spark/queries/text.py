@@ -2171,3 +2171,53 @@ def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("accepted").cast("long").alias("n_accepted"),
         F.sum(F.when(acc, F.col("doc_id")).otherwise(0)).cast("long").alias("accepted_id_checksum"),
     )
+
+
+@register(
+    "k_anonymity_audit",
+    # privacy audit over quasi-identifiers (lang, source): group sizes,
+    # below-k flags (k = 10), and the suppression rate a k-anonymous
+    # release would pay — exact integer accounting
+    oracle="""
+    WITH g AS (
+      SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source
+    ),
+    tot AS (
+      SELECT SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS suppressed,
+             SUM(n) AS total
+      FROM g
+    )
+    SELECT g.lang, g.source, CAST(g.n AS BIGINT) AS n_docs,
+           CASE WHEN g.n < 10 THEN 1 ELSE 0 END AS below_k,
+           ROUND(CAST(t.suppressed AS DOUBLE) / t.total, 6) AS corpus_suppression_rate
+    FROM g CROSS JOIN tot t
+    """,
+    tags=("text", "privacy", "k-anonymity", "llm-pipeline"),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (lang, source) quasi-identifier pair:
+    every equivalence class's size, whether it falls below k = 10 (a
+    release would have to suppress or generalize those rows), and the
+    corpus-wide suppression rate — the privacy sibling of `pii_scrub`
+    (scrubbing removes direct identifiers; k-anonymity bounds re-
+    identification through quasi-identifier combinations).
+
+    Scale shape: one bounded aggregation over the quasi-identifier space
+    plus a 1-row broadcast total — the audit costs one pass regardless of
+    corpus size; the flag comparison is map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    below = F.col("n") < 10
+    tot = g.agg(
+        F.sum(F.when(below, F.col("n")).otherwise(0)).alias("suppressed"),
+        F.sum("n").alias("total"),
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        below.cast("int").alias("below_k"),
+        F.round(F.col("suppressed").cast("double") / F.col("total"), 6).alias(
+            "corpus_suppression_rate"
+        ),
+    )
