@@ -85,6 +85,7 @@ _PRIORITY = (
     "event_funnel_conversion",  # r5: ordered multi-step funnel analytics
     "event_transition_matrix",  # r5: Markov sequence transitions
     "k_anonymity_audit",  # r5: quasi-identifier privacy audit
+    "event_pair_affinity",  # r5: association rules (support/lift)
     # -- tier 2: first driver-green in round 4
     "sequence_packing",
     "pii_scrub",

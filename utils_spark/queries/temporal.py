@@ -400,3 +400,91 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_transitions"),
         F.round(F.col("n").cast("double") / F.col("t"), 6).alias("prob"),
     )
+
+
+@register(
+    "event_pair_affinity",
+    # association-rule mining over (user, day) baskets: pairwise
+    # co-occurrence support and lift for event types, min-support 5 —
+    # the frequent-itemset primitive, bounded to type pairs
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             event_type
+      FROM events
+    ),
+    n_baskets AS (
+      SELECT CAST(COUNT(DISTINCT (user_id, day)) AS DOUBLE) AS nb FROM baskets
+    ),
+    item AS (SELECT event_type, COUNT(*) AS c FROM baskets GROUP BY event_type),
+    pair AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS c_ab
+      FROM baskets a JOIN baskets b
+        ON a.user_id = b.user_id AND a.day = b.day AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, CAST(p.c_ab AS BIGINT) AS n_cobaskets,
+           ROUND(p.c_ab / nb.nb, 6) AS support,
+           ROUND((p.c_ab / nb.nb) / ((ia.c / nb.nb) * (ib.c / nb.nb)), 6) AS lift
+    FROM pair p
+    JOIN item ia ON ia.event_type = p.type_a
+    JOIN item ib ON ib.event_type = p.type_b
+    CROSS JOIN n_baskets nb
+    WHERE p.c_ab >= 5
+    """,
+    tags=("temporal", "association-rules", "frequent-itemsets"),
+)
+def event_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining (the frequent-itemset/market-basket
+    primitive): treat each (user, day) as a basket of event types and
+    report every type pair's co-occurrence count, support, and lift
+    (lift > 1 = the types co-occur more than independence predicts). The
+    pairwise-only bound is the classic first Apriori level — at k types
+    the pair space is k², never basket².
+
+    Scale shape: baskets are a distinct projection (one dedup shuffle);
+    the pair join is basket-keyed (user, day) so it enumerates pairs
+    WITHIN baskets only — cost Σ|basket|², with |basket| ≤ k event types;
+    item counts and the basket total broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    baskets = e.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day"), "event_type"
+    ).distinct()
+    nb = baskets.agg(
+        F.countDistinct("user_id", "day").cast("double").alias("nb")
+    )
+    item = baskets.groupBy("event_type").agg(F.count("*").alias("c"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
+        )
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    ia = item.select(F.col("event_type").alias("type_a"), F.col("c").alias("ca"))
+    ib = item.select(F.col("event_type").alias("type_b"), F.col("c").alias("cb"))
+    return (
+        pair.join(F.broadcast(ia), "type_a")
+        .join(F.broadcast(ib), "type_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("c_ab").cast("long").alias("n_cobaskets"),
+            F.round(F.col("c_ab") / F.col("nb"), 6).alias("support"),
+            F.round(
+                (F.col("c_ab") / F.col("nb"))
+                / ((F.col("ca") / F.col("nb")) * (F.col("cb") / F.col("nb"))),
+                6,
+            ).alias("lift"),
+        )
+    )
