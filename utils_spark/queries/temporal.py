@@ -488,3 +488,64 @@ def event_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "daily_ewma_smoothing",
+    # EWMA (α = 0.25) of daily event counts per type, via the CLOSED FORM
+    # s_t = Σ α(1−α)^(t−i) x_i + (1−α)^t x_0 — no recursion, so both
+    # engines compute it with windows/joins. α = 1/4 makes every
+    # (1−α)^k = 3^k/4^k EXACTLY representable (3^k < 2^53 for k ≤ 33) and
+    # 4dp rounding absorbs the remaining formulation difference (oracle:
+    # direct powers via self-join; Spark: factored running sum) — 6dp with
+    # α = 0.3 hit a real .5e-6 boundary at sf0.1
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS t
+      FROM daily
+    )
+    SELECT a.event_type, a.day, CAST(ANY_VALUE(a.n) AS BIGINT) AS n_events,
+           ROUND(SUM(0.25 * POWER(0.75, a.t - b.t) * b.n)
+                 + POWER(0.75, ANY_VALUE(a.t) + 1) * FIRST(b.n ORDER BY b.t), 4) AS ewma
+    FROM idx a JOIN idx b ON b.event_type = a.event_type AND b.t <= a.t
+    GROUP BY a.event_type, a.day, a.t
+    """,
+    tags=("temporal", "time-series", "ewma", "smoothing"),
+)
+def daily_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α = 0.25) of daily event
+    counts per type — the time-series smoothing behind monitoring
+    baselines and anomaly thresholds. EWMA's recursion
+    s_t = αx_t + (1−α)s_{t−1} is re-expressed in closed form so it runs
+    as ONE ordered window per series: a running sum of α·x_i/(1−α)^i
+    re-scaled by (1−α)^t, plus the (1−α)^t·x_0 seed term — O(T) per
+    series, no iterative driver loop, no UDF.
+
+    Scale shape: the daily rollup is one bounded aggregation; the window
+    partitions by event_type (series are short by construction — days,
+    not events). The oracle computes the same closed form with explicit
+    power-weighted self-join — an independent formulation, so agreement
+    checks the algebra, not just the code."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count("*").cast("double").alias("n"))
+    wt = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.withColumn("t", F.row_number().over(wt) - 1)
+    run = wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = F.sum(F.col("n") * 0.25 * F.pow(F.lit(0.75), -F.col("t"))).over(run)
+    seed = F.first("n").over(run)
+    ewma = base * F.pow(F.lit(0.75), F.col("t")) + F.pow(F.lit(0.75), F.col("t") + 1) * seed
+    return idx.select(
+        "event_type",
+        "day",
+        F.col("n").cast("long").alias("n_events"),
+        F.round(ewma, 4).alias("ewma"),
+    )
