@@ -87,6 +87,7 @@ _PRIORITY = (
     "k_anonymity_audit",  # r5: quasi-identifier privacy audit
     "event_pair_affinity",  # r5: association rules (support/lift)
     "daily_ewma_smoothing",  # r5: closed-form EWMA time-series smoothing
+    "hourly_percentile_bands",  # r5: observability percentile dashboard
     # -- tier 2: first driver-green in round 4
     "sequence_packing",
     "pii_scrub",

@@ -549,3 +549,40 @@ def daily_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_events"),
         F.round(ewma, 4).alias("ewma"),
     )
+
+
+@register(
+    "hourly_percentile_bands",
+    # the observability staple: exact p50/p95/p99 of the value metric per
+    # (hour-of-day, event_type) — time-bucketed percentile bands
+    oracle="""
+    SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hour_of_day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("temporal", "percentiles", "observability"),
+)
+def hourly_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed percentile bands — the latency/size dashboard query of
+    every observability stack: exact p50/p95/p99 of the value metric per
+    (hour-of-day, event_type). Exact interpolated percentiles match
+    DuckDB's quantile_cont definition; `approx_sketch_aggs` documents the
+    mergeable-sketch switch for the same shape at 100 TB.
+
+    Scale shape: one shuffle on the (hour, type) composite key; exact
+    percentile costs an ObjectHashAggregate per group (documented
+    trade-off), groups are bounded (24 × types)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.hour("ts").cast("int").alias("hour_of_day"), "event_type"
+        ).agg(
+            F.count("*").alias("n"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+    )
