@@ -236,6 +236,9 @@ def test_image_channel_stats_whitespace_raster_and_robust(spark):
         (3, b"P5 2 2 255\n\x00\x00\x00\x00"),  # PGM, not P6
         (4, b"nonsense"),
         (5, None),
+        # maxval 65535 => 2-byte samples per the PPM spec; decoding it as
+        # 8-bit would silently halve the image — must be skipped
+        (6, f"P6 {w} {h} 65535\n".encode() + img.astype(">u2").tobytes()),
     ]
     schema = StructType(
         [StructField("media_id", LongType()), StructField("content", BinaryType())]

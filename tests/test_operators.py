@@ -369,3 +369,36 @@ def test_split_train_holdout_deterministic_partition(spark):
     # repartition must not change membership
     t2 = {r["key"] for r in split_train_holdout(df.repartition(7), "key", 0.2, seed=3)[0].collect()}
     assert t1 == t2
+
+
+def test_ewma_closed_form_long_series_no_overflow(spark):
+    """The block-rescaled closed form must track the exact recursion
+    s_t = αx_t + (1−α)s_{t−1} on a 6,000-step series — far past the
+    ~2,460-step point where a naively factored running sum (multiply by
+    (4/3)^t) overflows double to inf/NaN. Also covers the 2-block carry
+    path (blocks 0..11 at the default block=512)."""
+    import random
+
+    from utils_spark.operators.stats import ewma_closed_form
+
+    rng = random.Random(42)
+    xs = [rng.uniform(0.0, 1000.0) for _ in range(6000)]
+    df = spark.createDataFrame(
+        [("s", t, x) for t, x in enumerate(xs)], ["series", "t", "x"]
+    ).repartition(8)
+    out = (
+        ewma_closed_form(df, ["series"], "t", "x", alpha=0.25)
+        .orderBy("t")
+        .select("t", "ewma")
+        .collect()
+    )
+    assert len(out) == 6000
+    # exact sequential recursion as the oracle
+    s, expect = None, []
+    for x in xs:
+        s = x if s is None else 0.25 * x + 0.75 * s
+        expect.append(s)
+    for row, want in zip(out, expect):
+        got = row.ewma
+        assert math.isfinite(got), f"t={row.t}: non-finite {got}"
+        assert abs(got - want) <= 1e-9 * max(1.0, abs(want)), (row.t, got, want)

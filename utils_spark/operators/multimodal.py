@@ -413,6 +413,11 @@ def image_channel_stats(media: DataFrame) -> DataFrame:
                     m = _re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", b)
                     if not m:
                         raise ValueError("not a P6 PPM")
+                    if int(m.group(3)) > 255:
+                        # maxval > 255 means 2-byte samples per the PPM
+                        # spec — skip like any other unsupported format
+                        # instead of silently misreading it as 8-bit
+                        raise ValueError("16-bit PPM unsupported")
                     w, h = int(m.group(1)), int(m.group(2))
                     raster = np.frombuffer(b, dtype=np.uint8, offset=m.end())
                     if raster.size < w * h * 3:

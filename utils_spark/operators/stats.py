@@ -164,3 +164,65 @@ def pairwise_ks_test(
         F.first("na").cast("long").alias("n_a"),
         F.first("nb").cast("long").alias("n_b"),
     )
+
+
+def ewma_closed_form(
+    df: DataFrame,
+    series_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.25,
+    out_col: str = "ewma",
+    block: int = 512,
+) -> DataFrame:
+    """Exponentially weighted moving average per series, in closed form:
+    s_t = Σ_{i≤t} α(1−α)^(t−i) x_i + (1−α)^(t+1) x_0 — the recursion
+    s_t = αx_t + (1−α)s_{t−1} re-expressed so it runs as ordered windows
+    with no iterative driver loop and no UDF (reference analog: the
+    smoothing in R/utils.R rolling summaries).
+
+    The factored running sum Σ x_i(1−α)^(−i) · (1−α)^t overflows double
+    once t ≳ log(DBL_MAX)/log(1/(1−α)) (~2,460 for α=0.25), so the sum is
+    computed PER `block`-ROW BLOCK: every pow() exponent stays bounded in
+    [−(block−1), 3·block], and blocks ≥2 behind the current row carry
+    < (1−α)^(2·block) relative weight (≈1e-128 at defaults) via an exact
+    2-block carry — correct to far below any practical rounding for
+    series of ANY length.
+
+    Scale shape: two series-keyed windows + one bounded block-summary agg
+    joined back broadcast-side. One shuffle on the series key.
+    """
+    q = 1.0 - alpha
+    wt = Window.partitionBy(*series_cols).orderBy(order_col)
+    idx = df.withColumn("_t", F.row_number().over(wt) - 1).withColumn(
+        "_blk", (F.col("_t") / block).cast("int")
+    )
+    blockend = (F.col("_blk") + 1) * block - 1
+    idx = idx.withColumn("_a", F.col(value_col) * F.pow(F.lit(q), blockend - F.col("_t")))
+    runb = (
+        Window.partitionBy(*series_cols, "_blk")
+        .orderBy("_t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = alpha * F.sum("_a").over(runb) * F.pow(F.lit(q), F.col("_t") - blockend)
+    run = wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seed = F.pow(F.lit(q), F.col("_t") + 1) * F.first(value_col).over(run)
+    rows = idx.withColumn("_within", within).withColumn("_seed", seed)
+    blocks = idx.groupBy(*series_cols, "_blk").agg(F.sum("_a").alias("_bt"))
+    wb = Window.partitionBy(*series_cols).orderBy("_blk")
+    blocks = blocks.select(
+        *series_cols,
+        "_blk",
+        F.lag("_bt", 1).over(wb).alias("_bt1"),
+        F.lag("_bt", 2).over(wb).alias("_bt2"),
+    )
+    joined = rows.join(F.broadcast(blocks), [*series_cols, "_blk"], "left")
+    end1 = F.col("_blk") * block - 1
+    end2 = (F.col("_blk") - 1) * block - 1
+    carry = alpha * (
+        F.coalesce(F.col("_bt1") * F.pow(F.lit(q), F.col("_t") - end1), F.lit(0.0))
+        + F.coalesce(F.col("_bt2") * F.pow(F.lit(q), F.col("_t") - end2), F.lit(0.0))
+    )
+    return joined.withColumn(out_col, F.col("_within") + carry + F.col("_seed")).drop(
+        "_t", "_blk", "_a", "_within", "_seed", "_bt1", "_bt2"
+    )

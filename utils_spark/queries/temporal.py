@@ -526,28 +526,31 @@ def daily_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-scaled by (1−α)^t, plus the (1−α)^t·x_0 seed term — O(T) per
     series, no iterative driver loop, no UDF.
 
+    The factored running sum is computed PER 512-ROW BLOCK so every pow()
+    exponent stays bounded in [-511, 3·512]: a naive global factoring
+    multiplies by (4/3)^t, which overflows double for series past ~2,460
+    days. Blocks separated by ≥2 carry < 0.75^1024 ≈ 1e-128 relative
+    weight, so the 2-block carry is exact far below the 4dp rounding for
+    series of ANY length — no series-length bound.
+
     Scale shape: the daily rollup is one bounded aggregation; the window
     partitions by event_type (series are short by construction — days,
-    not events). The oracle computes the same closed form with explicit
+    not events); block summaries are one bounded agg + a broadcast-sized
+    join back. The oracle computes the same closed form with explicit
     power-weighted self-join — an independent formulation, so agreement
     checks the algebra, not just the code."""
-    from pyspark.sql import Window
+    from utils_spark.operators.stats import ewma_closed_form
 
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
     ).agg(F.count("*").cast("double").alias("n"))
-    wt = Window.partitionBy("event_type").orderBy("day")
-    idx = daily.withColumn("t", F.row_number().over(wt) - 1)
-    run = wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base = F.sum(F.col("n") * 0.25 * F.pow(F.lit(0.75), -F.col("t"))).over(run)
-    seed = F.first("n").over(run)
-    ewma = base * F.pow(F.lit(0.75), F.col("t")) + F.pow(F.lit(0.75), F.col("t") + 1) * seed
-    return idx.select(
+    sm = ewma_closed_form(daily, ["event_type"], "day", "n", alpha=0.25)
+    return sm.select(
         "event_type",
         "day",
         F.col("n").cast("long").alias("n_events"),
-        F.round(ewma, 4).alias("ewma"),
+        F.round("ewma", 4).alias("ewma"),
     )
 
 

@@ -2019,7 +2019,7 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          i -> struct_pack(pos := i, line := lines[i]))) AS p
             FROM built) t(doc_id, source, p)
     ),
-    df AS (SELECT line, COUNT(*) AS n_docs FROM lined GROUP BY line),
+    df AS (SELECT line, COUNT(DISTINCT doc_id) AS n_docs FROM lined GROUP BY line),
     kept AS (
       SELECT l.doc_id, l.source, l.pos, l.line, df.n_docs
       FROM lined l JOIN df USING (line)

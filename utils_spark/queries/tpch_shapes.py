@@ -268,7 +268,7 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_partkey
     )
     SELECT l_partkey, ROUND(v, 4) AS part_value
-    FROM val WHERE v > (SELECT SUM(v) * 0.0005 FROM val)
+    FROM val WHERE ROUND(v, 4) > (SELECT ROUND(SUM(v) * 0.0005, 4) FROM val)
     """,
     tags=("tpch", "aggregates", "Q11-shape"),
 )
@@ -277,14 +277,18 @@ def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     GLOBAL total of the same aggregate — the scalar-subquery HAVING
     pattern. The view aggregates once; the global total is a 1-row
     broadcast compared map-side, so the second 'pass' over the view is
-    free (no re-aggregation, no window)."""
+    free (no re-aggregation, no window). Both sides of the threshold
+    comparison are rounded to 4dp before comparing (mirroring
+    `top_revenue_supplier`): Spark and DuckDB sum in different orders, so
+    an unrounded compare could flip a part sitting within float noise of
+    the global 0.0005 cut."""
     li = load_table(spark, sf_dir, "lineitem")
     val = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v")
     )
-    thr = val.agg((F.sum("v") * 0.0005).alias("thr"))
+    thr = val.agg(F.round(F.sum("v") * 0.0005, 4).alias("thr"))
     return (
         val.crossJoin(F.broadcast(thr))
-        .filter(F.col("v") > F.col("thr"))
+        .filter(F.round(F.col("v"), 4) > F.col("thr"))
         .select("l_partkey", F.round("v", 4).alias("part_value"))
     )
