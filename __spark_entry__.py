@@ -35,87 +35,155 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry["grouped_quantiles"].fn(spark, "/root/testdata/sf0.001")
 
 
-# Least-verified first: the driver samples a prefix of this dict (r2
-# sampled exactly the first 50 in iteration order), so queries with NO
-# driver-green CORRECTNESS entry yet must come before anything already
-# verified in CORRECTNESS_r01/r02.json.
-#
-# Tier 1: queries whose oracle/shape changed in round 5 (the 5 formerly
-#         rows-only queries now emit invariant certificates with constant
-#         oracles — never driver-value-checked before) plus round-5
-#         additions (names appended as they land).
-# Tier 2: round-4 first-green queries (one more driver confirmation).
-# Everything else (driver-green in r1-r4) follows in registry order.
+# Least-verified-RECENTLY first: the driver samples a ~50-query prefix of
+# this dict (rows+schema+hash vs the DuckDB oracle -> CORRECTNESS_r{N}).
+# Round-6 rotation (VERDICT r5 "Next round #1"): driver evidence ages as
+# code is refactored underneath green queries, so the sample must re-prove
+# the queries whose latest driver-green round is OLDEST. Ordering below is
+# generated from CORRECTNESS_r01..r05.json: brand-new queries (never
+# driver-sampled) first, then last-green-in-r1, r2, r3, r4; the round-5
+# block follows in registry order. Regenerate next round the same way.
 _PRIORITY = (
-    # -- tier 1: round-5 new/changed, need driver proof
-    "pca_embedding",
-    "spline_trend_fits",
-    "batch_correction",
-    "denoised_feature_selection",
-    "cluster_pipeline",
-    "dedup_keep_best",  # r5: rewired onto LSH-verified pairs, cap removed
-    "pairwise_ks_one_sided",  # r5: new one-sided alternative
-    "stream_session_windows_append",  # r5: production append+watermark form
-    "converter_roundtrip",  # r5: S5/S6/S9 contract writer+loader+pseudobulk
-    "quality_classifier_filter",  # r5: learned quality gate certificate
-    "stream_curation_funnel",  # r5: incremental curation (stream quality+dedup)
-    "strict_na_aggregation",  # r5: R-default NA-poisoning aggregates
-    "bm25_retrieval",  # r5: BM25 top-k retrieval primitive
-    "importance_weights_dsir",  # r5: hashed-feature importance weighting
-    "curated_export_roundtrip",  # r5: apply-side partitioned export+rescan
-    "cross_doc_ngram_duplication",  # r5: inter-document repetition profile
-    "stream_sliding_counts",  # r5: live sliding-window gate (last §2.9 kind)
-    "lm_perplexity_filter",  # r5: CCNet-style bigram-LM quality filter
-    "bpe_merge_candidates",  # r5: distributed BPE merge-pair counting
-    "semantic_dedup_keep",  # r5: SemDeDup LSH + CC + canonical keep
-    "zorder_layout",  # r5: Morton data layout + pruning footprints
-    "jsonl_roundtrip_scan",  # r5: JSONL sink+scan byte-exact roundtrip
-    "embedding_near_dup",  # r5: now non-vacuous (planted near-dup pairs)
-    "incremental_dedup_batch",  # r5: new-crawl-vs-index incremental dedup
-    "orc_roundtrip_scan",  # r5: ORC sink+scan exact roundtrip
-    "audio_energy_certificate",  # r5: real PCM16 decode + windowed energy
-    "line_level_dedup",  # r5: RefinedWeb df-threshold line stripping
-    "corpus_datasheet",  # r5: per-source curation summary report
-    "late_shipment_priority_counts",  # r5: Q4-shape EXISTS semi-join
-    "priority_class_line_counts",  # r5: Q12-shape conditional aggregates
-    "top_revenue_supplier",  # r5: Q15-shape max-over-aggregate join-back
-    "important_part_values",  # r5: Q11-shape global-share threshold
-    "image_stats_certificate",  # r5: real raster decode + channel stats
-    "windowed_event_dedup",  # r5: batch twin of watermarked stream dedup
-    "event_funnel_conversion",  # r5: ordered multi-step funnel analytics
-    "event_transition_matrix",  # r5: Markov sequence transitions
-    "k_anonymity_audit",  # r5: quasi-identifier privacy audit
-    "event_pair_affinity",  # r5: association rules (support/lift)
-    "daily_ewma_smoothing",  # r5: closed-form EWMA time-series smoothing
-    "hourly_percentile_bands",  # r5: observability percentile dashboard
-    # -- tier 2: first driver-green in round 4
-    "sequence_packing",
-    "pii_scrub",
-    "cca_anchor_identity",
-    "cluster_blobs_certificate",
-    "harmony_shift_recovery",
-    "sweep_exact_recovery",
-    "approx_sketch_aggs",
-    "csv_roundtrip_scan",
-    "stream_tumbling_counts",
-    "stream_session_windows",
+    # -- tier 0: NEW in round 6 — never driver-sampled, need first proof
+    # (names appended here as they land this round)
+    # -- last driver-green in round 1 (23 queries)
+    "support_filter",
+    "binned_agg",
+    "grouping_sets_cube",
+    "pseudobulk_sum",
+    "ora_enrichment",
+    "projection_variants",
+    "per_column_quantiles",
+    "stage_tally",
+    "aligned_cbind",
+    "random_subset",
+    "sample_distances",
+    "ma_pairs",
+    "grouping_rollup",
+    "grouped_mode",
+    "atlas_loader_pipeline",
+    "qc_filter_pipeline",
+    "filter_project",
+    "conditional_expr",
+    "string_ops",
+    "pair_key_unite",
+    "make_unique_names",
+    "lookup_join",
+    "left_join_agg",
+    # -- last driver-green in round 2 (38 queries)
+    "term_semantic_clusters",
+    "mean_var_topk",
+    "semi_anti_join",
+    "union_distinct",
+    "set_difference",
+    "melt_unpivot",
+    "pivot_onehot",
+    "freq_ordered_levels",
+    "weighted_sample",
+    "group_entropy",
+    "mad_outliers",
+    "zscore_squish",
+    "ks_test",
+    "quantile_thresholds",
+    "variance_explained",
+    "log_normalize",
+    "grouped_regression",
+    "monthly_rollup",
+    "tumbling_window",
+    "json_extract",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "dup_cluster_assignments",
+    "fuzzy_name_pairs",
+    "tfidf_top_terms",
+    "cosine_topk",
+    "ann_ivf_bucketed",
+    "rank_in_group",
+    "topk_per_group",
+    "top2_delta",
+    "bh_adjust",
+    "stratified_sample",
+    "cumulative_frames",
+    "lag_lead_delta",
+    "sessionize",
+    "rolling_time_range",
+    "equidepth_histogram",
+    # -- last driver-green in round 3 (38 queries)
+    "grouped_trend_fits",
+    "factor_decomposition",
+    "clustree_transitions",
+    "pseudotime_lineages",
+    "louvain_communities",
+    "knn_snn_lisi",
+    "spline_exact_recovery",
+    "pca_exact_recovery",
+    "harmony_null_correction",
+    "loess_exact_recovery",
+    "nth_event_snapshot",
+    "null_ordering",
+    "multiway_join_revenue",
+    "top_orders_by_revenue",
+    "reorder_to_input",
+    "sliding_window",
+    "session_window_native",
+    "quantile_normalize",
+    "grouped_correlation",
+    "grouped_moments",
+    "hierarchical_time_rollup",
+    "cohort_retention",
+    "token_stats",
+    "quality_score",
+    "lang_id_ngram",
+    "doc_fingerprint",
+    "minhash_signature",
+    "bpe_style_tokens",
+    "chunk_documents",
+    "benchmark_decontamination",
+    "corpus_mixture_sample",
+    "repetition_filter",
+    "min_per_group_join_back",
+    "having_threshold_join",
+    "distinct_suppliers_per_attr",
+    "date_arithmetic",
+    "embedding_stats",
+    "label_centroids",
+    # -- last driver-green in round 4 (34 queries)
+    "na_drop_subset",
+    "array_row_aggs",
+    "delta_from_median",
+    "asof_join",
+    "range_join_bands",
+    "filter_scan_agg",
+    "pairwise_ks",
+    "simhash_signature",
+    "knee_detection",
+    "module_score",
+    "asof_join_forward_tolerance",
+    "grouped_quantiles",
+    "distinct_rows",
+    "group_sizes",
+    "functional_dependency_check",
+    "crosstab_proportions",
+    "group_cv",
+    "qc_metrics_bundle",
+    "mds_exact_recovery",
+    "start_vs_end_test",
+    "condition_diff_recovery",
+    "multimodal_decode_certificate",
+    "media_dedup_certificate",
+    "video_frame_sampling",
+    "skew_salted_join",
+    "train_holdout_split",
     "stream_stateful_dedup",
     "stream_custom_state_profile",
-    "multimodal_decode_certificate",
+    "stream_static_enrich",
+    "stream_stream_interval_join",
     "boilerplate_strip",
     "vocab_coverage",
     "char_entropy_filter",
     "curation_pipeline",
-    "skew_salted_join",
-    "mds_exact_recovery",
-    "stream_static_enrich",
-    "stream_stream_interval_join",
-    "media_dedup_certificate",
-    "video_frame_sampling",
-    "train_holdout_split",
-    "start_vs_end_test",
-    "condition_diff_recovery",
-    "asof_join_forward_tolerance",
+    # everything else (driver-green in r5) follows in registry order
 )
 
 
