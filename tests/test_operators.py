@@ -402,3 +402,93 @@ def test_ewma_closed_form_long_series_no_overflow(spark):
         got = row.ewma
         assert math.isfinite(got), f"t={row.t}: non-finite {got}"
         assert abs(got - want) <= 1e-9 * max(1.0, abs(want)), (row.t, got, want)
+
+
+def _brute_jaccard_pairs(texts, k, t):
+    """All-pairs exact k-gram Jaccard >= t on plain Python (test oracle)."""
+    import itertools
+
+    sets = {i: {txt[j : j + k] for j in range(max(len(txt) - k, 0) + 1)} for i, txt in texts}
+    out = {}
+    for (ia, sa), (ib, sb) in itertools.combinations(sorted(sets.items()), 2):
+        inter = len(sa & sb)
+        j = inter / (len(sa) + len(sb) - inter)
+        if j >= t:
+            out[(ia, ib)] = j
+    return out
+
+
+def test_prefix_filter_jaccard_matches_brute_force(spark):
+    """Prefix filtering must have PERFECT recall at the threshold: the
+    verified pair set equals brute-force all-pairs Jaccard on a randomized
+    corpus with planted near-duplicates (mutated copies) across several
+    thresholds."""
+    import random
+
+    from utils_spark.operators.dedup import prefix_filtered_jaccard_pairs
+
+    rng = random.Random(7)
+    alphabet = "abcdefgh "
+    base = ["".join(rng.choice(alphabet) for _ in range(60)) for _ in range(12)]
+    texts = []
+    did = 0
+    for b in base:
+        texts.append((did, b)); did += 1
+        # a near-copy: mutate a few positions
+        mut = list(b)
+        for _ in range(rng.randint(1, 6)):
+            mut[rng.randrange(len(mut))] = rng.choice(alphabet)
+        texts.append((did, "".join(mut))); did += 1
+    for t in (0.3, 0.5, 0.8):
+        want = _brute_jaccard_pairs(texts, 5, t)
+        df = spark.createDataFrame(texts, ["doc_id", "text"])
+        got = {
+            (r.key_a, r.key_b): r.jaccard
+            for r in prefix_filtered_jaccard_pairs(
+                df, "text", "doc_id", shingle_k=5, threshold=t
+            ).collect()
+        }
+        assert set(got) == set(want), (t, set(want) - set(got), set(got) - set(want))
+        for pair, j in want.items():
+            assert abs(got[pair] - j) < 1e-12
+
+
+def test_prefix_filter_suppresses_hot_grams(spark):
+    """The df² skew bomb: every doc shares one hot shingle, pairwise
+    Jaccard far below threshold. A bare gram self-join would emit
+    n·(n−1)/2 candidates on the hot key; the prefix filter must emit
+    (near) none, because a corpus-frequent gram ranks last and falls
+    outside every document's prefix."""
+    import random
+
+    from utils_spark.operators.dedup import prefix_filter_candidates
+
+    rng = random.Random(11)
+    n = 60
+    # each doc: a genuinely unique random region + the shared boilerplate
+    texts = [
+        (i, "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(24))
+            + " SHARED BOILERPLATE FOOTER")
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    cand = prefix_filter_candidates(df, "text", "doc_id", shingle_k=5, threshold=0.5)
+    n_cand = cand.count()
+    # a bare gram self-join emits all 60*59/2 = 1770 pairs via the shared
+    # footer shingles; prefixes hold each doc's rare grams, so the only
+    # candidates left come from coincidental df=2 boundary shingles
+    assert n_cand < 200, n_cand
+    # and the crisp invariant: no document's prefix contains a hot gram
+    from pyspark.sql import Window
+
+    from utils_spark.functions import char_shingles
+
+    sh = df.select(F.col("doc_id").alias("k"), char_shingles("text", 5).alias("grams"))
+    g = sh.select("k", F.size("grams").alias("sz"), F.explode("grams").alias("gram"))
+    gdf = g.groupBy("gram").agg(F.count("*").alias("df"))
+    ranked = g.join(gdf, "gram").withColumn(
+        "pos",
+        F.row_number().over(Window.partitionBy("k").orderBy(F.asc("df"), F.asc("gram"))),
+    )
+    prefix = ranked.filter(F.col("pos") <= F.col("sz") - F.ceil(0.5 * F.col("sz")) + 1)
+    assert prefix.filter(F.col("df") >= n).count() == 0

