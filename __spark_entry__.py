@@ -46,6 +46,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = (
     # -- tier 0: NEW in round 6 — never driver-sampled, need first proof
     # (names appended here as they land this round)
+    "bpe_training_rounds",  # r6: full iterative BPE training loop
     # -- last driver-green in round 1 (23 queries)
     "support_filter",
     "binned_agg",

@@ -492,3 +492,56 @@ def test_prefix_filter_suppresses_hot_grams(spark):
     )
     prefix = ranked.filter(F.col("pos") <= F.col("sz") - F.ceil(0.5 * F.col("sz")) + 1)
     assert prefix.filter(F.col("df") >= n).count() == 0
+
+
+def _bpe_reference(texts, n_merges):
+    """Pure-Python BPE trainer (Sennrich et al. 2016) as the test oracle."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.split():
+            words[w] += 1
+    vocab = {w: [c for c in w] for w in words}
+    merges = []
+    for rnd in range(1, n_merges + 1):
+        counts = Counter()
+        for w, toks in vocab.items():
+            for i in range(len(toks) - 1):
+                counts[(toks[i], toks[i + 1])] += words[w]
+        if not counts:
+            break
+        (l, r), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rnd, l, r, cnt))
+        for w, toks in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == l and toks[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    """The distributed BPE trainer must reproduce the canonical sequential
+    algorithm exactly — merge choices, tie-breaks, and weighted counts —
+    on a corpus with repeated-char words (greedy-overlap edge: 'aaa' with
+    (a,a) merges to [aa, a]) and adjacent repeat pairs ('abab')."""
+    from utils_spark.operators.textmodel import bpe_train
+
+    texts = [
+        "low low low low lower lower newest newest newest widest",
+        "aaa aaa abab abab abab banana bandana",
+        "the cat sat on the mat the bat",
+    ]
+    want = _bpe_reference(texts, 10)
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["id", "text"])
+    got = [
+        (r.merge_round, r.left_tok, r.right_tok, r.pair_count)
+        for r in bpe_train(df, "text", 10).orderBy("merge_round").collect()
+    ]
+    assert got == want, (got, want)

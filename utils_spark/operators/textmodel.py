@@ -112,3 +112,86 @@ def bpe_pair_counts(df: DataFrame, text_col: str) -> DataFrame:
         F.explode(F.transform(idx, lambda i: F.col("w").substr(i, F.lit(2)))).alias("pair"),
     )
     return pair_rows.groupBy("pair").agg(F.sum("n").cast("long").alias("pair_count"))
+
+
+def bpe_train(df: DataFrame, text_col: str, n_merges: int = 8) -> DataFrame:
+    """FULL iterative BPE tokenizer training (Sennrich et al. 2016, the
+    public neural-MT subword recipe): collapse the corpus to its word
+    frequency table once, then repeat ``n_merges`` rounds of
+    count-adjacent-pairs → pick argmax (count desc, pair asc — fully
+    deterministic) → greedily merge that pair left-to-right in every
+    word's token sequence. Returns the learned merge table
+    (merge_round, left_tok, right_tok, pair_count) — the artifact a BPE
+    tokenizer ships.
+
+    Scale shape: after the one corpus-sized shuffle that builds the word
+    frequency table, EVERY round is O(vocab × word-length) regardless of
+    corpus size — a bounded pair aggregation plus a 1-row argmax collect
+    (the same driver-scalar pattern as the Louvain convergence probe).
+    The merge itself is a JVM-side array fold (`aggregate`), no UDF; the
+    vocab table's lineage is cut each round so plans stay flat.
+
+    The fold implements exact greedy BPE merge semantics: scanning left
+    to right, an occurrence is merged iff the accumulator's last token is
+    `left` and the current token is `right` — consumed tokens can't
+    re-match (e.g. "aaa" with (a,a) → [aa, a]), and merged tokens only
+    match rules addressed to them ((a,b) never re-fires on "ab").
+    """
+    from utils_spark.plans import cut_lineage
+
+    sess = df.sparkSession
+    sep = "\x1f"
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")), lambda i: F.col("w").substr(i, F.lit(1))
+    )
+    words = (
+        df.select(F.explode(word_tokens(text_col)).alias("w"))
+        .filter(~F.col("w").contains(sep))  # sentinel guard (oracle twin)
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .select(chars.alias("toks"), "n")
+    )
+    words = cut_lineage(words)
+    merges = []
+    for rnd in range(1, n_merges + 1):
+        pair_idx = F.when(
+            F.size("toks") >= 2, F.sequence(F.lit(1), F.size("toks") - 1)
+        ).otherwise(F.expr("array()").cast("array<int>"))
+        pairs = words.select(
+            "n",
+            F.explode(
+                F.transform(
+                    pair_idx,
+                    lambda i: F.struct(
+                        F.element_at("toks", i).alias("l"),
+                        F.element_at("toks", i + F.lit(1)).alias("r"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("n").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, cnt = best[0].l, best[0].r, best[0].cnt
+        merges.append((rnd, l, r, cnt))
+        merged = l + r
+        fold = F.aggregate(
+            F.col("toks"),
+            F.expr("CAST(array() AS array<string>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(l))
+                & (x == F.lit(r)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        words = cut_lineage(words.select(fold.alias("toks"), "n"))
+    return sess.createDataFrame(
+        merges, "merge_round int, left_tok string, right_tok string, pair_count long"
+    )

@@ -1930,6 +1930,93 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tallies.orderBy(F.desc("pair_count"), F.asc("pair")).limit(20)
 
 
+def _bpe_train_oracle(n_rounds: int) -> str:
+    """Generated N-step SQL twin of ``bpe_train``: per round, count
+    adjacent token pairs over the word-frequency table, pick the argmax
+    (count desc, pair asc), and apply the merge. Tokens live in a
+    chr(31)-sentinel string ("\\x1ft1\\x1ft2\\x1f"); the merge is
+    ``replace()`` applied TWICE — a single non-overlapping left-to-right
+    pass can skip an occurrence only when the immediately preceding
+    occurrence consumed its leading sentinel, and such skipped
+    occurrences are never adjacent to each other, so the second pass
+    catches every one. That double-replace is exactly greedy BPE merge
+    semantics — an INDEPENDENT formulation from the Spark side's array
+    fold, so hash agreement checks the algebra of both."""
+    parts = [
+        """
+    WITH words0 AS (
+      SELECT chr(31) || array_to_string(list_transform(range(1, length(w) + 1),
+                                                       i -> substr(w, i, 1)), chr(31))
+             || chr(31) AS s,
+             COUNT(*) AS n
+      FROM (SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                      x -> x <> '')) AS w
+            FROM documents)
+      WHERE w NOT LIKE '%' || chr(31) || '%'
+      GROUP BY 1
+    )"""
+    ]
+    for r in range(1, n_rounds + 1):
+        prev = r - 1
+        parts.append(f"""
+    pairs{r} AS (
+      SELECT p.t[1] AS left_tok, p.t[2] AS right_tok, CAST(SUM(n) AS BIGINT) AS cnt
+      FROM (SELECT n,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> struct_pack(t := [toks[i], toks[i+1]])))
+                     AS p
+            FROM (SELECT list_filter(string_split(s, chr(31)), x -> x <> '') AS toks, n
+                  FROM words{prev}))
+      GROUP BY 1, 2
+    ),
+    best{r} AS (
+      SELECT left_tok, right_tok, cnt FROM pairs{r}
+      ORDER BY cnt DESC, left_tok ASC, right_tok ASC LIMIT 1
+    ),
+    words{r} AS (
+      SELECT replace(replace(w.s,
+                             chr(31) || b.left_tok || chr(31) || b.right_tok || chr(31),
+                             chr(31) || b.left_tok || b.right_tok || chr(31)),
+                     chr(31) || b.left_tok || chr(31) || b.right_tok || chr(31),
+                     chr(31) || b.left_tok || b.right_tok || chr(31)) AS s,
+             w.n
+      FROM words{prev} w CROSS JOIN best{r} b
+    )""")
+    selects = "\n    UNION ALL\n    ".join(
+        f"SELECT {r} AS merge_round, left_tok, right_tok, cnt AS pair_count FROM best{r}"
+        for r in range(1, n_rounds + 1)
+    )
+    return ",".join(parts) + "\n    " + selects
+
+
+@register(
+    "bpe_training_rounds",
+    # FULL iterative BPE tokenizer training (8 merge rounds): each round
+    # re-counts adjacent pairs over the merged vocab and applies the
+    # argmax merge. Deterministic tie-break -> hash-exact merge tables.
+    oracle=_bpe_train_oracle(8),
+    tags=("text", "tokenizer", "llm-pipeline", "bpe", "iterative"),
+)
+def bpe_training_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end BPE tokenizer induction, distributed (Sennrich et al.
+    2016): 8 full merge rounds — count adjacent token pairs over the
+    corpus word-frequency table, merge the argmax pair into every word's
+    token sequence (JVM-side array fold), re-count. Emits the learned
+    merge table, the artifact a tokenizer ships (contrast
+    `bpe_merge_candidates`, which is only the first counting round).
+
+    Scale shape: one corpus-sized shuffle builds the word-frequency
+    table; every round after is O(vocab × word-length) independent of
+    corpus size — a bounded pair aggregation plus a 1-row argmax collect,
+    vocab lineage cut per round. The oracle replays all 8 rounds in
+    generated SQL with an independent merge formulation (sentinel-string
+    double-replace vs array fold)."""
+    from utils_spark.operators.textmodel import bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_train(d, "text", n_merges=8)
+
+
 @register(
     "corpus_datasheet",
     # the per-source corpus "datasheet" a curation run reports: volume,
