@@ -47,6 +47,7 @@ _PRIORITY = (
     # -- tier 0: NEW in round 6 — never driver-sampled, need first proof
     # (names appended here as they land this round)
     "bpe_training_rounds",  # r6: full iterative BPE training loop
+    "exact_substring_dedup",  # r6: suffix-array-style window-fingerprint dedup
     # -- last driver-green in round 1 (23 queries)
     "support_filter",
     "binned_agg",

@@ -545,3 +545,39 @@ def test_bpe_train_matches_reference(spark):
         for r in bpe_train(df, "text", 10).orderBy("merge_round").collect()
     ]
     assert got == want, (got, want)
+
+
+def test_substring_window_duplicates_reference(spark):
+    """Window-fingerprint substring dedup vs a brute-force reference:
+    docs sharing any W-token run with an earlier doc are flagged; shorter
+    docs (< W tokens) produce zero windows and are always kept; a doc
+    repeating ITS OWN window is not flagged by itself."""
+    from utils_spark.operators.dedup import substring_window_duplicates
+
+    W = 4
+    docs = [
+        (1, "a b c d e f"),            # source
+        (2, "x y a b c d z"),          # copies 4-token run "a b c d" -> flagged
+        (3, "p q r"),                  # too short: 0 windows, kept
+        (4, "m n o p m n o p m n o p"),# self-repeats only -> kept
+        (5, "c d e f g h"),            # copies "c d e f" from doc 1 -> flagged
+        (6, "totally fresh words here today"),  # unique -> kept
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: r for r in substring_window_duplicates(df, "text", "doc_id", W).collect()}
+
+    # brute-force reference
+    toks = {i: t.split() for i, t in docs}
+    wins = {i: [" ".join(t[j : j + W]) for j in range(len(t) - W + 1)] for i, t in toks.items()}
+    owner = {}
+    for i in sorted(wins):
+        for wn in wins[i]:
+            owner.setdefault(wn, i)
+    for i in sorted(wins):
+        n_dup = sum(1 for wn in wins[i] if owner[wn] < i)
+        r = out[i]
+        assert r.n_windows == len(wins[i]), (i, r)
+        assert r.n_dup_windows == n_dup, (i, r)
+        assert r.keep == (n_dup == 0), (i, r)
+    assert out[2].keep is False and out[5].keep is False
+    assert out[1].keep and out[3].keep and out[4].keep and out[6].keep

@@ -253,3 +253,16 @@ def test_ngram_jaccard_prefix_filtered(spark, sf_dir):
     p = _plan(spark, sf_dir, "ngram_jaccard_pairs")
     assert "row_number" in p.text, "prefix-rank window missing — raw gram join?"
     assert "CartesianProduct" not in p.text and "BroadcastNestedLoopJoin" not in p.text
+
+
+def test_exact_substring_dedup_window_keyed(spark, sf_dir):
+    """The substring-dedup plan must pair documents ONLY through the
+    window-hash equi-key (the suffix array's repeat-finding role): no
+    cartesian/nested-loop pairing, and bounded exchanges — fingerprint
+    (map-only) → hash-keyed ownership agg + join-back → doc-keyed
+    verdict agg → doc-keyed outer join."""
+    p = _plan(spark, sf_dir, "exact_substring_dedup")
+    assert "CartesianProduct" not in p.text and "BroadcastNestedLoopJoin" not in p.text
+    # exchanges: union scan repartition noise aside, the pairing itself is
+    # hash->doc keyed; a doc-x-doc plan would blow this bound
+    assert p.n_exchanges <= 6, p.text[:2000]

@@ -369,3 +369,59 @@ def prefix_filtered_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("key_a", "key_b", "jaccard")
     )
+
+
+def substring_window_duplicates(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    window_tokens: int = 30,
+) -> DataFrame:
+    """Exact-substring dedup via overlapping token-window fingerprints —
+    the distributed stand-in for the suffix-array dedup of Lee et al.
+    2021 ("Deduplicating Training Data Makes Language Models Better"):
+    hash every ``window_tokens``-token window (stride 1); any document
+    sharing a window with an EARLIER document (min-key owner) contains a
+    verbatim substring of length >= window_tokens and is flagged. Returns
+    one row per document: (key, n_windows, n_dup_windows, keep) with
+    keep = true iff no window is owned by an earlier document.
+
+    Scale shape: window fingerprints are a map-only transform (array
+    slice + md5 — no Python); ownership is one aggregation keyed by the
+    window hash, joined back on that same hash; the per-document verdict
+    is a second bounded aggregation keyed by the document. Never a
+    doc×doc or token×token pairing — the suffix array's role (find every
+    long exact repeat) is played by the window-hash equi-key, which at
+    100 TB shuffles (hash, key) pairs only.
+    """
+    from utils_spark.functions import word_tokens
+
+    w = window_tokens
+    toks = word_tokens(text_col)
+    # sequence(1, 0) counts DOWN in Spark — docs shorter than the window
+    # must produce an empty index array, not [1, 0]
+    idx = F.when(
+        F.size(toks) >= w, F.sequence(F.lit(1), F.size(toks) - (w - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    wins = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, w))))
+    hashed = df.select(F.col(key_col).alias("__k"), wins.alias("wins"))
+    exploded = hashed.select("__k", F.explode("wins").alias("wh"))
+    owner = exploded.groupBy("wh").agg(F.min("__k").alias("owner"))
+    verdict = (
+        exploded.join(owner, "wh")
+        .groupBy("__k")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum((F.col("owner") < F.col("__k")).cast("long")).alias("n_dup_windows"),
+        )
+    )
+    return (
+        hashed.select("__k", F.size("wins").alias("n_all"))
+        .join(verdict, "__k", "left")
+        .select(
+            F.col("__k").alias(key_col),
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            (F.coalesce("n_dup_windows", F.lit(0)) == 0).alias("keep"),
+        )
+    )

@@ -2160,6 +2160,93 @@ def line_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "exact_substring_dedup",
+    # suffix-array-style exact-substring dedup (Lee et al. 2021):
+    # 30-token overlapping window fingerprints; a doc sharing ANY window
+    # with an earlier doc contains a verbatim >=30-token substring and is
+    # dropped (min-id keep). Planted partial copies (a 35-token slice of
+    # every 13th doc wrapped in fresh text) force the partial-overlap
+    # path on top of the fixture's natural exact duplicates.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ),
+    corpus AS (
+      SELECT doc_id, t FROM toks
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id,
+             ['planted', 'header', CAST(doc_id AS VARCHAR)] || t[6:40]
+               || ['planted', 'footer'] AS t
+      FROM toks WHERE doc_id % 13 = 0 AND len(t) >= 40
+    ),
+    wins AS (
+      SELECT doc_id,
+             list_transform(range(1, GREATEST(len(t) - 29, 0) + 1),
+                            i -> md5(array_to_string(t[i:i+29], ' '))) AS wins
+      FROM corpus
+    ),
+    exploded AS (SELECT doc_id, unnest(wins) AS wh FROM wins),
+    owner AS (SELECT wh, MIN(doc_id) AS owner FROM exploded GROUP BY wh),
+    verdict AS (
+      SELECT e.doc_id,
+             COUNT(*) AS n_windows,
+             SUM(CASE WHEN o.owner < e.doc_id THEN 1 ELSE 0 END) AS n_dup_windows
+      FROM exploded e JOIN owner o USING (wh) GROUP BY e.doc_id
+    )
+    SELECT w.doc_id,
+           CAST(COALESCE(v.n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(COALESCE(v.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           COALESCE(v.n_dup_windows, 0) = 0 AS keep
+    FROM wins w LEFT JOIN verdict v USING (doc_id)
+    """,
+    tags=("text", "dedup", "llm-pipeline", "substring", "suffix-array"),
+)
+def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring deduplication — the last dedup family from the
+    published taxonomy (doc-level, near-dup, semantic, line-level,
+    incremental already exist): the distributed analog of the
+    suffix-array dedup in Lee et al. 2021, via overlapping 30-token
+    window fingerprints. A document sharing any window with an earlier
+    document contains a >=30-token verbatim substring and is flagged
+    (min-id keep). The fixture's natural exact duplicates share ALL
+    windows; planted partial copies — a 35-token mid-document slice of
+    every 13th doc embedded in fresh header/footer text — exercise the
+    substring (not whole-doc) path: the copy shares exactly 6 windows
+    with its source and is flagged while its unique wrapper text is not
+    enough to save it.
+
+    Scale shape: window hashing is map-only (slice + md5, no Python);
+    ownership is one window-hash-keyed aggregation joined back on the
+    same hash; the verdict is one doc-keyed aggregation. Never doc×doc
+    — the window hash plays the suffix array's repeat-finding role with
+    only (hash, key) shuffles. See
+    tests/test_plans.py::test_exact_substring_dedup_window_keyed."""
+    from utils_spark.operators.dedup import substring_window_duplicates
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = word_tokens("text")
+    planted = (
+        d.filter((F.col("doc_id") % 13 == 0) & (F.size(toks) >= 40))
+        .select(
+            (F.col("doc_id") + 10000000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.lit("planted"),
+                F.lit("header"),
+                F.col("doc_id").cast("string"),
+                F.concat_ws(" ", F.slice(toks, 6, 35)),
+                F.lit("planted"),
+                F.lit("footer"),
+            ).alias("text"),
+        )
+    )
+    corpus = d.select("doc_id", "text").unionByName(planted)
+    return substring_window_duplicates(corpus, "text", "doc_id", window_tokens=30)
+
+
+@register(
     "incremental_dedup_batch",
     # the INCREMENTAL dedup mode of a production pipeline: a new crawl
     # batch (fresh docs + a simulated re-crawl of history + planted
