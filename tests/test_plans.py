@@ -151,15 +151,15 @@ def test_louvain_job_count_bounded(spark, sf_dir):
     tracker = sc.statusTracker()
     n_jobs = len(tracker.getJobIdsForGroup(group))
     # AQE submits every shuffle stage as its own job, so the count is high
-    # but deterministic FOR A GIVEN SPARK VERSION: baseline 77 measured on
-    # Spark 4.1.2 after the round-5 ungated-id-decreasing-move change and
-    # the fused candidate aggregation (was 151 with parity-only gating
-    # and the right-join candidate shape). AQE's stage-as-job accounting
+    # but deterministic FOR A GIVEN SPARK VERSION: baseline 66 measured on
+    # Spark 4.1.2 after the round-6 observation fusion (m2/convergence/
+    # crossing probes ride the checkpoint jobs as observe() metrics; was
+    # 77 in round 5, 151 in round 4). AQE's stage-as-job accounting
     # shifts across minor versions, so the bound is deliberately coarse:
     # losing the id-decreasing fast path or the desired-move early-stop
     # adds back 3+ sweeps (~40+ stage-jobs), which this still catches with
     # room for accounting drift.
-    assert 0 < n_jobs <= 120, f"louvain ran {n_jobs} jobs — early-stop or lineage regression?"
+    assert 0 < n_jobs <= 100, f"louvain ran {n_jobs} jobs — early-stop or lineage regression?"
 
 
 def test_dedup_keep_best_no_raw_gram_join(spark, sf_dir):

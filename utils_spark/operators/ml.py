@@ -242,27 +242,64 @@ def louvain_communities(
 
     Scale shape: pure aggregate-messages — each sweep is one join of edges
     with the assignment plus two bounded aggs; no per-node driver loop;
-    lineage cut by localCheckpoint per sweep. Keys must be integral.
+    lineage cut by localCheckpoint per sweep. All driver-scalar probes
+    (2m, the desired-move convergence count, and the phase-2 crossing
+    test) ride the existing checkpoint jobs as observe() metrics, so a
+    sweep costs exactly one action; sweep parallelism is sized from the
+    measured edge count (no-op at cluster scale — see
+    plans.scaled_shuffle_partitions). Keys must be integral.
 
     Returns (node, community)."""
+    from pyspark.sql import Observation
+
+    spark = edges.sparkSession
     und = cut_lineage(_symmetrize(edges, weight_col))
     base = nodes.select(F.col(key_col).cast("long").alias("node")).distinct()
     # node → final community, composed across levels
     mapping = base.select("node", F.col("node").alias("community"))
 
+    # Iterative sweeps shuffle the same bounded graph dozens of times; size
+    # their parallelism from the MEASURED edge count (no-op at 100 TB —
+    # see plans.scaled_shuffle_partitions).
+    from utils_spark.plans import scaled_shuffle_partitions
+
+    n_edges = und.count()
+    with scaled_shuffle_partitions(spark, n_edges, 100_000):
+        mapping = _louvain_levels(und, mapping, resolution, max_iter, levels)
+    return mapping
+
+
+def _louvain_levels(
+    und: DataFrame,
+    mapping: DataFrame,
+    resolution: float,
+    max_iter: int,
+    levels: int,
+) -> DataFrame:
+    """Level/sweep loop of ``louvain_communities`` (split out so the
+    shuffle-parallelism guard wraps it with try/finally)."""
+    from pyspark.sql import Observation
+
     for level in range(levels):
-        m2_row = und.agg(F.sum("w")).first()[0]
+        # deg is read twice per sweep (ctot + scored); checkpoint it once per
+        # level so every sweep reads materialized partitions instead of
+        # re-shuffling the edge list. 2m = Σk rides along as an observe()
+        # metric, collected DURING the checkpoint job — no separate agg job.
+        obs_deg = Observation(f"louvain_deg_l{level}")
+        deg = cut_lineage(
+            und.groupBy("u")
+            .agg(F.sum("w").alias("k"))
+            .observe(obs_deg, F.sum("k").alias("m2"), F.count(F.lit(1)).alias("n"))
+        )
+        m2_row = obs_deg.get["m2"]
         if not m2_row:
             break
         m2 = float(m2_row)
-        # deg is read twice per sweep (ctot + scored); checkpoint it once per
-        # level so every sweep reads materialized partitions instead of
-        # re-shuffling the edge list
-        deg = cut_lineage(und.groupBy("u").agg(F.sum("w").alias("k")))
-        # isolated super-nodes keep strength 0
-        cur_nodes = und.select(F.col("u").alias("node")).distinct()
-        asg = cut_lineage(cur_nodes.select("node", F.col("node").alias("community")))
+        # every node with an edge appears in deg — reuse it as the node set
+        # (isolated super-nodes keep strength 0 and never move anyway)
+        asg = deg.select(F.col("u").alias("node"), F.col("u").alias("community"))
 
+        crossing_at_fixpoint: int | None = None
         for it in range(max_iter):
             ctot = (
                 asg.join(deg.withColumnRenamed("u", "node"), "node", "left")
@@ -307,13 +344,26 @@ def louvain_communities(
                 )
             )
             wbest = Window.partitionBy("u").orderBy(F.desc("gain"), F.asc("c"))
+            # has_cross: does u have ANY positive-weight edge into another
+            # community under the sweep-start assignment? Computed as an
+            # unordered max over the same window partition (no extra
+            # shuffle) and carried on the kept row — it feeds the
+            # phase-2 crossing probe for free at the fixed point.
+            wpart = Window.partitionBy("u")
             best = (
                 scored.withColumn("__rn", F.row_number().over(wbest))
+                .withColumn(
+                    "has_cross",
+                    F.max(
+                        ((F.col("c") != F.col("c_own")) & (F.col("w_ic") > 0)).cast("long")
+                    ).over(wpart),
+                )
                 .filter(F.col("__rn") == 1)
                 .select(
                     F.col("u").alias("node"),
                     F.col("c").alias("c_best"),
                     F.col("c_own"),
+                    "has_cross",
                     # id-decreasing moves are monotone (can't cycle) → always
                     # eligible; id-increasing moves need the parity gate
                     (
@@ -328,20 +378,27 @@ def louvain_communities(
                     F.col("c_own")
                 ),
             )
-            # checkpoint FIRST (one job), then the move counters and the next
-            # sweep's reads all hit the materialized partitions
-            moved = cut_lineage(moved.select("node", "new_c", "c_own", "c_best"))
             # Convergence test on DESIRED moves (any node whose argmax beats
             # staying, parity-eligible or not): n_desired == 0 is the exact
             # local-moving fixed point — no node wants to change under the
-            # current assignment — so stop immediately instead of burning two
-            # confirm-quiet sweeps (the old quiet>=2 rule cost 2 extra full
-            # sweeps per level). One agg job on materialized partitions.
-            n_desired = moved.agg(
-                F.sum((F.col("c_best") != F.col("c_own")).cast("long")).alias("d")
-            ).first()["d"]
+            # current assignment. Both counters ride the checkpoint job as
+            # observe() metrics — zero extra actions per sweep.
+            obs_mv = Observation(f"louvain_mv_l{level}_i{it}")
+            moved = cut_lineage(
+                moved.select("node", "new_c", "c_own", "c_best", "has_cross").observe(
+                    obs_mv,
+                    F.sum((F.col("c_best") != F.col("c_own")).cast("long")).alias("d"),
+                    F.sum("has_cross").alias("x"),
+                )
+            )
+            metrics = obs_mv.get
+            n_desired = metrics["d"]
             asg = moved.select("node", F.col("new_c").alias("community"))
             if not n_desired:
+                # at the fixed point asg equals the sweep-start assignment,
+                # so the sweep's own cross-community evidence IS the
+                # phase-2 probe — no extra join pass
+                crossing_at_fixpoint = int(metrics["x"] or 0)
                 break
 
         level_map = asg.select(F.col("node").alias("community"), F.col("community").alias("__c2"))
@@ -349,21 +406,26 @@ def louvain_communities(
             mapping.join(level_map, "community", "left")
             .select("node", F.coalesce("__c2", "community").alias("community"))
         )
-        mapping = cut_lineage(mapping)
         if level + 1 < levels:
+            mapping = cut_lineage(mapping)
             # Blondel phase-2 termination, checked BEFORE paying the
             # contraction: if no edge crosses communities at the fixed
             # point, the quotient graph is all self-loops and further
-            # levels cannot move anything. limit(1) short-circuits the
-            # probe — it never materializes the full crossing set.
-            crossing = (
-                und.filter(F.col("u") != F.col("v"))
-                .join(asg.withColumnRenamed("node", "u").withColumnRenamed("community", "cu"), "u")
-                .join(asg.withColumnRenamed("node", "v").withColumnRenamed("community", "cv"), "v")
-                .filter(F.col("cu") != F.col("cv"))
-                .limit(1)
-                .count()
-            )
+            # levels cannot move anything. When the sweeps converged, the
+            # final sweep's has_cross metric already answered this (free);
+            # only a max_iter bailout (asg moved past the last sweep's
+            # evidence) pays the explicit limit(1) probe.
+            if crossing_at_fixpoint is not None:
+                crossing = crossing_at_fixpoint
+            else:
+                crossing = (
+                    und.filter(F.col("u") != F.col("v"))
+                    .join(asg.withColumnRenamed("node", "u").withColumnRenamed("community", "cu"), "u")
+                    .join(asg.withColumnRenamed("node", "v").withColumnRenamed("community", "cv"), "v")
+                    .filter(F.col("cu") != F.col("cv"))
+                    .limit(1)
+                    .count()
+                )
             if crossing == 0:
                 break
             # contract: communities become super-nodes, parallel edges summed.

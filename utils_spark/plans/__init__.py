@@ -7,6 +7,7 @@ mechanically in tests rather than by eyeballing .explain output.
 from __future__ import annotations
 
 import re
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -69,3 +70,29 @@ def cut_lineage(df: DataFrame) -> DataFrame:
         return DataFrame(jdf, spark)
     except Exception:
         return ck
+
+
+@contextmanager
+def scaled_shuffle_partitions(spark, n_rows: int, rows_per_partition: int = 100_000):
+    """Temporarily size ``spark.sql.shuffle.partitions`` from a MEASURED
+    row count, for iterative/multi-join algorithms over bounded data.
+
+    The session default is sized for corpus-scale scans; an iterative
+    algorithm that shuffles the same small graph dozens of times would pay
+    scheduling for hundreds of near-empty tasks per sweep (AQE coalesces
+    post-shuffle reads, but each pre-coalesce stage still schedules the
+    full task count). On real 100 TB inputs ``n_rows/rows_per_partition``
+    exceeds the session setting and this is a NO-OP — it only ever shrinks
+    parallelism for provably small inputs, never grows past the session's
+    choice. Floor of 2 partitions: a single partition serializes the whole
+    multi-stage chain onto one core (measured ~+40% on the Louvain sweeps
+    vs 2). Conf restored on exit.
+    """
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    parts = min(int(prev), max(2, -(-max(n_rows, 1) // rows_per_partition)))
+    parts = max(parts, 1)
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        yield parts
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

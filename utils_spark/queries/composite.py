@@ -619,16 +619,26 @@ def louvain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
         ).alias("vec"),
     )
-    edges = knn_graph(planted, "vec_id", "vec", k=4, bucket_length=250.0)
-    snn = snn_graph(edges, min_shared=1).withColumnRenamed("shared", "weight")
-    asg = louvain(snn, planted, "vec_id", weight_col="weight", max_iter=10, levels=2)
-    sizes = asg.groupBy("community").agg(
-        F.count("*").alias("size"), F.sum("node").alias("member_checksum")
-    )
-    return sizes.groupBy("size").agg(
-        F.count("*").alias("n_communities"),
-        F.sum("member_checksum").cast("long").alias("checksum"),
-    )
+    from utils_spark.plans import cut_lineage, scaled_shuffle_partitions
+
+    # the KNN/SNN build shuffles the bounded vector set several times —
+    # size its parallelism from the measured vector count (no-op at scale;
+    # louvain() applies the same guard to its own sweeps internally)
+    n_vec = planted.count()
+    with scaled_shuffle_partitions(spark, n_vec, 5_000):
+        edges = knn_graph(planted, "vec_id", "vec", k=4, bucket_length=250.0)
+        snn = snn_graph(edges, min_shared=1).withColumnRenamed("shared", "weight")
+        asg = louvain(snn, planted, "vec_id", weight_col="weight", max_iter=10, levels=2)
+        sizes = asg.groupBy("community").agg(
+            F.count("*").alias("size"), F.sum("node").alias("member_checksum")
+        )
+        out = sizes.groupBy("size").agg(
+            F.count("*").alias("n_communities"),
+            F.sum("member_checksum").cast("long").alias("checksum"),
+        )
+        # materialize INSIDE the guard: the lazy plan would otherwise run
+        # its shuffles under the restored session-wide setting
+        return cut_lineage(out)
 
 
 @register(
