@@ -97,6 +97,7 @@ def main() -> None:
     tracked = {name: time_query(name) for name in TRACKED_QUERIES}
 
     total = round(sum(timings.values()), 4)
+    duck_total, duck_timings = _duckdb_baseline(registry, sf_dir)
     print(
         json.dumps(
             {
@@ -105,11 +106,43 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "tracked": tracked,
+                # same-box DuckDB min-of-2 of the SAME 17 headline oracles on
+                # the SAME parquet, recorded in the artifact so the 2x-gate
+                # ratio is self-contained per round (VERDICT r5 item 4)
+                "duckdb_sec": duck_total,
+                "duckdb_queries": duck_timings,
+                "spark_vs_duckdb": round(total / duck_total, 2) if duck_total else None,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
     )
     spark.stop()
+
+
+def _duckdb_baseline(registry, sf_dir: str) -> tuple[float, dict[str, float]]:
+    """Min-of-2 DuckDB timings of the headline queries' oracle SQL on the
+    same parquet files — the brief's 2x gate denominator, measured in the
+    same session/machine state as the Spark numbers."""
+    import duckdb
+
+    from utils_spark.io import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        sql = registry[name].oracle
+        if not sql:
+            continue
+        runs = []
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()  # full materialization, like the noop sink
+            runs.append(time.perf_counter() - t0)
+        print(f"# duckdb {name}: {min(runs):.3f}s", file=sys.stderr)
+        timings[name] = round(min(runs), 4)
+    return round(sum(timings.values()), 4), timings
 
 
 if __name__ == "__main__":

@@ -247,10 +247,17 @@ def test_ngram_jaccard_prefix_filtered(spark, sf_dir):
     row_number window rank grams, and only each doc's rarest
     |d|-ceil(t|d|)+1 grams enter the candidate join. Pin that shape: the
     pair-producing plan must contain the prefix-rank window, and must
-    never fall back to a cartesian/nested-loop pairing. (Hot-gram
-    suppression itself is behaviorally tested in
+    never fall back to a cartesian/nested-loop pairing. The operator's
+    plan is inspected directly because the registered query materializes
+    inside its shuffle-parallelism guard (cut_lineage erases the plan).
+    (Hot-gram suppression itself is behaviorally tested in
     test_prefix_filter_suppresses_hot_grams.)"""
-    p = _plan(spark, sf_dir, "ngram_jaccard_pairs")
+    from utils_spark.io import load_table
+    from utils_spark.operators.dedup import prefix_filtered_jaccard_pairs
+    from utils_spark.plans import plan_summary
+
+    d = load_table(spark, sf_dir, "documents").filter("doc_id < 200")
+    p = plan_summary(prefix_filtered_jaccard_pairs(d, "text", "doc_id", 5, 0.5))
     assert "row_number" in p.text, "prefix-rank window missing — raw gram join?"
     assert "CartesianProduct" not in p.text and "BroadcastNestedLoopJoin" not in p.text
 

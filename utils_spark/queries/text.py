@@ -279,14 +279,20 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs SQL is the oracle, so LSH-style banding misses would be
     caught as a hash mismatch — prefix filtering has none to miss."""
     from utils_spark.operators.dedup import prefix_filtered_jaccard_pairs
+    from utils_spark.plans import cut_lineage, scaled_shuffle_partitions
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    pairs = prefix_filtered_jaccard_pairs(d, "text", "doc_id", shingle_k=5, threshold=0.5)
-    return pairs.select(
-        F.col("key_a").alias("doc_a"),
-        F.col("key_b").alias("doc_b"),
-        F.round("jaccard", 6).alias("jaccard"),
-    )
+    # the query is BOUNDED to 200 docs by construction — size the shuffle
+    # stages accordingly (no-op if the session is already small)
+    with scaled_shuffle_partitions(spark, 200, 25):
+        pairs = prefix_filtered_jaccard_pairs(d, "text", "doc_id", shingle_k=5, threshold=0.5)
+        return cut_lineage(
+            pairs.select(
+                F.col("key_a").alias("doc_a"),
+                F.col("key_b").alias("doc_b"),
+                F.round("jaccard", 6).alias("jaccard"),
+            )
+        )
 
 
 _MINHASH_ORACLE = """
