@@ -48,6 +48,9 @@ _PRIORITY = (
     # (names appended here as they land this round)
     "bpe_training_rounds",  # r6: full iterative BPE training loop
     "exact_substring_dedup",  # r6: suffix-array-style window-fingerprint dedup
+    "bpe_encoding_apply",  # r6: tokenizer apply side (vocab broadcast encode)
+    "pagerank_interactions",  # r6: iterative graph centrality (5-round oracle)
+    "ewma_anomaly_flags",  # r6: EWMA control-chart anomalies (planted spikes)
     # -- last driver-green in round 1 (23 queries)
     "support_filter",
     "binned_agg",

@@ -581,3 +581,31 @@ def test_substring_window_duplicates_reference(spark):
         assert r.keep == (n_dup == 0), (i, r)
     assert out[2].keep is False and out[5].keep is False
     assert out[1].keep and out[3].keep and out[4].keep and out[6].keep
+
+
+def test_pagerank_matches_reference(spark):
+    """Distributed power iteration vs a dense NumPy reference on a small
+    directed graph WITH a dangling node (no out-edges): the documented
+    mass-dropping variant must match r' = (1-d)/N + d * M r exactly,
+    where M has zero columns for dangling nodes."""
+    import numpy as np
+
+    from utils_spark.operators.ml import pagerank
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]  # node 4 dangling, isolated-in
+    n, d, iters = 5, 0.85, 5
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["n"])
+    got = {r.n: r.rank for r in pagerank(e, nodes, "n", damping=d, n_iter=iters).collect()}
+
+    M = np.zeros((n, n))
+    for s, t in edges:
+        M[t, s] += 1
+    out = M.sum(axis=0)
+    M = M / np.where(out == 0, 1, out)
+    M[:, out == 0] = 0.0  # dangling column drops its mass
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        r = (1 - d) / n + d * (M @ r)
+    for i in range(n):
+        assert math.isclose(got[i], r[i], rel_tol=1e-12), (i, got[i], r[i])

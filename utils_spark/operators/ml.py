@@ -442,6 +442,55 @@ def _louvain_levels(
     return mapping
 
 
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    key_col: str = "n",
+    damping: float = 0.85,
+    n_iter: int = 5,
+) -> DataFrame:
+    """PageRank by synchronous power iteration over a directed edge list
+    (Brin & Page 1998; the standard aggregate-messages formulation):
+    r_{k+1}(v) = (1-d)/N + d·Σ_{u→v} r_k(u)/outdeg(u), fixed ``n_iter``
+    rounds from the uniform start. Dangling nodes (outdeg 0) absorb rank
+    without redistributing it — the mass-dropping variant, chosen because
+    it keeps every step a pure edge-keyed aggregation (the redistribution
+    term needs an extra global sum per round); both engines of the parity
+    harness compute the same variant, so results are comparable.
+
+    Scale shape: outdeg is one bounded aggregation, checkpointed once;
+    each round is edges ⋈ ranks (shuffle on the src key) → dst-keyed sum
+    → left join back to the node set, lineage cut per round. Parallelism
+    sized from the measured edge count (no-op at cluster scale). Returns
+    (``key_col``, rank) after ``n_iter`` rounds, unnormalized-rounded by
+    the caller."""
+    from utils_spark.plans import scaled_shuffle_partitions
+
+    spark = edges.sparkSession
+    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    ns = cut_lineage(nodes.select(F.col(key_col).cast("long").alias("n")).distinct())
+    n_total = ns.count()
+    n_edges = e.count()
+    base = (1.0 - damping) / n_total
+    with scaled_shuffle_partitions(spark, max(n_edges, n_total), 500_000):
+        deg = cut_lineage(e.groupBy("src").agg(F.count("*").alias("od")))
+        contrib_src = cut_lineage(e.join(deg, "src").select("src", "dst", F.col("od")))
+        r = ns.select("n", F.lit(1.0 / n_total).alias("r"))
+        for _ in range(n_iter):
+            inflow = (
+                contrib_src.join(r.withColumnRenamed("n", "src"), "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("r") / F.col("od")).alias("m"))
+            )
+            r = cut_lineage(
+                ns.join(inflow.withColumnRenamed("dst", "n"), "n", "left").select(
+                    "n",
+                    (F.lit(base) + F.lit(damping) * F.coalesce("m", F.lit(0.0))).alias("r"),
+                )
+            )
+    return r.select(F.col("n").alias(key_col), F.col("r").alias("rank"))
+
+
 def cluster_transition_counts(df: DataFrame, label_a: str, label_b: str) -> DataFrame:
     """Cross-resolution cluster transition edges (reference M7:
     R/wrapper.R:350-359 clustree): count of entities per (label_a, label_b)."""

@@ -114,7 +114,7 @@ def bpe_pair_counts(df: DataFrame, text_col: str) -> DataFrame:
     return pair_rows.groupBy("pair").agg(F.sum("n").cast("long").alias("pair_count"))
 
 
-def bpe_train(df: DataFrame, text_col: str, n_merges: int = 8) -> DataFrame:
+def bpe_train(df: DataFrame, text_col: str, n_merges: int = 8, return_vocab: bool = False):
     """FULL iterative BPE tokenizer training (Sennrich et al. 2016, the
     public neural-MT subword recipe): collapse the corpus to its word
     frequency table once, then repeat ``n_merges`` rounds of
@@ -122,7 +122,9 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 8) -> DataFrame:
     deterministic) → greedily merge that pair left-to-right in every
     word's token sequence. Returns the learned merge table
     (merge_round, left_tok, right_tok, pair_count) — the artifact a BPE
-    tokenizer ships.
+    tokenizer ships; with ``return_vocab=True`` also returns the final
+    word→token-array vocabulary table, the broadcastable dictionary the
+    APPLY side joins against to encode a corpus map-only.
 
     Scale shape: after the one corpus-sized shuffle that builds the word
     frequency table, EVERY round is O(vocab × word-length) regardless of
@@ -149,7 +151,7 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 8) -> DataFrame:
         .filter(~F.col("w").contains(sep))  # sentinel guard (oracle twin)
         .groupBy("w")
         .agg(F.count("*").alias("n"))
-        .select(chars.alias("toks"), "n")
+        .select("w", chars.alias("toks"), "n")
     )
     words = cut_lineage(words)
     merges = []
@@ -191,7 +193,10 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 8) -> DataFrame:
                 F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
             ).otherwise(F.concat(acc, F.array(x))),
         )
-        words = cut_lineage(words.select(fold.alias("toks"), "n"))
-    return sess.createDataFrame(
+        words = cut_lineage(words.select("w", fold.alias("toks"), "n"))
+    merges_df = sess.createDataFrame(
         merges, "merge_round int, left_tok string, right_tok string, pair_count long"
     )
+    if return_vocab:
+        return merges_df, words.select("w", "toks")
+    return merges_df

@@ -1333,3 +1333,89 @@ def condition_diff_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
     )
+
+
+def _pagerank_oracle(n_iter: int = 5, damping: float = 0.85) -> str:
+    """Generated N-step SQL twin of ``ml.pagerank`` on the customer↔supplier
+    interaction graph: each CTE round applies
+    r_{k+1}(v) = (1-d)/N + d·Σ_{u→v} r_k(u)/outdeg(u)."""
+    head = """
+    WITH pair AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    e AS (SELECT src, dst FROM pair
+          UNION ALL SELECT dst AS src, src AS dst FROM pair),
+    nd AS (SELECT DISTINCT src AS n FROM e),
+    cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM nd),
+    deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS od FROM e GROUP BY src),
+    r0 AS (SELECT n, 1.0 / nn AS r FROM nd CROSS JOIN cnt)"""
+    steps = []
+    for k in range(1, n_iter + 1):
+        steps.append(f"""
+    r{k} AS (
+      SELECT nd.n AS n, {1.0 - damping} / nn + {damping} * COALESCE(m.m, 0) AS r
+      FROM nd CROSS JOIN cnt LEFT JOIN (
+        SELECT e.dst AS n, SUM(r.r / deg.od) AS m
+        FROM e JOIN r{k - 1} r ON e.src = r.n JOIN deg ON deg.src = e.src
+        GROUP BY e.dst
+      ) m ON m.n = nd.n
+    )""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT n AS node,
+           CASE WHEN n % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+           ROUND(r, 8) AS rank
+    FROM r{n_iter}
+    ORDER BY ROUND(r, 8) DESC, n ASC LIMIT 15"""
+    )
+
+
+@register(
+    "pagerank_interactions",
+    # PageRank power iteration (5 rounds, d=0.85) over the bipartite
+    # customer<->supplier interaction graph; deterministic top-15 by
+    # (8dp-rounded rank desc, node asc). Oracle replays all 5 rounds in
+    # generated SQL — the same N-step-CTE technique as bpe_training_rounds.
+    oracle=_pagerank_oracle(5, 0.85),
+    tags=("composite", "graph", "iterative", "pagerank"),
+)
+def pagerank_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the customer↔supplier interaction graph
+    (edges both ways per distinct trading pair, node ids disambiguated by
+    parity) — the canonical iterative graph primitive a large-scale
+    engine is expected to run next to Louvain (no reference analog;
+    north-star breadth). Five synchronous power-iteration rounds at
+    d = 0.85 from the uniform start; top-15 nodes by 8dp-rounded rank
+    with a node-id tie-break, so the cutoff is deterministic cross-engine.
+
+    Scale shape: see ``ml.pagerank`` — per round one src-keyed join plus
+    one dst-keyed bounded aggregation, outdeg checkpointed once, lineage
+    cut per round, parallelism sized from the measured edge count."""
+    from utils_spark.operators.ml import pagerank
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pair = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pair.unionByName(pair.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nodes = edges.select(F.col("src").alias("n"))
+    r = pagerank(edges, nodes, "n", damping=0.85, n_iter=5)
+    return (
+        r.select(
+            F.col("n").alias("node"),
+            F.when(F.col("n") % 2 == 0, F.lit("customer")).otherwise(F.lit("supplier")).alias("node_type"),
+            F.round("rank", 8).alias("rank"),
+        )
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(15)
+    )

@@ -589,3 +589,122 @@ def hourly_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
         )
     )
+
+
+@register(
+    "ewma_anomaly_flags",
+    # one-step-ahead EWMA forecast residuals + per-series MAD threshold:
+    # the standard monitoring anomaly detector (EWMA control chart,
+    # Roberts 1959) over daily event counts. Residuals and the threshold
+    # are 4dp-rounded before comparing in BOTH engines so a float-noise
+    # boundary cannot flip a flag.
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE)
+               * CASE WHEN dayofmonth(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) = 15
+                      THEN 10 ELSE 1 END AS n
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS t
+      FROM daily
+    ),
+    ewma AS (
+      SELECT a.event_type, a.t,
+             SUM(0.25 * POWER(0.75, a.t - b.t) * b.n)
+               + POWER(0.75, ANY_VALUE(a.t) + 1) * FIRST(b.n ORDER BY b.t) AS s
+      FROM idx a JOIN idx b ON b.event_type = a.event_type AND b.t <= a.t
+      GROUP BY a.event_type, a.t
+    ),
+    resid AS (
+      SELECT i.event_type, i.day, i.t,
+             ROUND(i.n - e.s, 4) AS r
+      FROM idx i JOIN ewma e ON e.event_type = i.event_type AND e.t = i.t - 1
+    ),
+    stats AS (
+      SELECT event_type,
+             quantile_cont(r, 0.5) AS med
+      FROM resid GROUP BY event_type
+    ),
+    mad AS (
+      SELECT r.event_type,
+             ROUND(3 * 1.4826 * quantile_cont(abs(r.r - s.med), 0.5), 4) AS thr
+      FROM resid r JOIN stats s USING (event_type) GROUP BY r.event_type
+    )
+    SELECT r.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN abs(r.r) > m.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           CAST(COALESCE(SUM(CASE WHEN abs(r.r) > m.thr
+                                  THEN CAST(r.day - DATE '1970-01-01' AS BIGINT) END), 0)
+                AS BIGINT) AS anomaly_day_checksum,
+           ROUND(MAX(abs(r.r)), 4) AS max_abs_residual
+    FROM resid r JOIN mad m USING (event_type)
+    GROUP BY r.event_type
+    """,
+    tags=("temporal", "time-series", "anomaly", "ewma", "monitoring"),
+)
+def ewma_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control-chart anomaly detection over daily event counts — the
+    classic monitoring detector (Roberts 1959): each day's count is
+    compared against the PREVIOUS day's EWMA (a one-step-ahead forecast);
+    days whose absolute residual exceeds 3x the MAD-scaled residual
+    spread of their own series are flagged. Composes the block-rescaled
+    `ewma_closed_form` operator with lag + exact grouped medians; emits
+    per-series counts, an anomaly-day checksum, and the max residual.
+    Deterministic 10x spikes are PLANTED on every day-of-month-15 (both
+    engines), so the flag path is value-checked non-vacuously: each spike
+    day and its EWMA-recovery tail must be flagged, and the natural days
+    must not be.
+
+    Scale shape: the rollup and residual lag are one series-keyed window
+    chain; medians are exact per-series percentiles (series are
+    days-long); everything downstream of the daily aggregation is bounded
+    by (types x days). Residuals/threshold 4dp-rounded pre-compare in
+    both engines — no float-boundary flag flips."""
+    from pyspark.sql import Window
+
+    from utils_spark.operators.stats import MAD_CONSISTENCY, ewma_closed_form
+
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(F.count("*").cast("double").alias("n_raw"))
+        .select(
+            "event_type",
+            "day",
+            (
+                F.col("n_raw")
+                * F.when(F.dayofmonth("day") == 15, F.lit(10.0)).otherwise(F.lit(1.0))
+            ).alias("n"),
+        )
+    )
+    sm = ewma_closed_form(daily, ["event_type"], "day", "n", alpha=0.25)
+    w = Window.partitionBy("event_type").orderBy("day")
+    resid = (
+        sm.withColumn("prev_s", F.lag("ewma").over(w))
+        .filter(F.col("prev_s").isNotNull())
+        .select("event_type", "day", F.round(F.col("n") - F.col("prev_s"), 4).alias("r"))
+    )
+    stats = resid.groupBy("event_type").agg(F.expr("percentile(r, 0.5)").alias("med"))
+    mad = (
+        resid.join(stats, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                3 * MAD_CONSISTENCY * F.expr("percentile(abs(r - med), 0.5)"), 4
+            ).alias("thr")
+        )
+    )
+    flagged = resid.join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum((F.abs("r") > F.col("thr")).cast("long")).alias("n_anomalies"),
+        F.coalesce(
+            F.sum(F.when(F.abs("r") > F.col("thr"), F.datediff(F.col("day"), F.lit("1970-01-01")))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("anomaly_day_checksum"),
+        F.round(F.max(F.abs("r")), 4).alias("max_abs_residual"),
+    )

@@ -1936,10 +1936,9 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tallies.orderBy(F.desc("pair_count"), F.asc("pair")).limit(20)
 
 
-def _bpe_train_oracle(n_rounds: int) -> str:
-    """Generated N-step SQL twin of ``bpe_train``: per round, count
-    adjacent token pairs over the word-frequency table, pick the argmax
-    (count desc, pair asc), and apply the merge. Tokens live in a
+def _bpe_cte_parts(n_rounds: int) -> str:
+    """Shared WITH-clause body for the BPE oracles (training + apply):
+    words0..words{n} CTEs replaying every merge round. Tokens live in a
     chr(31)-sentinel string ("\\x1ft1\\x1ft2\\x1f"); the merge is
     ``replace()`` applied TWICE — a single non-overlapping left-to-right
     pass can skip an occurrence only when the immediately preceding
@@ -1988,11 +1987,17 @@ def _bpe_train_oracle(n_rounds: int) -> str:
              w.n
       FROM words{prev} w CROSS JOIN best{r} b
     )""")
+    return ",".join(parts)
+
+
+def _bpe_train_oracle(n_rounds: int) -> str:
+    """Generated N-step SQL twin of ``bpe_train``: the shared round CTEs
+    plus the union of each round's argmax merge row."""
     selects = "\n    UNION ALL\n    ".join(
         f"SELECT {r} AS merge_round, left_tok, right_tok, cnt AS pair_count FROM best{r}"
         for r in range(1, n_rounds + 1)
     )
-    return ",".join(parts) + "\n    " + selects
+    return _bpe_cte_parts(n_rounds) + "\n    " + selects
 
 
 @register(
@@ -2021,6 +2026,82 @@ def bpe_training_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return bpe_train(d, "text", n_merges=8)
+
+
+@register(
+    "bpe_encoding_apply",
+    # the APPLY side of tokenizer induction: encode the corpus with the
+    # trained 8-round merge table via the word->tokens vocabulary
+    # dictionary (broadcast join, map-only scoring — the production
+    # encode shape). Per-source exact token accounting + a word-level
+    # encoding checksum make any mis-merge hash-visible.
+    oracle=_bpe_cte_parts(8)
+    + """,
+    vocab AS (
+      SELECT replace(s, chr(31), '') AS w,
+             array_to_string(list_filter(string_split(s, chr(31)), x -> x <> ''), ' ')
+               AS tok_str,
+             len(list_filter(string_split(s, chr(31)), x -> x <> '')) AS ntok
+      FROM words8
+    ),
+    docw AS (
+      SELECT doc_id, source,
+             unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    enc AS (
+      SELECT d.doc_id, d.source, v.ntok,
+             CAST(('0x' || substr(md5(d.w || '|' || v.tok_str), 1, 15)) AS BIGINT)
+               % 1073741824 AS h
+      FROM docw d JOIN vocab v USING (w)
+      WHERE d.w NOT LIKE '%' || chr(31) || '%'
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           CAST(SUM(h) AS BIGINT) AS checksum
+    FROM enc GROUP BY source
+    """,
+    tags=("text", "tokenizer", "llm-pipeline", "bpe", "apply-side"),
+)
+def bpe_encoding_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encoding with a trained BPE tokenizer — the apply side that
+    actually tokenizes training data at scale: train 8 merge rounds
+    (`bpe_training_rounds`), then encode every document by joining its
+    words against the final word→tokens VOCABULARY dictionary (bounded by
+    distinct words, broadcast) — encoding is map-only, never re-running
+    merges per document. Emits per-source exact token accounting plus a
+    word-level checksum over (word, encoding) pairs, so a single
+    mis-merged word anywhere in the corpus flips the hash.
+
+    Scale shape: training costs are `bpe_train`'s (vocab-bounded rounds);
+    encoding is one explode + broadcast join + bounded aggregation. The
+    oracle replays the full 8-round training AND the encoding join in
+    generated SQL with the independent double-replace merge formulation."""
+    from utils_spark.operators.textmodel import bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    _merges, vocab = bpe_train(d, "text", n_merges=8, return_vocab=True)
+    docw = d.select(
+        "doc_id", "source", F.explode(word_tokens("text")).alias("w")
+    ).filter(~F.col("w").contains("\x1f"))
+    enc = docw.join(F.broadcast(vocab), "w").select(
+        "doc_id",
+        "source",
+        F.size("toks").alias("ntok"),
+        F.pmod(
+            md5_long(F.concat_ws("|", F.col("w"), F.concat_ws(" ", F.col("toks")))),
+            F.lit(1073741824),
+        ).alias("h"),
+    )
+    return enc.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("ntok").cast("long").alias("n_tokens"),
+        F.sum("h").cast("long").alias("checksum"),
+    )
 
 
 @register(
