@@ -51,6 +51,8 @@ _PRIORITY = (
     "bpe_encoding_apply",  # r6: tokenizer apply side (vocab broadcast encode)
     "pagerank_interactions",  # r6: iterative graph centrality (5-round oracle)
     "ewma_anomaly_flags",  # r6: EWMA control-chart anomalies (planted spikes)
+    "customer_order_distribution",  # r6: Q13-shape left-outer double agg
+    "sole_late_supplier_counts",  # r6: Q21-shape EXISTS/NOT-EXISTS composite
     # -- last driver-green in round 1 (23 queries)
     "support_filter",
     "binned_agg",

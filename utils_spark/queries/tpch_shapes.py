@@ -292,3 +292,102 @@ def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.round(F.col("v"), 4) > F.col("thr"))
         .select("l_partkey", F.round("v", 4).alias("part_value"))
     )
+
+
+@register(
+    "customer_order_distribution",
+    # Q13 shape: distribution of customers by order count INCLUDING
+    # zero-order customers — the left-outer + double-aggregate pattern
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+    tags=("tpch", "joins", "aggregates", "Q13-shape"),
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed exactly k orders, with
+    zero-order customers kept by the LEFT OUTER join (COUNT of the
+    nullable key, not COUNT(*)). Two-level aggregation: the first is
+    custkey-keyed (the only real shuffle), the second collapses to at
+    most max-orders-per-customer keys — effectively free."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist")).select(
+        F.col("c_count").cast("long").alias("c_count"), "custdist"
+    )
+
+
+@register(
+    "sole_late_supplier_counts",
+    # Q21 shape (adapted to this schema's columns: "late" = shipped more
+    # than 90 days after the order date): suppliers who were the ONLY
+    # late shipper on a multi-supplier order — EXISTS (another supplier
+    # on the order) AND NOT EXISTS (another LATE supplier) composed as
+    # semi/anti joins over a per-(order, supplier) rollup.
+    oracle="""
+    WITH os AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                      THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY l.l_orderkey, l.l_suppkey
+    ),
+    stats AS (
+      SELECT l_orderkey, COUNT(*) AS n_supp, SUM(is_late) AS n_late
+      FROM os GROUP BY l_orderkey
+    ),
+    sole AS (
+      SELECT os.l_suppkey
+      FROM os JOIN stats USING (l_orderkey)
+      WHERE os.is_late = 1 AND stats.n_supp > 1 AND stats.n_late = 1
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM sole JOIN supplier s ON s.s_suppkey = sole.l_suppkey
+    GROUP BY s.s_name
+    """,
+    tags=("tpch", "joins", "exists", "Q21-shape"),
+)
+def sole_late_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    this schema: per (order, supplier) compute a late flag (shipped > 90
+    days after the order date), then keep suppliers who were LATE on an
+    order that HAD other suppliers (EXISTS) where NO other supplier was
+    late (NOT EXISTS). Both EXISTS conditions collapse into one bounded
+    per-order stats aggregate joined back — the set-logic of Q21 without
+    correlated per-row subqueries, which is exactly how a distributed
+    planner should execute it."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = F.max(
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)).cast("int")
+    ).alias("is_late")
+    os_ = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(late)
+    )
+    stats = os_.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("is_late").alias("n_late")
+    )
+    sole = (
+        os_.join(stats, "l_orderkey")
+        .filter((F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .select("l_suppkey")
+    )
+    return (
+        sole.join(F.broadcast(s), sole.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
