@@ -53,6 +53,7 @@ _PRIORITY = (
     "ewma_anomaly_flags",  # r6: EWMA control-chart anomalies (planted spikes)
     "customer_order_distribution",  # r6: Q13-shape left-outer double agg
     "sole_late_supplier_counts",  # r6: Q21-shape EXISTS/NOT-EXISTS composite
+    "lm_trigram_backoff_filter",  # r6: held-out stupid-backoff trigram LM
     # -- last driver-green in round 1 (23 queries)
     "support_filter",
     "binned_agg",

@@ -609,3 +609,48 @@ def test_pagerank_matches_reference(spark):
         r = (1 - d) / n + d * (M @ r)
     for i in range(n):
         assert math.isclose(got[i], r[i], rel_tol=1e-12), (i, got[i], r[i])
+
+
+def test_trigram_backoff_matches_reference(spark):
+    """Stupid-backoff scoring vs a pure-Python reference on a tiny
+    held-out split covering all three branches: seen trigram, trigram
+    miss -> bigram hit, and full backoff to the unigram (incl. an OOV
+    word floored to count 1)."""
+    from collections import Counter
+
+    from utils_spark.operators.textmodel import trigram_backoff_scores
+
+    ref_texts = ["the cat sat on the mat", "the dog sat on the rug", "a cat ran home"]
+    doc_texts = {
+        1: "the cat sat on the rug",   # mixes seen trigrams + bigram backoffs
+        2: "zebra cat sat quickly now", # OOV + unigram backoffs
+    }
+    ref = spark.createDataFrame([(t,) for t in ref_texts], ["text"])
+    docs = spark.createDataFrame(list(doc_texts.items()), ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_trigrams, r.mean_neg_log_score)
+        for r in trigram_backoff_scores(docs, "doc_id", "text", ref, alpha=0.4).collect()
+    }
+
+    uni, bi, tri = Counter(), Counter(), Counter()
+    for t in ref_texts:
+        w = t.split()
+        uni.update(w)
+        bi.update(zip(w, w[1:]))
+        tri.update(zip(w, w[1:], w[2:]))
+    n = sum(uni.values())
+
+    def score(w1, w2, w3):
+        if tri[(w1, w2, w3)]:
+            return tri[(w1, w2, w3)] / bi[(w1, w2)]
+        if bi[(w2, w3)]:
+            return 0.4 * bi[(w2, w3)] / uni[w2]
+        return 0.16 * max(uni[w3], 1) / n
+
+    for did, text in doc_texts.items():
+        w = text.split()
+        nls = [-math.log(score(*tg)) for tg in zip(w, w[1:], w[2:])]
+        assert got[did][0] == len(nls)
+        assert math.isclose(got[did][1], round(sum(nls) / len(nls), 6), abs_tol=1.5e-6), (
+            did, got[did], sum(nls) / len(nls),
+        )

@@ -200,3 +200,120 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 8, return_vocab: boo
     if return_vocab:
         return merges_df, words.select("w", "toks")
     return merges_df
+
+
+def _trigram_structs(toks_col: str):
+    """array<struct<w1,w2,w3>> of adjacent token triples (empty for <3)."""
+    idx = F.when(
+        F.size(toks_col) >= 3, F.sequence(F.lit(1), F.size(toks_col) - 2)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(F.col(toks_col), i).alias("w1"),
+            F.element_at(F.col(toks_col), i + 1).alias("w2"),
+            F.element_at(F.col(toks_col), i + 2).alias("w3"),
+        ),
+    )
+
+
+def trigram_backoff_scores(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    ref: DataFrame,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Score documents under a trigram LM with STUPID BACKOFF (Brants et
+    al. 2007 "Large Language Models in Machine Translation" — the
+    published web-scale recipe: no normalization, a fixed ``alpha``
+    back-off factor, chosen there precisely because it needs only count
+    tables and scales to trillions of tokens):
+
+        S(w3|w1w2) = c(w1w2w3)/c(w1w2)          if c(w1w2w3) > 0
+                   = α·c(w2w3)/c(w2)            elif c(w2w3) > 0
+                   = α²·c(w3)/N                  otherwise
+
+    Returns (key, n_trigrams, mean_neg_log_score) for docs with ≥3
+    tokens; lower = more in-domain (same filter signal as the bigram
+    CCNet gate, one order higher with graceful degradation on unseen
+    n-grams). OOV w3 (zero unigram count) is floored to 1/N so the log
+    stays finite — documented engine-side choice, mirrored in oracles.
+
+    Scale shape: three count tables bounded by observed vocabulary,
+    broadcast; corpus scoring is map-only joins plus one per-key combine.
+    Drop the broadcast hints if the model outgrows driver memory — the
+    joins fall back to n-gram-keyed shuffles."""
+    toks = word_tokens(text_col)
+    reft = ref.select(toks.alias("__toks"))
+    uni = reft.select(F.explode("__toks").alias("u1")).groupBy("u1").agg(
+        F.count("*").alias("__c1")
+    )
+    n_tokens = uni.agg(F.sum("__c1").cast("double").alias("__n"))
+    bi = (
+        reft.select(F.explode(_bigram_structs("__toks")).alias("bg"))
+        .groupBy(F.col("bg.w1").alias("b1"), F.col("bg.w2").alias("b2"))
+        .agg(F.count("*").alias("__c2"))
+    )
+    tri = (
+        reft.select(F.explode(_trigram_structs("__toks")).alias("tg"))
+        .groupBy(
+            F.col("tg.w1").alias("t1"), F.col("tg.w2").alias("t2"), F.col("tg.w3").alias("t3")
+        )
+        .agg(F.count("*").alias("__c3"))
+    )
+    doc = (
+        df.select(key_col, toks.alias("__toks"))
+        .select(key_col, F.explode(_trigram_structs("__toks")).alias("tg"))
+        .select(
+            key_col,
+            F.col("tg.w1").alias("w1"),
+            F.col("tg.w2").alias("w2"),
+            F.col("tg.w3").alias("w3"),
+        )
+    )
+    joined = (
+        doc.join(
+            F.broadcast(tri),
+            (F.col("w1") == F.col("t1")) & (F.col("w2") == F.col("t2")) & (F.col("w3") == F.col("t3")),
+            "left",
+        )
+        .join(
+            F.broadcast(bi.withColumnRenamed("b1", "h1").withColumnRenamed("b2", "h2")),
+            (F.col("w1") == F.col("h1")) & (F.col("w2") == F.col("h2")),
+            "left",
+        )
+        .join(
+            F.broadcast(
+                bi.select(F.col("b1").alias("g2"), F.col("b2").alias("g3"), F.col("__c2").alias("__c2b"))
+            ),
+            (F.col("w2") == F.col("g2")) & (F.col("w3") == F.col("g3")),
+            "left",
+        )
+        .join(F.broadcast(uni.withColumnRenamed("u1", "m2")), F.col("w2") == F.col("m2"), "left")
+        .join(
+            F.broadcast(uni.select(F.col("u1").alias("m3"), F.col("__c1").alias("__c1w3"))),
+            F.col("w3") == F.col("m3"),
+            "left",
+        )
+        .crossJoin(F.broadcast(n_tokens))
+    )
+    score = (
+        F.when(
+            F.col("__c3").isNotNull(), F.col("__c3") / F.col("__c2")
+        )
+        .when(
+            F.col("__c2b").isNotNull(), alpha * F.col("__c2b") / F.col("__c1")
+        )
+        .otherwise(
+            alpha * alpha * F.greatest(F.coalesce("__c1w3", F.lit(0.0)), F.lit(1.0)) / F.col("__n")
+        )
+    )
+    return (
+        joined.select(key_col, (-F.log(score)).alias("__nl"))
+        .groupBy(key_col)
+        .agg(
+            F.count("*").cast("long").alias("n_trigrams"),
+            F.round(F.avg("__nl"), 6).alias("mean_neg_log_score"),
+        )
+    )

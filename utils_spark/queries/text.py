@@ -2474,3 +2474,98 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corpus_suppression_rate"
         ),
     )
+
+
+@register(
+    "lm_trigram_backoff_filter",
+    # trigram LM with STUPID BACKOFF (Brants et al. 2007): model trained
+    # on the EVEN-doc_id half, scoring the ODD half, so unseen n-grams
+    # genuinely exercise both backoff branches (self-scoring would make
+    # every trigram seen and the backoff vacuous). Per-source summary of
+    # the held-out scores.
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    ref AS (SELECT t FROM tok WHERE doc_id % 2 = 0),
+    uni AS (SELECT u AS w, COUNT(*) AS c1 FROM (SELECT unnest(t) AS u FROM ref) GROUP BY u),
+    n_tok AS (SELECT CAST(SUM(c1) AS DOUBLE) AS n FROM uni),
+    bi AS (
+      SELECT t[i] AS w1, t[i+1] AS w2, COUNT(*) AS c2
+      FROM ref, UNNEST(range(1, len(t))) AS r(i)
+      WHERE len(t) >= 2 GROUP BY 1, 2
+    ),
+    tri AS (
+      SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3, COUNT(*) AS c3
+      FROM ref, UNNEST(range(1, len(t) - 1)) AS r(i)
+      WHERE len(t) >= 3 GROUP BY 1, 2, 3
+    ),
+    docs3 AS (
+      SELECT doc_id, source, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+      FROM (SELECT * FROM tok WHERE doc_id % 2 = 1) d,
+           UNNEST(range(1, len(t) - 1)) AS r(i)
+      WHERE len(t) >= 3
+    ),
+    scored AS (
+      SELECT d.doc_id, d.source,
+             -ln(CASE
+                   WHEN tri.c3 IS NOT NULL THEN CAST(tri.c3 AS DOUBLE) / h.c2
+                   WHEN g.c2 IS NOT NULL THEN 0.4 * CAST(g.c2 AS DOUBLE) / u2.c1
+                   ELSE 0.16 * GREATEST(CAST(COALESCE(u3.c1, 0) AS DOUBLE), 1.0) / n_tok.n
+                 END) AS nl
+      FROM docs3 d
+      LEFT JOIN tri ON tri.w1 = d.w1 AND tri.w2 = d.w2 AND tri.w3 = d.w3
+      LEFT JOIN bi h ON h.w1 = d.w1 AND h.w2 = d.w2
+      LEFT JOIN bi g ON g.w1 = d.w2 AND g.w2 = d.w3
+      LEFT JOIN uni u2 ON u2.w = d.w2
+      LEFT JOIN uni u3 ON u3.w = d.w3
+      CROSS JOIN n_tok
+    ),
+    per_doc AS (
+      SELECT doc_id, ANY_VALUE(source) AS source,
+             COUNT(*) AS n_trigrams, ROUND(AVG(nl), 6) AS s
+      FROM scored GROUP BY doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_trigrams) AS BIGINT) AS n_trigrams,
+           ROUND(AVG(s), 6) AS avg_score,
+           ROUND(MIN(s), 6) AS best_score,
+           ROUND(MAX(s), 6) AS worst_score
+    FROM per_doc GROUP BY source
+    """,
+    tags=("text", "llm-pipeline", "quality", "lm", "trigram", "backoff"),
+)
+def lm_trigram_backoff_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out trigram-LM quality scoring with stupid backoff (Brants et
+    al. 2007, the web-scale recipe: unnormalized scores, fixed α = 0.4 —
+    chosen there precisely because it needs only count tables at
+    trillion-token scale). The model trains on the even-doc_id half of
+    the corpus and scores the odd half, so unseen trigrams/bigrams
+    genuinely take the backoff branches — self-scoring would make every
+    n-gram seen and the backoff dead code. Per-source held-out score
+    summary, the one-order-higher sibling of `lm_perplexity_filter`.
+
+    Scale shape: see ``textmodel.trigram_backoff_scores`` — three
+    vocabulary-bounded count tables broadcast, map-only scoring joins,
+    one per-doc combine, one per-source rollup."""
+    from utils_spark.operators.textmodel import trigram_backoff_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    ref = d.filter(F.col("doc_id") % 2 == 0)
+    held = d.filter(F.col("doc_id") % 2 == 1)
+    scores = trigram_backoff_scores(held, "doc_id", "text", ref, alpha=0.4)
+    lab = held.select("doc_id", "source")
+    return (
+        scores.join(lab, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_trigrams").cast("long").alias("n_trigrams"),
+            F.round(F.avg("mean_neg_log_score"), 6).alias("avg_score"),
+            F.round(F.min("mean_neg_log_score"), 6).alias("best_score"),
+            F.round(F.max("mean_neg_log_score"), 6).alias("worst_score"),
+        )
+    )
