@@ -54,6 +54,7 @@ _PRIORITY = (
     "customer_order_distribution",  # r6: Q13-shape left-outer double agg
     "sole_late_supplier_counts",  # r6: Q21-shape EXISTS/NOT-EXISTS composite
     "lm_trigram_backoff_filter",  # r6: held-out stupid-backoff trigram LM
+    "hard_negative_mining",  # r6: cross-label cosine top-k (contrastive data)
     # -- last driver-green in round 1 (23 queries)
     "support_filter",
     "binned_agg",

@@ -22,9 +22,14 @@ def cosine_topk(
     k: int = 5,
     round_digits: int | None = 6,
     salt_buckets: int = 32,
+    query_label: str | None = None,
+    corpus_label: str | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of every query vector:
-    (query_id, neighbor_id, cosine), k rows per query.
+    (query_id, neighbor_id, cosine), k rows per query. With
+    ``query_label``/``corpus_label`` set, pairs whose labels MATCH are
+    excluded — the hard-negative-mining variant (contrastive training
+    data wants the most similar items of a DIFFERENT class).
 
     Scale shape: queries broadcast; the corpus streams partition-parallel
     (never shuffled for scoring). The top-k reduction is TWO-STAGE so no
@@ -40,18 +45,23 @@ def cosine_topk(
     by k rows of its own bucket. `round_digits` stabilizes ordering across
     engines; None disables.
     """
-    q = queries.select(
-        F.col(query_key).alias("query_id"), to_double_array(vec_col).alias("__qv")
-    )
-    c = corpus.select(
-        F.col(corpus_key).alias("neighbor_id"), to_double_array(vec_col).alias("__nv")
-    )
+    qcols = [F.col(query_key).alias("query_id"), to_double_array(vec_col).alias("__qv")]
+    ccols = [F.col(corpus_key).alias("neighbor_id"), to_double_array(vec_col).alias("__nv")]
+    if query_label:
+        qcols.append(F.col(query_label).alias("__ql"))
+    if corpus_label:
+        ccols.append(F.col(corpus_label).alias("__nl"))
+    q = queries.select(*qcols)
+    c = corpus.select(*ccols)
     sim = cosine_similarity(F.col("__qv"), F.col("__nv"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
+    cond = F.col("neighbor_id") != F.col("query_id")
+    if query_label and corpus_label:
+        cond = cond & (F.col("__ql") != F.col("__nl"))
     sims = (
         F.broadcast(q)
-        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .join(c, cond)
         .select("query_id", "neighbor_id", sim.alias("cosine"))
     )
     order = (F.desc("cosine"), F.asc("neighbor_id"))

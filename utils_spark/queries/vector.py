@@ -327,3 +327,69 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").cast("long").alias("cluster_rep"),
         F.when(F.col("key") == F.col("component"), 1).otherwise(0).alias("is_kept"),
     )
+
+
+@register(
+    "hard_negative_mining",
+    # contrastive-training data construction: for each anchor, the top-3
+    # most-similar embeddings with a DIFFERENT label — the hard negatives
+    # a contrastive/retrieval trainer pairs with each anchor. Same
+    # deterministic (6dp cosine desc, id asc) ranking as cosine_topk.
+    oracle="""
+    WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 100),
+    sims AS (
+      SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+             e.vec_id AS negative_id, e.label AS negative_label,
+             ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))),
+                   6) AS cosine
+      FROM q JOIN embeddings e ON e.vec_id <> q.vec_id AND e.label <> q.label
+    )
+    SELECT anchor_id, anchor_label, negative_id, negative_label, cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                       ORDER BY cosine DESC, negative_id) AS rn
+          FROM sims)
+    WHERE rn <= 3
+    """,
+    tags=("vector", "similarity", "llm-pipeline", "contrastive", "hard-negatives"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training data (the retrieval/
+    embedding-model recipe, e.g. DPR/Contriever-style: pair each anchor
+    with the most similar items of a DIFFERENT class): top-3
+    cross-label cosine neighbors per anchor (anchors bounded to
+    vec_id < 100 for the brute-force oracle; the Spark side is the
+    production shape at any anchor count).
+
+    Scale shape: `similarity.cosine_topk` with the label-exclusion
+    condition — anchors broadcast, the corpus streams partition-parallel
+    (never shuffled for scoring), two-stage salted top-k so no task ever
+    sorts the whole corpus for one anchor."""
+    from utils_spark.operators.similarity import cosine_topk as topk_op
+
+    e = load_table(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 100)
+    pairs = topk_op(
+        anchors,
+        e,
+        "vec_id",
+        "vec_id",
+        vec_col="embedding",
+        k=3,
+        query_label="label",
+        corpus_label="label",
+    )
+    alab = anchors.select(F.col("vec_id").alias("query_id"), F.col("label").alias("anchor_label"))
+    nlab = e.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("negative_label"))
+    return (
+        pairs.join(F.broadcast(alab), "query_id")
+        .join(F.broadcast(nlab), "neighbor_id")
+        .select(
+            F.col("query_id").alias("anchor_id"),
+            "anchor_label",
+            F.col("neighbor_id").alias("negative_id"),
+            "negative_label",
+            "cosine",
+        )
+    )
