@@ -508,3 +508,21 @@ def test_als_factorize_rejects_int64_ids(spark):
     df = spark.createDataFrame([(2**31, 1, 1.0), (5, 2, 2.0)], ["r", "c", "v"])
     with _pytest.raises(ValueError, match="int32"):
         als_factorize(df, "r", "c", "v", rank=2, max_iter=1)
+
+
+def test_classifier_scoring_survives_observation_state(spark, sf_dir):
+    """Spark 4.1 serialization trap (caught by the round-6 full suite):
+    once any Observation is used in a session (the Louvain sweeps ride
+    their probes on observe() metrics), the SparkSession holds a
+    non-serializable ObservationManager — and LogisticRegressionModel
+    .transform's UDF closure captures model → trainingSummary → session,
+    making every subsequent scoring task unserializable. The classifier
+    gate therefore scores with raw coefficient EXPRESSIONS, never
+    model.transform. This test pins the exact failure order:
+    observation-using query first, classifier after, same session."""
+    from utils_spark.registry import load_all
+
+    reg = load_all()
+    reg["louvain_communities"].fn(spark, sf_dir).collect()  # uses observe()
+    rows = reg["quality_classifier_filter"].fn(spark, sf_dir).collect()
+    assert rows and rows[0]["accuracy"] == 1.0

@@ -273,3 +273,24 @@ def test_exact_substring_dedup_window_keyed(spark, sf_dir):
     # exchanges: union scan repartition noise aside, the pairing itself is
     # hash->doc keyed; a doc-x-doc plan would blow this bound
     assert p.n_exchanges <= 6, p.text[:2000]
+
+
+def test_scaled_shuffle_partitions_guard(spark):
+    """The measured-size parallelism guard must (a) never grow past the
+    session setting, (b) floor at 2 for small inputs, (c) restore the
+    conf even when the body raises."""
+    from utils_spark.plans import scaled_shuffle_partitions
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    with scaled_shuffle_partitions(spark, 100, 100_000) as parts:
+        assert parts == 2  # floor
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "2"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    with scaled_shuffle_partitions(spark, 10**12, 100_000) as parts:
+        assert parts == int(prev)  # clamped to session setting, never grows
+    try:
+        with scaled_shuffle_partitions(spark, 100, 100_000):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev

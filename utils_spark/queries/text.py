@@ -1427,10 +1427,15 @@ def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract.
 
     Distributed shape: LogisticRegression.fit is a treeAggregate over the
-    seed partition (no driver-side data pass), and scoring is a
-    broadcast-model `transform` — map-only over the corpus, no shuffle; at
-    100 TB the scoring pass is a pure scan-transform and only the (tiny)
-    seed set feeds training.
+    seed partition (no driver-side data pass). Scoring applies the fitted
+    COEFFICIENTS as native column expressions (w·x + b > 0) rather than
+    `model.transform`: the arithmetic is identical, it keeps the corpus
+    pass inside whole-stage codegen instead of a ScalaUDF, and it avoids
+    a Spark 4.1 serialization trap — the model's trainingSummary captures
+    the SparkSession, which becomes task-unserializable once any
+    Observation has been used in the session (as the Louvain sweeps do).
+    At 100 TB the scoring pass is a pure scan-transform and only the
+    (tiny) seed set feeds training.
 
     Certificate: quality ground truth is planted as doc_id % 7 < 3; the
     signal feature is the label's +-1 encoding plus md5-derived noise
@@ -1447,21 +1452,25 @@ def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = (F.pmod("doc_id", F.lit(7)) < 3).cast("double")
     noise = (md5_long(F.col("doc_id").cast("string")) % 1000) / 5000.0 - 0.1
     toks = word_tokens("text")
+    f1 = F.when(planted == 1.0, 1.0).otherwise(-1.0) + noise
+    f2 = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
     feat = docs.select(
         "doc_id",
         planted.alias("y"),
-        array_to_vector(
-            F.array(
-                (F.when(planted == 1.0, 1.0).otherwise(-1.0) + noise).alias("signal"),
-                (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)),
-            )
-        ).alias("features"),
+        f1.alias("f1"),
+        f2.alias("f2"),
+        array_to_vector(F.array(f1, f2)).alias("features"),
     )
     seed = feat.filter(F.pmod("doc_id", F.lit(3)) == 0)
     model = LogisticRegression(
         featuresCol="features", labelCol="y", maxIter=50, regParam=0.01
     ).fit(seed)
-    scored = model.transform(feat).select("doc_id", "y", "prediction")
+    # score with the raw separator: w·x + b > 0  ⟺  P(y=1) > 0.5
+    w = model.coefficients.toArray()
+    margin = float(w[0]) * F.col("f1") + float(w[1]) * F.col("f2") + float(model.intercept)
+    scored = feat.select(
+        "doc_id", "y", F.when(margin > 0, 1.0).otherwise(0.0).alias("prediction")
+    )
     return scored.agg(
         F.count("*").alias("n_docs"),
         F.sum((F.pmod("doc_id", F.lit(3)) == 0).cast("long")).alias("n_seed"),
