@@ -151,10 +151,11 @@ def test_louvain_job_count_bounded(spark, sf_dir):
     tracker = sc.statusTracker()
     n_jobs = len(tracker.getJobIdsForGroup(group))
     # AQE submits every shuffle stage as its own job, so the count is high
-    # but deterministic FOR A GIVEN SPARK VERSION: baseline 66 measured on
+    # but deterministic FOR A GIVEN SPARK VERSION: baseline 59 measured on
     # Spark 4.1.2 after the round-6 observation fusion (m2/convergence/
-    # crossing probes ride the checkpoint jobs as observe() metrics; was
-    # 77 in round 5, 151 in round 4). AQE's stage-as-job accounting
+    # crossing probes ride the checkpoint jobs as observe() metrics) and
+    # the identity-assignment sweep-1 specialization (was 77 in round 5,
+    # 151 in round 4). AQE's stage-as-job accounting
     # shifts across minor versions, so the bound is deliberately coarse:
     # losing the id-decreasing fast path or the desired-move early-stop
     # adds back 3+ sweeps (~40+ stage-jobs), which this still catches with

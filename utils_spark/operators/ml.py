@@ -301,35 +301,55 @@ def _louvain_levels(
 
         crossing_at_fixpoint: int | None = None
         for it in range(max_iter):
-            ctot = (
-                asg.join(deg.withColumnRenamed("u", "node"), "node", "left")
-                .na.fill({"k": 0.0})
-                .groupBy("community")
-                .agg(F.sum("k").alias("tot"))
-            )
-            # per node: weight into each neighboring community. Self-loops
-            # (super-node internal weight after contraction) are excluded —
-            # they travel with the node, so they cancel in gain comparisons
-            # and must not inflate the stay option.
-            nbr_pre = (
-                und.filter(F.col("u") != F.col("v"))
-                .join(asg.withColumnRenamed("node", "v").withColumnRenamed("community", "c"), "v")
-                .select("u", "c", F.col("w").alias("w_ic"))
-            )
-            own = asg.select(F.col("node").alias("u"), F.col("community").alias("c_own"))
-            # the zero-weight stay row is unioned BEFORE the aggregation so
-            # one groupBy builds the full candidate set (the stay seed sums
-            # into the real in-community weight when present, stands alone
-            # otherwise — incl. isolated nodes); tagging c_own afterwards is
-            # a plain u-keyed join. One shuffle fewer per sweep than the old
-            # right-join + union + re-aggregate shape.
-            stay = own.select("u", F.col("c_own").alias("c"), F.lit(0.0).alias("w_ic"))
-            cand = (
-                nbr_pre.unionByName(stay)
-                .groupBy("u", "c")
-                .agg(F.sum("w_ic").alias("w_ic"))
-                .join(own, "u")
-            )
+            if it == 0:
+                # SWEEP-1 SPECIALIZATION: the level starts from the
+                # identity assignment (community(v) == v), so ctot IS the
+                # degree table and the neighbor's community IS the
+                # neighbor — the two asg joins and the community
+                # re-aggregation collapse to projections. Saves ~4
+                # exchanges on the first (often only-moving) sweep of
+                # every level; the general path below is untouched.
+                ctot = deg.select(F.col("u").alias("community"), F.col("k").alias("tot"))
+                nbr_pre = und.filter(F.col("u") != F.col("v")).select(
+                    "u", F.col("v").alias("c"), F.col("w").alias("w_ic")
+                )
+                stay = deg.select("u", F.col("u").alias("c"), F.lit(0.0).alias("w_ic"))
+                cand = (
+                    nbr_pre.unionByName(stay)
+                    .groupBy("u", "c")
+                    .agg(F.sum("w_ic").alias("w_ic"))
+                    .withColumn("c_own", F.col("u"))
+                )
+            else:
+                ctot = (
+                    asg.join(deg.withColumnRenamed("u", "node"), "node", "left")
+                    .na.fill({"k": 0.0})
+                    .groupBy("community")
+                    .agg(F.sum("k").alias("tot"))
+                )
+                # per node: weight into each neighboring community. Self-loops
+                # (super-node internal weight after contraction) are excluded —
+                # they travel with the node, so they cancel in gain comparisons
+                # and must not inflate the stay option.
+                nbr_pre = (
+                    und.filter(F.col("u") != F.col("v"))
+                    .join(asg.withColumnRenamed("node", "v").withColumnRenamed("community", "c"), "v")
+                    .select("u", "c", F.col("w").alias("w_ic"))
+                )
+                own = asg.select(F.col("node").alias("u"), F.col("community").alias("c_own"))
+                # the zero-weight stay row is unioned BEFORE the aggregation so
+                # one groupBy builds the full candidate set (the stay seed sums
+                # into the real in-community weight when present, stands alone
+                # otherwise — incl. isolated nodes); tagging c_own afterwards is
+                # a plain u-keyed join. One shuffle fewer per sweep than the old
+                # right-join + union + re-aggregate shape.
+                stay = own.select("u", F.col("c_own").alias("c"), F.lit(0.0).alias("w_ic"))
+                cand = (
+                    nbr_pre.unionByName(stay)
+                    .groupBy("u", "c")
+                    .agg(F.sum("w_ic").alias("w_ic"))
+                    .join(own, "u")
+                )
             scored = (
                 cand.join(ctot.withColumnRenamed("community", "c"), "c")
                 .join(deg, "u")
