@@ -55,6 +55,7 @@ _PRIORITY = (
     "sole_late_supplier_counts",  # r6: Q21-shape EXISTS/NOT-EXISTS composite
     "lm_trigram_backoff_filter",  # r6: held-out stupid-backoff trigram LM
     "hard_negative_mining",  # r6: cross-label cosine top-k (contrastive data)
+    "triangle_count_knn",  # r6: exact triangle counting on the SNN graph
     # -- last driver-green in round 1 (23 queries)
     "support_filter",
     "binned_agg",

@@ -654,3 +654,30 @@ def test_trigram_backoff_matches_reference(spark):
         assert math.isclose(got[did][1], round(sum(nls) / len(nls), 6), abs_tol=1.5e-6), (
             did, got[did], sum(nls) / len(nls),
         )
+
+
+def test_triangle_enumerate_reference(spark):
+    """Triangle enumeration vs itertools brute force on a mixed graph:
+    a 4-clique (4 triangles), a triangle sharing one vertex with it, a
+    path (0 triangles), duplicate/reversed edges (must dedup)."""
+    import itertools
+
+    from utils_spark.operators.ml import triangle_enumerate
+
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # 4-clique
+        (4, 10), (4, 11), (10, 11),                       # triangle at 4
+        (20, 21), (21, 22),                               # path
+        (2, 1), (3, 1),                                   # dup/reversed
+    ]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = sorted(tuple(r) for r in triangle_enumerate(df).collect())
+    eset = {tuple(sorted(e)) for e in edges}
+    nodes = sorted({n for e in edges for n in e})
+    want = sorted(
+        (a, b, c)
+        for a, b, c in itertools.combinations(nodes, 3)
+        if {(a, b), (a, c), (b, c)} <= eset
+    )
+    assert got == want, (got, want)
+    assert len(got) == 5  # C(4,3)=4 + 1

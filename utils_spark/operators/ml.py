@@ -1339,3 +1339,29 @@ def harmony_soft(
         work.select(F.col("__key").alias(key_col), F.col("__v").alias("corrected")), key_col
     )
     return out
+
+
+def triangle_enumerate(edges: DataFrame) -> DataFrame:
+    """Exact triangle enumeration over an undirected edge list — the
+    standard two-join wedge-closing shape (each triangle emitted once as
+    u < v < w): canonical edges (u < v), wedges from the shared LOWEST
+    node, closed against the edge set.
+
+    Scale shape (compact-forward, Latapy 2008 / Suri & Vassilvitskii
+    2011's MR adaptation): both joins are equi-keyed (wedge build on the
+    low endpoint, closure on the (v, w) pair), so cost is Σ_u deg(u)² for
+    the wedge stage — the skew term a degree-ordered orientation bounds
+    on power-law graphs; on KNN/SNN graphs deg ≤ k so wedges are O(n·k²).
+    Never an unkeyed cartesian. Returns (u, v, w) with u < v < w."""
+    e = (
+        edges.select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    w1 = e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    w2 = e.select(F.col("a").alias("u"), F.col("b").alias("w"))
+    wedges = w1.join(w2, "u").filter(F.col("v") < F.col("w"))
+    closer = e.select(F.col("a").alias("v"), F.col("b").alias("w"))
+    return wedges.join(closer, ["v", "w"]).select("u", "v", "w")

@@ -1419,3 +1419,71 @@ def pagerank_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("node"))
         .limit(15)
     )
+
+
+@register(
+    "triangle_count_knn",
+    # exact triangle counting on the REAL LSH-KNN/SNN graph of planted
+    # disjoint 5-cliques (same layout as louvain_communities): each
+    # micro-cluster's SNN graph is provably its 5-clique -> C(5,3) = 10
+    # triangles per clique, and each member sits in C(4,2) = 6 of them,
+    # so the per-clique triangle-node checksum is 6 x (sum of member
+    # ids) — the oracle derives everything from the embeddings table.
+    oracle="""
+    WITH cl AS (SELECT vec_id, vec_id // 5 AS q FROM embeddings),
+    s AS (SELECT q, SUM(vec_id) AS member_sum FROM cl GROUP BY q)
+    SELECT CAST(10 AS BIGINT) AS triangles_per_group,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(10 * COUNT(*) AS BIGINT) AS total_triangles,
+           CAST(SUM(6 * member_sum) AS BIGINT) AS node_checksum
+    FROM s
+    """,
+    tags=("composite", "graph", "triangles", "ml"),
+)
+def triangle_count_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting over the LSH-KNN → SNN graph — the classic
+    distributed graph primitive (clustering-coefficient numerator,
+    community cohesion), certified end-to-end on the planted
+    micro-cluster layout of `louvain_communities`: the true SNN graph is
+    400 disjoint 5-cliques, so every clique contributes exactly
+    C(5,3) = 10 triangles and each member appears in C(4,2) = 6 — the
+    count histogram and the triangle-node checksum have an exact SQL
+    oracle derived from the embeddings table. A single missed LSH edge
+    would drop 3 triangles from one clique and break the hash, so this
+    also re-certifies KNN recall through a different invariant than the
+    Louvain community histogram.
+
+    Scale shape: see ``ml.triangle_enumerate`` — equi-keyed wedge build +
+    wedge closure (compact-forward), O(n·k²) on a KNN graph; graph build
+    parallelism sized from the measured vector count."""
+    from utils_spark.operators.ml import knn_graph, snn_graph, triangle_enumerate
+    from utils_spark.plans import cut_lineage, scaled_shuffle_partitions
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    q = (F.col("vec_id") / 5).cast("long")
+    m = F.pmod(F.col("vec_id"), F.lit(5)).cast("double")
+    planted = e.select(
+        "vec_id",
+        F.array(
+            (F.pmod(q, F.lit(50)) * 10000.0 + m).cast("double"),
+            ((q / 50).cast("long") * 10000.0).cast("double"),
+            F.lit(0.0),
+            F.lit(0.0),
+        ).alias("vec"),
+    )
+    n_vec = planted.count()
+    with scaled_shuffle_partitions(spark, n_vec, 5_000):
+        edges = knn_graph(planted, "vec_id", "vec", k=4, bucket_length=250.0)
+        snn = snn_graph(edges, min_shared=1).select("u", "v")
+        tri = triangle_enumerate(snn)
+        per_group = tri.groupBy((F.col("u") / 5).cast("long").alias("q")).agg(
+            F.count("*").alias("n_tri"),
+            F.sum(F.col("u") + F.col("v") + F.col("w")).alias("tri_sum"),
+        )
+        out = per_group.groupBy().agg(
+            F.max("n_tri").cast("long").alias("triangles_per_group"),
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum("n_tri").cast("long").alias("total_triangles"),
+            F.sum("tri_sum").cast("long").alias("node_checksum"),
+        )
+        return cut_lineage(out)
