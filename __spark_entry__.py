@@ -56,6 +56,7 @@ _PRIORITY = (
     "lm_trigram_backoff_filter",  # r6: held-out stupid-backoff trigram LM
     "hard_negative_mining",  # r6: cross-label cosine top-k (contrastive data)
     "triangle_count_knn",  # r6: exact triangle counting on the SNN graph
+    "bloom_decontamination",  # r6: broadcast-Bloom contamination scan
     # -- last driver-green in round 1 (23 queries)
     "support_filter",
     "binned_agg",

@@ -2578,3 +2578,164 @@ def lm_trigram_backoff_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("mean_neg_log_score"), 6).alias("worst_score"),
         )
     )
+
+
+@register(
+    "bloom_decontamination",
+    # Bloom-filter decontamination — the 100 TB shape of the benchmark
+    # n-gram check: the benchmark's 5-gram set is compressed into a
+    # 2^17-bit Bloom filter (2048 bit_or'd longs, ~16 KB broadcast;
+    # 3 md5-derived probes per gram), so the corpus scan is MAP-ONLY —
+    # no gram-keyed shuffle of corpus volume, unlike the exact join.
+    # The filter is built from deterministic md5 positions, so DuckDB
+    # constructs the IDENTICAL filter and the whole query (including
+    # every false positive) is hash-exact, not just certified. The
+    # exact-join counts ride along: bloom ⊇ exact per gram by
+    # construction (no false negatives), FP overhead visible per source.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source, array_to_string(t[s.i : s.i + 4], ' ') AS g
+      FROM toks, LATERAL (SELECT unnest(range(1, GREATEST(len(t) - 4, 0) + 1)) AS i) s
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+    bpos AS (
+      SELECT CAST(('0x' || substr(md5(b.g || '#' || t.i), 1, 15)) AS BIGINT) % 131072 AS p
+      FROM bench b, UNNEST([0, 1, 2]) AS t(i)
+    ),
+    words AS (
+      -- 63 usable bits per word: bit 63 stays clear so neither engine's
+      -- checked left-shift can overflow on the sign bit
+      SELECT p // 63 AS w, bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS bits
+      FROM bpos GROUP BY 1
+    ),
+    corp AS (
+      SELECT DISTINCT doc_id, source, g FROM grams WHERE doc_id % 50 != 0
+    ),
+    cprobe AS (
+      SELECT c.doc_id, c.source, c.g,
+             CAST(('0x' || substr(md5(c.g || '#' || t.i), 1, 15)) AS BIGINT) % 131072 AS p
+      FROM corp c, UNNEST([0, 1, 2]) AS t(i)
+    ),
+    ghit AS (
+      SELECT doc_id, source, g,
+             SUM(CASE WHEN w.bits IS NOT NULL
+                       AND (w.bits & (CAST(1 AS BIGINT) << CAST(p % 63 AS INT))) != 0
+                      THEN 1 ELSE 0 END) AS nhit
+      FROM cprobe LEFT JOIN words w ON w.w = p // 63
+      GROUP BY doc_id, source, g
+    ),
+    per_doc AS (
+      SELECT c.doc_id, ANY_VALUE(c.source) AS source,
+             SUM(CASE WHEN h.nhit = 3 THEN 1 ELSE 0 END) AS n_bloom,
+             SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_exact
+      FROM corp c
+      JOIN ghit h ON h.doc_id = c.doc_id AND h.g = c.g
+      LEFT JOIN bench b ON b.g = c.g
+      GROUP BY c.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_bloom > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_flagged_bloom,
+           CAST(SUM(CASE WHEN n_exact > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_flagged_exact,
+           CAST(SUM(n_bloom) AS BIGINT) AS n_gram_hits_bloom,
+           CAST(SUM(n_exact) AS BIGINT) AS n_gram_hits_exact
+    FROM per_doc GROUP BY source
+    """,
+    tags=("text", "llm-pipeline", "decontamination", "bloom", "sketch"),
+)
+def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination via a Bloom filter — the scale path of
+    `benchmark_decontamination`: instead of shuffling every corpus
+    5-gram into an equi-join against the benchmark set, the benchmark
+    grams are compressed into a 2^17-bit Bloom filter (3 md5-derived
+    probes; 2048 bit_or-aggregated longs ≈ 16 KB) that BROADCASTS, so
+    the corpus-side contamination scan is map-only. No false negatives
+    by construction; the exact-join counts ride along per source so the
+    false-positive overhead of the sketch is visible (bloom ⊇ exact per
+    gram). Every position is deterministic md5 arithmetic, so the oracle
+    rebuilds the byte-identical filter in SQL and the whole output —
+    including each false positive — is hash-exact cross-engine.
+
+    Scale shape: filter build = one DISTINCT + a 2048-key bit_or
+    aggregation; probing = broadcast join on the word index + per-doc
+    combine. At a 100 TB corpus with a large benchmark suite this is the
+    difference between shuffling corpus-volume grams and streaming the
+    scan past a broadcast bitset."""
+    M = 131072  # 2^17 bits
+    K = 3
+    d = load_table(spark, sf_dir, "documents")
+    t = word_tokens("text")
+    n = F.size(t)
+    gram_idx = F.when(n >= 5, F.sequence(F.lit(1), n - 4)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = (
+        d.select("doc_id", "source", t.alias("t"), gram_idx.alias("idx"))
+        .select("doc_id", "source", "t", F.explode("idx").alias("i"))
+        .select(
+            "doc_id",
+            "source",
+            F.array_join(F.slice("t", F.col("i"), 5), " ").alias("g"),
+        )
+    )
+    bench = grams.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
+    probe_i = F.explode(F.array(*[F.lit(i) for i in range(K)])).alias("pi")
+    pos = F.pmod(md5_long(F.concat_ws("#", F.col("g"), F.col("pi"))), F.lit(M))
+    words = (
+        bench.select("g", probe_i)
+        .select(pos.alias("p"))
+        .select(
+            F.expr("p div 63").alias("w"),
+            F.expr("shiftleft(cast(1 as bigint), cast(p % 63 as int))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+    )
+    corp = grams.filter(F.col("doc_id") % 50 != 0).distinct()
+    cprobe = corp.select("doc_id", "source", "g", probe_i).select(
+        "doc_id", "source", "g", pos.alias("p")
+    )
+    ghit = (
+        cprobe.join(F.broadcast(words), F.expr("p div 63") == F.col("w"), "left")
+        .select(
+            "doc_id",
+            "source",
+            "g",
+            (
+                F.col("bits").isNotNull()
+                & (
+                    F.col("bits").bitwiseAND(
+                        F.expr("shiftleft(cast(1 as bigint), cast(p % 63 as int))")
+                    )
+                    != 0
+                )
+            )
+            .cast("int")
+            .alias("hit"),
+        )
+        .groupBy("doc_id", "source", "g")
+        .agg(F.sum("hit").alias("nhit"))
+    )
+    per_doc = (
+        corp.join(ghit, ["doc_id", "source", "g"])
+        .join(bench.withColumnRenamed("g", "bg"), F.col("g") == F.col("bg"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.first("source").alias("source"),
+            F.sum((F.col("nhit") == K).cast("long")).alias("n_bloom"),
+            F.sum(F.col("bg").isNotNull().cast("long")).alias("n_exact"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("n_bloom") > 0).cast("long")).alias("n_docs_flagged_bloom"),
+        F.sum((F.col("n_exact") > 0).cast("long")).alias("n_docs_flagged_exact"),
+        F.sum("n_bloom").cast("long").alias("n_gram_hits_bloom"),
+        F.sum("n_exact").cast("long").alias("n_gram_hits_exact"),
+    )
