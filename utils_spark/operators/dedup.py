@@ -397,6 +397,13 @@ def substring_window_duplicates(
     from utils_spark.functions import word_tokens
 
     w = window_tokens
+    # window hashing is CPU-bound map work (array slice + md5 per
+    # position); a single-file local scan arrives as 1-2 partitions and
+    # would serialize it — spread only when scan parallelism is low
+    # (same guard as minhash_lsh_candidates)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, par // 2):
+        df = df.repartition(par)
     toks = word_tokens(text_col)
     # sequence(1, 0) counts DOWN in Spark — docs shorter than the window
     # must produce an empty index array, not [1, 0]
@@ -404,7 +411,10 @@ def substring_window_duplicates(
         F.size(toks) >= w, F.sequence(F.lit(1), F.size(toks) - (w - 1))
     ).otherwise(F.expr("array()").cast("array<int>"))
     wins = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, w))))
-    hashed = df.select(F.col(key_col).alias("__k"), wins.alias("wins"))
+    # materialize ONCE: the fingerprint table feeds three consumers
+    # (ownership agg, verdict join, per-doc window counts) — without the
+    # cut each would recompute the O(tokens × window) hashing pass
+    hashed = cut_lineage(df.select(F.col(key_col).alias("__k"), wins.alias("wins")))
     exploded = hashed.select("__k", F.explode("wins").alias("wh"))
     owner = exploded.groupBy("wh").agg(F.min("__k").alias("owner"))
     verdict = (
