@@ -57,6 +57,7 @@ _PRIORITY = (
     "hard_negative_mining",  # r6: cross-label cosine top-k (contrastive data)
     "triangle_count_knn",  # r6: exact triangle counting on the SNN graph
     "bloom_decontamination",  # r6: broadcast-Bloom contamination scan
+    "rolling_correlation",  # r6: rolling bivariate Pearson (6 shared-frame sums)
     # -- last driver-green in round 1 (23 queries)
     "support_filter",
     "binned_agg",

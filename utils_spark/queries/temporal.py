@@ -708,3 +708,72 @@ def ewma_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("anomaly_day_checksum"),
         F.round(F.max(F.abs("r")), 4).alias("max_abs_residual"),
     )
+
+
+@register(
+    "rolling_correlation",
+    # 14-day rolling Pearson correlation between the view and click
+    # daily-count series — the co-movement monitor behind metric
+    # dashboards. Same closed-form rolling-sums formula in both engines
+    # (n·Σxy − ΣxΣy) / sqrt((nΣx²−(Σx)²)(nΣy²−(Σy)²)), 6dp.
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE) AS x,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) AS y
+      FROM events GROUP BY 1
+    ),
+    rolled AS (
+      SELECT day,
+             COUNT(*) OVER w AS n,
+             SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+             SUM(x * y) OVER w AS sxy,
+             SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_14d
+    FROM rolled
+    WHERE n = 14 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+    """,
+    tags=("temporal", "time-series", "rolling", "correlation"),
+)
+def rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 14-day Pearson correlation between two daily event-count
+    series (views vs clicks) — the bivariate sibling of the EWMA/percentile
+    monitors: does engagement co-move with traffic this fortnight? The
+    correlation is computed from six rolling sums in ONE window pass
+    (n, Σx, Σy, Σxy, Σx², Σy²) and the closed form — never a per-window
+    re-aggregation. Windows with fewer than 14 days or zero variance in
+    either series are dropped (both engines identically).
+
+    Scale shape: one bounded daily rollup, one ordered window with six
+    running sums sharing a single frame. A single global day series is
+    inherently one partition — per-series partitioning applies the moment
+    a series key is added (cf. `daily_ewma_smoothing`)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
+        F.sum((F.col("event_type") == "view").cast("int")).cast("double").alias("x"),
+        F.sum((F.col("event_type") == "click").cast("int")).cast("double").alias("y"),
+    )
+    w = Window.orderBy("day").rowsBetween(-13, Window.currentRow)
+    rolled = daily.select(
+        "day",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        rolled.filter((F.col("n") == 14) & (vx > 0) & (vy > 0))
+        .select("day", F.round(num / F.sqrt(vx * vy), 6).alias("corr_14d"))
+    )
