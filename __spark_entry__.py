@@ -58,6 +58,7 @@ _PRIORITY = (
     "triangle_count_knn",  # r6: exact triangle counting on the SNN graph
     "bloom_decontamination",  # r6: broadcast-Bloom contamination scan
     "rolling_correlation",  # r6: rolling bivariate Pearson (6 shared-frame sums)
+    "seasonal_decomposition",  # r6: classical additive trend/seasonal/residual
     # -- last driver-green in round 1 (23 queries)
     "support_filter",
     "binned_agg",

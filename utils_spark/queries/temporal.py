@@ -777,3 +777,90 @@ def rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         rolled.filter((F.col("n") == 14) & (vx > 0) & (vy > 0))
         .select("day", F.round(num / F.sqrt(vx * vy), 6).alias("corr_14d"))
     )
+
+
+@register(
+    "seasonal_decomposition",
+    # classical additive decomposition (the statsmodels seasonal_decompose
+    # recipe, Kendall & Stuart): centered 7-day moving-average trend,
+    # day-of-week seasonal means over the detrended series, residual
+    # variance — per event-type daily counts, 6dp both engines.
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    trended AS (
+      SELECT event_type, day, n,
+             CASE WHEN COUNT(*) OVER w = 7 THEN AVG(n) OVER w END AS trend
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    detr AS (
+      SELECT event_type, dayofweek(day) AS dow, n - trend AS d
+      FROM trended WHERE trend IS NOT NULL
+    ),
+    seas AS (
+      SELECT event_type, dow, COUNT(*) AS n_days, AVG(d) AS s
+      FROM detr GROUP BY 1, 2
+    ),
+    resid AS (
+      SELECT d.event_type, d.dow,
+             var_samp(d.d - s.s) AS rv
+      FROM detr d JOIN seas s ON s.event_type = d.event_type AND s.dow = d.dow
+      GROUP BY 1, 2
+    )
+    SELECT s.event_type, CAST(s.dow AS INT) AS day_of_week,
+           CAST(s.n_days AS BIGINT) AS n_days,
+           ROUND(s.s, 6) AS seasonal_idx,
+           ROUND(r.rv, 6) AS residual_variance
+    FROM seas s JOIN resid r ON r.event_type = s.event_type AND r.dow = s.dow
+    """,
+    tags=("temporal", "time-series", "seasonality", "decomposition"),
+)
+def seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily event counts —
+    the statsmodels `seasonal_decompose` recipe: trend = centered 7-day
+    moving average (only full windows), seasonal component = day-of-week
+    mean of the detrended series, residual variance per (series, dow).
+    The weekday-shaped traffic in the fixture makes the indices
+    non-trivial (weekend dips show as negative seasonal_idx).
+
+    Scale shape: one bounded daily rollup, one series-keyed centered
+    window, two bounded (type × 7) aggregations. DuckDB's dayofweek
+    (0=Sunday) is matched by Spark's dayofweek−1."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count("*").cast("double").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.when(F.count("*").over(w) == 7, F.avg("n").over(w)).alias("trend"),
+    )
+    detr = trended.filter(F.col("trend").isNotNull()).select(
+        "event_type",
+        (F.dayofweek("day") - 1).alias("dow"),
+        (F.col("n") - F.col("trend")).alias("d"),
+    )
+    seas = detr.groupBy("event_type", "dow").agg(
+        F.count("*").alias("n_days"), F.avg("d").alias("s")
+    )
+    resid = (
+        detr.join(F.broadcast(seas.select("event_type", "dow", "s")), ["event_type", "dow"])
+        .groupBy("event_type", "dow")
+        .agg(F.var_samp(F.col("d") - F.col("s")).alias("rv"))
+    )
+    return seas.join(resid, ["event_type", "dow"]).select(
+        "event_type",
+        F.col("dow").cast("int").alias("day_of_week"),
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round("s", 6).alias("seasonal_idx"),
+        F.round("rv", 6).alias("residual_variance"),
+    )
