@@ -59,6 +59,7 @@ _PRIORITY = (
     "bloom_decontamination",  # r6: broadcast-Bloom contamination scan
     "rolling_correlation",  # r6: rolling bivariate Pearson (6 shared-frame sums)
     "seasonal_decomposition",  # r6: classical additive trend/seasonal/residual
+    "leiden_refined_communities",  # r6: Leiden refinement phase (algorithm=4 analog)
     # -- last driver-green in round 1 (23 queries)
     "support_filter",
     "binned_agg",

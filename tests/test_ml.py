@@ -526,3 +526,40 @@ def test_classifier_scoring_survives_observation_state(spark, sf_dir):
     reg["louvain_communities"].fn(spark, sf_dir).collect()  # uses observe()
     rows = reg["quality_classifier_filter"].fn(spark, sf_dir).collect()
     assert rows and rows[0]["accuracy"] == 1.0
+
+
+def test_refine_partition_is_subpartition(spark):
+    """The structural guarantee the Leiden refinement phase keeps even in
+    the greedy deterministic variant: the refined assignment is a true
+    SUBPARTITION of the coarse one (every refined community lies inside
+    exactly one coarse community), and refinement never merges across a
+    coarse border even when the bridge makes the cross merge
+    positive-gain (w=2: gain(3→{10}) = 2/28 − 25/784 > 0, so
+    unconstrained local moving WOULD take it — the same-parent
+    constraint must forbid it). Graph: two 4-cliques + the bridge,
+    coarse labels keeping the cliques apart."""
+    import itertools
+
+    from utils_spark.operators.ml import refine_partition
+
+    edges = [(a, b, 1.0) for a, b in itertools.combinations([0, 1, 2, 3], 2)]
+    edges += [(a, b, 1.0) for a, b in itertools.combinations([10, 11, 12, 13], 2)]
+    edges += [(3, 10, 2.0)]  # cross-tempting bridge: must NOT be crossed
+    e = spark.createDataFrame(edges, ["u", "v", "w"])
+    coarse = spark.createDataFrame(
+        [(n, 0) for n in [0, 1, 2, 3]] + [(n, 10) for n in [10, 11, 12, 13]],
+        ["node", "community"],
+    )
+    ref = refine_partition(e, coarse, weight_col="w")
+    got = {r.node: r.community for r in ref.collect()}
+    # subpartition: refined community of any node maps to ONE coarse side
+    coarse_of = {n: (0 if n < 10 else 10) for n in got}
+    by_ref = {}
+    for n, rc in got.items():
+        by_ref.setdefault(rc, set()).add(coarse_of[n])
+    assert all(len(sides) == 1 for sides in by_ref.values()), by_ref
+    # within each clique the singleton-origin merges rebuild the clique
+    # (exact label depends on merge order; one community per clique)
+    left = {got[n] for n in [0, 1, 2, 3]}
+    right = {got[n] for n in [10, 11, 12, 13]}
+    assert len(left) == 1 and len(right) == 1 and left != right, (left, right)

@@ -1368,3 +1368,161 @@ def triangle_enumerate(edges: DataFrame) -> DataFrame:
     wedges = w1.join(w2, "u").filter(F.col("v") < F.col("w"))
     closer = e.select(F.col("a").alias("v"), F.col("b").alias("w"))
     return wedges.join(closer, ["v", "w"]).select("u", "v", "w")
+
+
+def refine_partition(
+    edges: DataFrame,
+    assignment: DataFrame,
+    weight_col: str | None = None,
+    resolution: float = 1.0,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Leiden-style REFINEMENT phase (Traag, Waltman & van Eck 2019,
+    "From Louvain to Leiden") over a coarse community assignment: within
+    each coarse community, re-grow subcommunities from SINGLETONS by
+    constrained local moving — a node may only join subcommunities of
+    neighbors in its OWN coarse community, and only while it still sits
+    in a singleton subcommunity (each node merges at most once per
+    refinement, exactly the paper's constraint that prevents the
+    ill-connected "bridge node drags a community together" artifact of
+    plain Louvain). Greedy deterministic variant: argmax modularity gain
+    with (gain desc, id asc) tie-break instead of the paper's randomized
+    proportional acceptance, and without the γ-connectivity admission
+    test — both simplifications documented; the structural guarantee
+    kept is that the output is a true SUBPARTITION of the input (every
+    refined community lies inside one coarse community).
+
+    Scale shape: identical aggregate-message sweeps to
+    ``louvain_communities`` (one edge⋈assignment join + two bounded aggs
+    per sweep, observe()-fused convergence, lineage cut per sweep) plus
+    one broadcast-size join against the subcommunity-size table for the
+    singleton-origin gate. Returns (node, community) with refined ids.
+    """
+    from pyspark.sql import Observation
+
+    from utils_spark.plans import scaled_shuffle_partitions
+
+    spark = edges.sparkSession
+    und = cut_lineage(_symmetrize(edges, weight_col))
+    n_edges = und.count()
+    parent = assignment.select(
+        F.col("node").cast("long").alias("node"), F.col("community").alias("pc")
+    )
+    with scaled_shuffle_partitions(spark, n_edges, 100_000):
+        obs_deg = Observation("refine_deg")
+        deg = cut_lineage(
+            und.groupBy("u")
+            .agg(F.sum("w").alias("k"))
+            .observe(obs_deg, F.sum("k").alias("m2"))
+        )
+        m2 = float(obs_deg.get["m2"] or 0.0)
+        if not m2:
+            return parent.select("node", F.col("node").alias("community"))
+        # parent labels restricted to nodes present in the graph
+        par = cut_lineage(
+            deg.select(F.col("u").alias("node")).join(parent, "node", "left").select(
+                "node", F.coalesce("pc", F.col("node")).alias("pc")
+            )
+        )
+        # same-parent edges only: refinement never crosses coarse borders
+        same = cut_lineage(
+            und.filter(F.col("u") != F.col("v"))
+            .join(par.select(F.col("node").alias("u"), F.col("pc").alias("pu")), "u")
+            .join(par.select(F.col("node").alias("v"), F.col("pc").alias("pv")), "v")
+            .filter(F.col("pu") == F.col("pv"))
+            .select("u", "v", "w")
+        )
+        ref = deg.select(F.col("u").alias("node"), F.col("u").alias("community"))
+        for it in range(max_iter):
+            sizes = ref.groupBy("community").agg(F.count("*").alias("sz"))
+            ctot = (
+                ref.join(deg.withColumnRenamed("u", "node"), "node")
+                .groupBy("community")
+                .agg(F.sum("k").alias("tot"))
+            )
+            nbr = (
+                same.join(
+                    ref.withColumnRenamed("node", "v").withColumnRenamed("community", "c"),
+                    "v",
+                )
+                .select("u", "c", F.col("w").alias("w_ic"))
+            )
+            own = ref.select(F.col("node").alias("u"), F.col("community").alias("c_own"))
+            stay = own.select("u", F.col("c_own").alias("c"), F.lit(0.0).alias("w_ic"))
+            cand = (
+                nbr.unionByName(stay)
+                .groupBy("u", "c")
+                .agg(F.sum("w_ic").alias("w_ic"))
+                .join(own, "u")
+            )
+            scored = (
+                cand.join(ctot.withColumnRenamed("community", "c"), "c")
+                .join(deg, "u")
+                .withColumn(
+                    "tot_excl",
+                    F.col("tot")
+                    - F.when(F.col("c") == F.col("c_own"), F.col("k")).otherwise(0.0),
+                )
+                .withColumn(
+                    "gain",
+                    F.col("w_ic") / m2
+                    - F.lit(resolution) * F.col("k") * F.col("tot_excl") / (m2 * m2),
+                )
+            )
+            wbest = Window.partitionBy("u").orderBy(F.desc("gain"), F.asc("c"))
+            best = (
+                scored.withColumn("__rn", F.row_number().over(wbest))
+                .filter(F.col("__rn") == 1)
+                .select(
+                    F.col("u").alias("node"),
+                    F.col("c").alias("c_best"),
+                    F.col("c_own"),
+                )
+            )
+            # singleton-origin gate: only nodes still alone may merge.
+            # Id-decreasing moves are always safe (labels bounded below);
+            # id-increasing moves take the main loop's parity gate — no
+            # cycle is possible anyway because a merged node stops being
+            # a singleton and freezes, but the gate keeps the sweep
+            # deterministic when two singletons want each other. Without
+            # the id-increasing branch the MIN node of a parent community
+            # could strand forever (every subcommunity label ≥ its own).
+            moved = (
+                best.join(
+                    F.broadcast(sizes.withColumnRenamed("community", "c_own")), "c_own"
+                )
+                .withColumn(
+                    "new_c",
+                    F.when(
+                        (F.col("sz") == 1)
+                        & (F.col("c_best") != F.col("c_own"))
+                        & (
+                            (F.col("c_best") < F.col("c_own"))
+                            | (F.pmod(F.xxhash64("node"), F.lit(2)) == F.lit(it % 2))
+                        ),
+                        F.col("c_best"),
+                    ).otherwise(F.col("c_own")),
+                )
+            )
+            obs_mv = Observation(f"refine_mv_{it}")
+            ref = cut_lineage(
+                moved.select(
+                    "node", F.col("new_c").alias("community"), "c_own", "c_best", "sz"
+                )
+                .observe(
+                    obs_mv,
+                    # converge on DESIRED singleton-origin moves, not
+                    # executed ones: a parity-blocked desire executes next
+                    # sweep, while non-singleton desires are frozen by
+                    # design and must not keep the loop alive
+                    F.sum(
+                        ((F.col("sz") == 1) & (F.col("c_best") != F.col("c_own"))).cast(
+                            "long"
+                        )
+                    ).alias("d"),
+                )
+                .select("node", "community")
+            )
+            if not obs_mv.get["d"]:
+                break
+    return ref

@@ -1487,3 +1487,71 @@ def triangle_count_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tri_sum").cast("long").alias("node_checksum"),
         )
         return cut_lineage(out)
+
+
+@register(
+    "leiden_refined_communities",
+    # the reference's FindClusters(algorithm=4) analog (Leiden): coarse
+    # Louvain local moving, then the Leiden REFINEMENT phase — re-grow
+    # subcommunities from singletons by constrained local moving inside
+    # each coarse community. On the planted disjoint 5-cliques the
+    # refinement must rebuild exactly the cliques (each clique's nodes
+    # merge back onto the min id), so the size histogram + member
+    # checksum keep the same provable oracle as louvain_communities.
+    oracle="""
+    WITH cl AS (SELECT vec_id, vec_id // 5 AS q FROM embeddings),
+    s AS (SELECT q, COUNT(*) AS sz, SUM(vec_id) AS cs FROM cl GROUP BY q)
+    SELECT CAST(sz AS BIGINT) AS size, CAST(COUNT(*) AS BIGINT) AS n_communities,
+           CAST(SUM(cs) AS BIGINT) AS checksum
+    FROM s GROUP BY sz
+    """,
+    tags=("composite", "M5", "ml", "leiden", "refinement"),
+)
+def leiden_refined_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leiden-style clustering (reference M5: R/wrapper.R:296-303
+    FindClusters algorithm 4 — Traag et al. 2019): Louvain local moving
+    for the coarse partition, then the refinement phase re-grows
+    subcommunities from singletons inside each coarse community
+    (singleton-origin constrained moves — the mechanism that prevents
+    Louvain's ill-connected merged communities). Greedy deterministic
+    variant (argmax gain, no γ-connectivity test — documented in
+    ``ml.refine_partition``); the guaranteed structural property —
+    refined is a true SUBPARTITION of coarse — is property-tested in
+    tests/test_ml.py. On the planted disjoint 5-cliques the refinement
+    provably rebuilds the cliques, keeping louvain_communities' exact
+    oracle."""
+    from utils_spark.operators.ml import (
+        knn_graph,
+        louvain_communities as louvain,
+        refine_partition,
+        snn_graph,
+    )
+    from utils_spark.plans import cut_lineage, scaled_shuffle_partitions
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    q = (F.col("vec_id") / 5).cast("long")
+    m = F.pmod(F.col("vec_id"), F.lit(5)).cast("double")
+    planted = e.select(
+        "vec_id",
+        F.array(
+            (F.pmod(q, F.lit(50)) * 10000.0 + m).cast("double"),
+            ((q / 50).cast("long") * 10000.0).cast("double"),
+            F.lit(0.0),
+            F.lit(0.0),
+        ).alias("vec"),
+    )
+    n_vec = planted.count()
+    with scaled_shuffle_partitions(spark, n_vec, 5_000):
+        edges = knn_graph(planted, "vec_id", "vec", k=4, bucket_length=250.0)
+        snn = snn_graph(edges, min_shared=1).withColumnRenamed("shared", "weight")
+        snn = cut_lineage(snn)
+        coarse = louvain(snn, planted, "vec_id", weight_col="weight", max_iter=10, levels=1)
+        refined = refine_partition(snn, coarse, weight_col="weight")
+        sizes = refined.groupBy("community").agg(
+            F.count("*").alias("size"), F.sum("node").alias("member_checksum")
+        )
+        out = sizes.groupBy("size").agg(
+            F.count("*").alias("n_communities"),
+            F.sum("member_checksum").cast("long").alias("checksum"),
+        )
+        return cut_lineage(out)
