@@ -60,6 +60,7 @@ _PRIORITY = (
     "rolling_correlation",  # r6: rolling bivariate Pearson (6 shared-frame sums)
     "seasonal_decomposition",  # r6: classical additive trend/seasonal/residual
     "leiden_refined_communities",  # r6: Leiden refinement phase (algorithm=4 analog)
+    "theil_sen_trend",  # r6: robust median-of-pairwise-slopes trend
     # -- last driver-green in round 1 (23 queries)
     "support_filter",
     "binned_agg",
