@@ -37,108 +37,63 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Least-verified-RECENTLY first: the driver samples a ~50-query prefix of
 # this dict (rows+schema+hash vs the DuckDB oracle -> CORRECTNESS_r{N}).
-# Round-6 rotation (VERDICT r5 "Next round #1"): driver evidence ages as
+# Round-7 rotation (VERDICT r6 "Next round #1"): driver evidence ages as
 # code is refactored underneath green queries, so the sample must re-prove
 # the queries whose latest driver-green round is OLDEST. Ordering below is
-# generated from CORRECTNESS_r01..r05.json: brand-new queries (never
-# driver-sampled) first, then last-green-in-r1, r2, r3, r4; the round-5
+# generated from CORRECTNESS_r01..r06.json: brand-new queries (never
+# driver-sampled) first, then last-green-in-r2 (26 queries — the
+# refactored dedup/minhash/cosine/ANN block leads, per the verdict), then
+# r3 (38, most-refactored ML/graph queries first), r4, r5; the round-6
 # block follows in registry order. Regenerate next round the same way.
 _PRIORITY = (
-    # -- tier 0: NEW in round 6 — never driver-sampled, need first proof
+    # -- tier 0: NEW in round 7 — never driver-sampled, need first proof
     # (names appended here as they land this round)
-    "bpe_training_rounds",  # r6: full iterative BPE training loop
-    "exact_substring_dedup",  # r6: suffix-array-style window-fingerprint dedup
-    "bpe_encoding_apply",  # r6: tokenizer apply side (vocab broadcast encode)
-    "pagerank_interactions",  # r6: iterative graph centrality (5-round oracle)
-    "ewma_anomaly_flags",  # r6: EWMA control-chart anomalies (planted spikes)
-    "customer_order_distribution",  # r6: Q13-shape left-outer double agg
-    "sole_late_supplier_counts",  # r6: Q21-shape EXISTS/NOT-EXISTS composite
-    "lm_trigram_backoff_filter",  # r6: held-out stupid-backoff trigram LM
-    "hard_negative_mining",  # r6: cross-label cosine top-k (contrastive data)
-    "triangle_count_knn",  # r6: exact triangle counting on the SNN graph
-    "bloom_decontamination",  # r6: broadcast-Bloom contamination scan
-    "rolling_correlation",  # r6: rolling bivariate Pearson (6 shared-frame sums)
-    "seasonal_decomposition",  # r6: classical additive trend/seasonal/residual
-    "leiden_refined_communities",  # r6: Leiden refinement phase (algorithm=4 analog)
-    "theil_sen_trend",  # r6: robust median-of-pairwise-slopes trend
-    # -- last driver-green in round 1 (23 queries)
-    "support_filter",
-    "binned_agg",
-    "grouping_sets_cube",
-    "pseudobulk_sum",
-    "ora_enrichment",
-    "projection_variants",
-    "per_column_quantiles",
-    "stage_tally",
-    "aligned_cbind",
-    "random_subset",
-    "sample_distances",
-    "ma_pairs",
-    "grouping_rollup",
-    "grouped_mode",
-    "atlas_loader_pipeline",
-    "qc_filter_pipeline",
-    "filter_project",
-    "conditional_expr",
-    "string_ops",
-    "pair_key_unite",
-    "make_unique_names",
-    "lookup_join",
-    "left_join_agg",
-    # -- last driver-green in round 2 (38 queries)
-    "term_semantic_clusters",
-    "mean_var_topk",
-    "semi_anti_join",
-    "union_distinct",
-    "set_difference",
-    "melt_unpivot",
-    "pivot_onehot",
-    "freq_ordered_levels",
-    "weighted_sample",
-    "group_entropy",
-    "mad_outliers",
-    "zscore_squish",
-    "ks_test",
-    "quantile_thresholds",
-    "variance_explained",
-    "log_normalize",
-    "grouped_regression",
-    "monthly_rollup",
-    "tumbling_window",
-    "json_extract",
-    "exact_dedup",
-    "ngram_jaccard_pairs",
+    "ann_ivf_pq",  # r7: IVF-PQ quantized ANN (asymmetric-distance top-k)
+    "unigram_lm_tokenizer",  # r7: unigram-LM (SentencePiece) EM trainer
+    "star_connected_components",  # r7: large-star/small-star O(log n) CC
+    "dedup_cluster_sizes_star",  # r7: star CC wired into the dup-graph path
+    # -- last driver-green in round 2 (26 queries; rewritten-underneath first)
+    "ngram_jaccard_pairs",  # REWRITTEN r6 (prefix filter) under r2-only evidence
     "minhash_lsh_pairs",
-    "dup_cluster_assignments",
-    "fuzzy_name_pairs",
-    "tfidf_top_terms",
     "cosine_topk",
     "ann_ivf_bucketed",
-    "rank_in_group",
-    "topk_per_group",
-    "top2_delta",
+    "dup_cluster_assignments",
+    "exact_dedup",
     "bh_adjust",
+    "sessionize",
     "stratified_sample",
+    "fuzzy_name_pairs",
+    "tfidf_top_terms",
+    "tumbling_window",
     "cumulative_frames",
     "lag_lead_delta",
-    "sessionize",
     "rolling_time_range",
+    "rank_in_group",
+    "top2_delta",
+    "topk_per_group",
     "equidepth_histogram",
-    # -- last driver-green in round 3 (38 queries)
-    "grouped_trend_fits",
-    "factor_decomposition",
-    "clustree_transitions",
-    "pseudotime_lineages",
+    "quantile_thresholds",
+    "grouped_regression",
+    "json_extract",
+    "monthly_rollup",
+    "log_normalize",
+    "ks_test",
+    "variance_explained",
+    # -- last driver-green in round 3 (38 queries; refactored ML/graph first)
     "louvain_communities",
     "knn_snn_lisi",
+    "pseudotime_lineages",
+    "clustree_transitions",
+    "factor_decomposition",
+    "grouped_trend_fits",
     "spline_exact_recovery",
     "pca_exact_recovery",
     "harmony_null_correction",
     "loess_exact_recovery",
-    "nth_event_snapshot",
-    "null_ordering",
     "multiway_join_revenue",
     "top_orders_by_revenue",
+    "nth_event_snapshot",
+    "null_ordering",
     "reorder_to_input",
     "sliding_window",
     "session_window_native",
@@ -198,7 +153,58 @@ _PRIORITY = (
     "vocab_coverage",
     "char_entropy_filter",
     "curation_pipeline",
-    # everything else (driver-green in r5) follows in registry order
+    # -- last driver-green in round 5 (50 queries)
+    "embedding_near_dup",
+    "sequence_packing",
+    "pii_scrub",
+    "cca_anchor_identity",
+    "cluster_blobs_certificate",
+    "harmony_shift_recovery",
+    "sweep_exact_recovery",
+    "approx_sketch_aggs",
+    "csv_roundtrip_scan",
+    "stream_tumbling_counts",
+    "stream_session_windows",
+    "dedup_keep_best",
+    "pca_embedding",
+    "spline_trend_fits",
+    "batch_correction",
+    "denoised_feature_selection",
+    "cluster_pipeline",
+    "pairwise_ks_one_sided",
+    "stream_session_windows_append",
+    "converter_roundtrip",
+    "quality_classifier_filter",
+    "stream_curation_funnel",
+    "strict_na_aggregation",
+    "bm25_retrieval",
+    "importance_weights_dsir",
+    "curated_export_roundtrip",
+    "cross_doc_ngram_duplication",
+    "stream_sliding_counts",
+    "lm_perplexity_filter",
+    "bpe_merge_candidates",
+    "semantic_dedup_keep",
+    "zorder_layout",
+    "jsonl_roundtrip_scan",
+    "incremental_dedup_batch",
+    "orc_roundtrip_scan",
+    "audio_energy_certificate",
+    "line_level_dedup",
+    "corpus_datasheet",
+    "late_shipment_priority_counts",
+    "priority_class_line_counts",
+    "top_revenue_supplier",
+    "important_part_values",
+    "image_stats_certificate",
+    "windowed_event_dedup",
+    "event_funnel_conversion",
+    "event_transition_matrix",
+    "k_anonymity_audit",
+    "event_pair_affinity",
+    "daily_ewma_smoothing",
+    "hourly_percentile_bands",
+    # everything else (driver-green in r6) follows in registry order
 )
 
 

@@ -97,6 +97,11 @@ def main() -> None:
     tracked = {name: time_query(name) for name in TRACKED_QUERIES}
 
     total = round(sum(timings.values()), 4)
+    # Stop Spark BEFORE the DuckDB baseline (ADVICE r6): measuring DuckDB
+    # with the full Spark JVM (heap + executor threads) still resident
+    # biased the 2x-gate denominator in Spark's favor and contradicted the
+    # idle-machine protocol. Both engines now see comparable machine state.
+    spark.stop()
     duck_total, duck_timings = _duckdb_baseline(registry, sf_dir)
     print(
         json.dumps(
@@ -116,13 +121,13 @@ def main() -> None:
             }
         )
     )
-    spark.stop()
 
 
 def _duckdb_baseline(registry, sf_dir: str) -> tuple[float, dict[str, float]]:
     """Min-of-2 DuckDB timings of the headline queries' oracle SQL on the
-    same parquet files — the brief's 2x gate denominator, measured in the
-    same session/machine state as the Spark numbers."""
+    same parquet files — the brief's 2x gate denominator, measured on the
+    same machine AFTER spark.stop() so neither engine sees the other's
+    resident footprint."""
     import duckdb
 
     from utils_spark.io import TABLES

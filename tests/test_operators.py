@@ -547,6 +547,75 @@ def test_bpe_train_matches_reference(spark):
     assert got == want, (got, want)
 
 
+def test_bpe_oracle_merge_identical_token_runs():
+    """The SQL oracle's merge step must be exactly greedy for l == r
+    identical-token runs (ADVICE r6): the old sentinel double-replace
+    gave 'aaaaa' -> [aa, a, aa] (a shifted, non-greedy first-pass match)
+    instead of the greedy [aa, aa, a], and 'aaaaaa' -> [aa, a, aa, a]
+    (even a different token COUNT) instead of [aa, aa, aa]. Run the
+    generated oracle in DuckDB on a run-heavy corpus and require the
+    merge table to match the sequential Sennrich reference — rounds past
+    the first only see the correct counts if every earlier fold merged
+    greedily, so this pins the fold itself, not just round 1."""
+    import duckdb
+
+    from utils_spark.queries.text import _bpe_train_oracle
+
+    texts = [
+        "aaaaa aaaaaa aaa aaaa",
+        "bbbb abab aabb aaaa",
+        "aaaaa aaaaa cc ccc cccc",
+    ]
+    want = _bpe_reference(texts, 8)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                + ", ".join(f"('{t}')" for t in texts) + ") t(text)")
+    got = [tuple(r) for r in con.execute(_bpe_train_oracle(8)).fetchall()]
+    con.close()
+    assert sorted(got) == sorted(want), (sorted(got), sorted(want))
+
+
+def test_ann_ivf_pq_recall(duck):
+    """PQ quantization must stay INFORMATIVE, not just hash-consistent:
+    for every query, the exact-L2 nearest neighbor must land in the ADC
+    top-100 of a ~500-vector corpus (random ordering would put it at
+    ~250 on average), with mean rank <= 60 — measured [1,1,8,13,15,16,
+    31,35,51,58] on the near-uniform fixture, where 64x compression
+    (8x4-bit codes per 64 dims) makes top-5 recall genuinely hard; the
+    paper's own metric is recall@R of NN1 (Jégou et al. 2011 §V). The
+    certificate runs on the DuckDB oracle formulation; the Spark side is
+    hash-identical to it via test_oracle_parity[ann_ivf_pq], so the
+    recall transfers."""
+    from collections import defaultdict
+
+    from utils_spark.queries.vector import _pq_oracle
+
+    full = duck.execute(_pq_oracle().replace("WHERE rn <= 5", "")).fetchall()
+    byq = defaultdict(list)
+    for q, n, d in full:
+        byq[q].append((d, n))
+    exact1 = dict(
+        duck.execute("""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+        d AS (SELECT q.query_id, v.vec_id AS nid,
+                list_sum(list_transform(range(1,65),
+                         i -> (q.qe[i]-v.e[i])*(q.qe[i]-v.e[i]))) AS dist
+              FROM q JOIN v ON v.vec_id <> q.query_id)
+        SELECT query_id, nid FROM
+          (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, nid) rn FROM d)
+        WHERE rn = 1
+        """).fetchall()
+    )
+    assert len(byq) == 10
+    ranks = []
+    for q, lst in byq.items():
+        lst.sort()
+        ranks.append([n for _, n in lst].index(exact1[q]) + 1)
+    assert max(ranks) <= 100, ranks
+    assert sum(ranks) / len(ranks) <= 60, ranks
+
+
 def test_substring_window_duplicates_reference(spark):
     """Window-fingerprint substring dedup vs a brute-force reference:
     docs sharing any W-token run with an earlier doc are flagged; shorter

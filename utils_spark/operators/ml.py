@@ -171,10 +171,21 @@ def label_propagation(
 
 def _symmetrize(edges: DataFrame, weight_col: str | None) -> DataFrame:
     """Undirected edge list → both-direction representation (u, v, w),
-    self-loops dropped. Each undirected edge appears exactly twice."""
+    self-loops and NONPOSITIVE-weight edges dropped. Each surviving
+    undirected edge appears exactly twice.
+
+    Zero-weight edges contribute nothing to node strengths, community
+    totals, or modularity, but their mere presence made the Louvain
+    convergence probes disagree (ADVICE r6): the fused sweep probe
+    counted only crossing edges with w_ic > 0 while the max_iter-bailout
+    ``limit(1)`` probe counted ANY crossing edge. Filtering them once
+    here makes every downstream consumer (modularity, louvain, leiden
+    refinement, label propagation) see the same edge set. Negative
+    weights are outside the modularity contract and are dropped with
+    them."""
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     e = edges.select(F.col("u").cast("long"), F.col("v").cast("long"), w.alias("w")).filter(
-        F.col("u") != F.col("v")
+        (F.col("u") != F.col("v")) & (F.col("w") > 0)
     )
     return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
 

@@ -118,7 +118,7 @@ def pairwise_ks_test(
     types = e.select(F.col("__g").alias("t")).distinct()
     pairs = (
         types.alias("x")
-        .join(types.alias("y"), F.col("x.t") < F.col("y.t"))
+        .join(F.broadcast(types.alias("y")), F.col("x.t") < F.col("y.t"))
         .select(F.col("x.t").alias("group_a"), F.col("y.t").alias("group_b"))
     )
     tagged = e.join(
@@ -191,9 +191,19 @@ def ewma_closed_form(
 
     Scale shape: two series-keyed windows + one bounded block-summary agg
     joined back broadcast-side. One shuffle on the series key.
+
+    Ordering contract (ADVICE r6): positions come from ``row_number`` over
+    ``order_col``, so duplicate order keys within a series would make the
+    EWMA (and the seed term) depend on partition-arrival order. The window
+    therefore orders by ``(order_col, value_col)`` — value as a
+    deterministic tie-break — which fixes the result whenever tied order
+    keys carry distinct values (and makes tied (order, value) rows
+    interchangeable in the weighted sums). For a fully deterministic
+    PER-ROW attribution the caller must supply an order key unique within
+    each series, as every current call site does (distinct days).
     """
     q = 1.0 - alpha
-    wt = Window.partitionBy(*series_cols).orderBy(order_col)
+    wt = Window.partitionBy(*series_cols).orderBy(order_col, value_col)
     idx = df.withColumn("_t", F.row_number().over(wt) - 1).withColumn(
         "_blk", (F.col("_t") / block).cast("int")
     )

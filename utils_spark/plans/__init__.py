@@ -44,6 +44,92 @@ def plan_summary(df: DataFrame) -> PlanSummary:
     )
 
 
+# Tables that are corpus/fact-sized at the 100 TB target (TESTDATA.md):
+# broadcasting an UNREDUCED scan of one of these is a scale defect even
+# when the local fixture is tiny. Dimension tables (region/nation/customer/
+# supplier/part) may broadcast freely.
+FACT_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
+
+_NULLCHECK_RE = re.compile(r"isnotnull\([^)]*\)|isnan\([^)]*\)|\bAND\b|\bOR\b|\bNOT\b|[()\s]")
+
+
+def _jlist(jseq):
+    return [jseq.apply(i) for i in range(jseq.size())]
+
+
+def _walk(node):
+    yield node
+    for child in _jlist(node.children()):
+        yield from _walk(child)
+
+
+def _is_reducing(node) -> bool:
+    """Does this physical node bound/shrink its input cardinality?
+
+    Aggregates, limits and top-k always do. A Filter counts only when its
+    condition has predicates beyond null/NaN checks — join-key
+    ``isnotnull`` residuals are planner noise, not a cardinality bound
+    (exactly the hole that let round 6's ``hard_negative_mining`` broadcast
+    a full-corpus projection whose only filter was ``isnotnull(vec_id)``).
+    """
+    name = node.nodeName()
+    if "Aggregate" in name or "Limit" in name or "TakeOrdered" in name:
+        return True
+    if name == "Filter":
+        cond = node.simpleString(1000)
+        cond = cond.split("Filter", 1)[1] if "Filter" in cond else cond
+        return _NULLCHECK_RE.sub("", cond) != ""
+    return False
+
+
+def _fact_scans(node) -> list[str]:
+    if node.children().size() == 0:
+        leaf = node.toString()
+        return [t for t in FACT_TABLES if f"{t}.parquet" in leaf or f"/{t}" in leaf]
+    return []
+
+
+def broadcast_audit(df: DataFrame) -> list[str]:
+    """Mechanical 100 TB broadcast contract over the STATIC physical plan.
+
+    Returns a list of human-readable violations (empty == clean):
+      * any ``CartesianProduct`` node (an unhinted cross join — at scale
+        that is corpus x corpus);
+      * any broadcast build side (including a BroadcastNestedLoopJoin's —
+        the 1-row scalar-stat and bounded-anchor-set patterns are fine)
+        that scans a FACT table (corpus-sized at the 100 TB target) with
+        no cardinality-reducing node in between — a multi-GB executor
+        copy at scale regardless of fixture size.
+
+    Run it under ``spark.sql.autoBroadcastJoinThreshold=-1`` so the only
+    broadcasts left in the plan are EXPLICIT hints (size-based
+    auto-broadcasts are fixture-scale artifacts AQE re-decides at runtime;
+    hints are design decisions that survive to the cluster).
+    """
+    # sparkPlan() is the static plan BEFORE EnsureRequirements runs, so it
+    # has no BroadcastExchange nodes yet — the broadcast decision lives on
+    # the join node itself (buildSide), which is what we inspect.
+    root = df._jdf.queryExecution().sparkPlan()  # type: ignore[attr-defined]
+    violations: list[str] = []
+    for node in _walk(root):
+        name = node.nodeName()
+        if "CartesianProduct" in name:
+            violations.append("CartesianProduct node in plan")
+        elif name.startswith("Broadcast") and "Join" in name:
+            children = _jlist(node.children())
+            if len(children) != 2:
+                continue
+            build = children[0] if "BuildLeft" in str(node.buildSide()) else children[1]
+            if not any(_is_reducing(n) for n in _walk(build)):
+                facts = sorted({t for n in _walk(build) for t in _fact_scans(n)})
+                if facts:
+                    violations.append(
+                        f"{name} build side scans fact table(s) {facts} with no "
+                        "cardinality-reducing node (filter/aggregate/limit) in between"
+                    )
+    return violations
+
+
 def cut_lineage(df: DataFrame) -> DataFrame:
     """``localCheckpoint`` + plan-statistics reset, for iterative algorithms.
 

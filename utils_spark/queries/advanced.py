@@ -314,7 +314,7 @@ def pairwise_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     types = e.select(F.col("event_type").alias("t")).distinct()
     pairs = (
         types.alias("x")
-        .join(types.alias("y"), F.col("x.t") < F.col("y.t"))
+        .join(F.broadcast(types.alias("y")), F.col("x.t") < F.col("y.t"))
         .select(F.col("x.t").alias("ta"), F.col("y.t").alias("tb"))
     )
     tagged = e.join(

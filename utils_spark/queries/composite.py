@@ -290,7 +290,7 @@ def factor_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 60).select("p_partkey")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey")
     r, c = F.col("p_partkey"), F.col("s_suppkey")
-    mat = p.crossJoin(s).select(
+    mat = F.broadcast(p).crossJoin(s).select(
         "p_partkey",
         "s_suppkey",
         (
@@ -838,7 +838,7 @@ def pca_exact_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         embedded.agg(F.count("*").alias("n_vecs"))
-        .crossJoin(pairs.agg(F.round(F.max(F.abs("err")), 6).alias("max_dist_err")))
+        .crossJoin(F.broadcast(pairs.agg(F.round(F.max(F.abs("err")), 6).alias("max_dist_err"))))
         .select(
             "n_vecs",
             F.lit(round(float(sum(ratios[:2])), 6)).alias("var_ratio_top2"),
@@ -992,8 +992,8 @@ def cca_anchor_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         base.agg(F.count("*").alias("n_cells"))
-        .crossJoin(ident.agg(F.count("*").alias("n_identity_anchors")))
-        .crossJoin(disp.agg(F.round(F.coalesce(F.max("d"), F.lit(0.0)), 6).alias("max_abs_disp")))
+        .crossJoin(F.broadcast(ident.agg(F.count("*").alias("n_identity_anchors"))))
+        .crossJoin(F.broadcast(disp.agg(F.round(F.coalesce(F.max("d"), F.lit(0.0)), 6).alias("max_abs_disp"))))
     )
 
 
@@ -1066,9 +1066,9 @@ def cluster_blobs_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("res_lo").alias("lo_clusters"),
             F.countDistinct("res_hi").alias("hi_clusters"),
         )
-        .crossJoin(edges.agg(F.count("*").alias("n_edges")))
-        .crossJoin(lo_pure)
-        .crossJoin(hi_pure)
+        .crossJoin(F.broadcast(edges.agg(F.count("*").alias("n_edges"))))
+        .crossJoin(F.broadcast(lo_pure))
+        .crossJoin(F.broadcast(hi_pure))
     )
 
 
@@ -1233,7 +1233,7 @@ def mds_exact_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         (d2 - _dist6(F.col("vec"), F.col("vec_n"))).alias("err")
     )
     return embedded.agg(F.count("*").alias("n_points")).crossJoin(
-        pairs.agg(F.round(F.max(F.abs("err")), 6).alias("max_dist_err"))
+        F.broadcast(pairs.agg(F.round(F.max(F.abs("err")), 6).alias("max_dist_err")))
     )
 
 

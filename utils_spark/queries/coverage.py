@@ -253,7 +253,7 @@ def sample_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a.mu") - F.col("b.mu")) * (F.col("a.mu") - F.col("b.mu"))
         + (F.col("a.sd") - F.col("b.sd")) * (F.col("a.sd") - F.col("b.sd"))
     )
-    return a.join(b, F.col("a.seg") < F.col("b.seg")).select(
+    return a.join(F.broadcast(b), F.col("a.seg") < F.col("b.seg")).select(
         F.col("a.seg").alias("seg_a"), F.col("b.seg").alias("seg_b"), F.round(dist, 6).alias("euclidean")
     )
 

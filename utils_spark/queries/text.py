@@ -526,7 +526,8 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = p.alias("a"), p.alias("b")
     return (
         a.join(
-            b,
+            # bounded key range → the probe side broadcasts explicitly
+            F.broadcast(b),
             (F.col("a.p_partkey") < F.col("b.p_partkey"))
             # cheap lower-bound prefilter before the O(len^2) kernel
             & (F.abs(F.col("a.ln") - F.col("b.ln")) <= 12),
@@ -1187,7 +1188,7 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = top.withColumn("rank", F.row_number().over(wrank))
     wcum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
-        ranked.crossJoin(total)
+        ranked.crossJoin(F.broadcast(total))
         .withColumn("cum_coverage", F.round(F.sum("cnt").over(wcum) / F.col("t"), 6))
         .select(
             F.col("rank").cast("long").alias("rank"),
@@ -1948,14 +1949,23 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_cte_parts(n_rounds: int) -> str:
     """Shared WITH-clause body for the BPE oracles (training + apply):
     words0..words{n} CTEs replaying every merge round. Tokens live in a
-    chr(31)-sentinel string ("\\x1ft1\\x1ft2\\x1f"); the merge is
-    ``replace()`` applied TWICE — a single non-overlapping left-to-right
-    pass can skip an occurrence only when the immediately preceding
-    occurrence consumed its leading sentinel, and such skipped
-    occurrences are never adjacent to each other, so the second pass
-    catches every one. That double-replace is exactly greedy BPE merge
-    semantics — an INDEPENDENT formulation from the Spark side's array
-    fold, so hash agreement checks the algebra of both."""
+    chr(31)-sentinel string ("\\x1ft1\\x1ft2\\x1f"); the merge is a TRUE
+    left fold (DuckDB ``list_reduce`` over the token list): append ``r``
+    to the accumulator when the accumulator's final token is exactly
+    ``l`` (suffix test on the sentinel join — tokens cannot contain the
+    sentinel, so ``ends_with(acc, chr(31)||l)`` identifies the final
+    token precisely) and the next token is ``r``; otherwise append the
+    token with a fresh sentinel. That fold IS greedy non-overlapping
+    left-to-right merging: a token produced by the round's merge is
+    ``l||r``, which can never equal ``l`` again (``r`` is non-empty), so
+    the fold can never re-merge within the pass. It remains an
+    INDEPENDENT formulation from the Spark side's array fold (different
+    engine, different accumulator representation), so hash agreement
+    still checks the algebra of both. (Round-7 fix: the previous
+    sentinel double-``replace()`` was NOT greedy for runs of >=5
+    identical tokens when l == r — 'aaaaa' gave [aa,a,aa] instead of
+    the greedy [aa,aa,a]; per-round ADVICE r6, pinned by
+    test_bpe_oracle_merge_identical_token_runs.)"""
     parts = [
         """
     WITH words0 AS (
@@ -1988,11 +1998,14 @@ def _bpe_cte_parts(n_rounds: int) -> str:
       ORDER BY cnt DESC, left_tok ASC, right_tok ASC LIMIT 1
     ),
     words{r} AS (
-      SELECT replace(replace(w.s,
-                             chr(31) || b.left_tok || chr(31) || b.right_tok || chr(31),
-                             chr(31) || b.left_tok || b.right_tok || chr(31)),
-                     chr(31) || b.left_tok || chr(31) || b.right_tok || chr(31),
-                     chr(31) || b.left_tok || b.right_tok || chr(31)) AS s,
+      SELECT chr(31) || list_reduce(
+               list_filter(string_split(w.s, chr(31)), x -> x <> ''),
+               (acc, x) -> CASE WHEN x = b.right_tok
+                                 AND (acc = b.left_tok
+                                      OR ends_with(acc, chr(31) || b.left_tok))
+                           THEN acc || x
+                           ELSE acc || chr(31) || x END
+             ) || chr(31) AS s,
              w.n
       FROM words{prev} w CROSS JOIN best{r} b
     )""")
