@@ -575,6 +575,93 @@ def test_bpe_oracle_merge_identical_token_runs():
     assert sorted(got) == sorted(want), (sorted(got), sorted(want))
 
 
+def _unigram_reference(texts):
+    """Pure-Python Viterbi-EM unigram trainer implementing the operator's
+    exact spec (seed, smallest-k tie-break, prune-in-M, single-char
+    floor) as the test oracle."""
+    import math
+    import re
+
+    from utils_spark.operators.textmodel import (
+        UNIGRAM_FLOOR,
+        UNIGRAM_MAXLEN,
+        UNIGRAM_MAXP,
+        UNIGRAM_N_MULTI,
+        UNIGRAM_ROUNDS,
+    )
+
+    words = {}
+    for t in texts:
+        for w in re.split(r"\s+", t.strip()):
+            if w and len(w) <= UNIGRAM_MAXLEN:
+                words[w] = words.get(w, 0) + 1
+    singles, multi = {}, {}
+    for w, n in words.items():
+        for ch in w:
+            singles[ch] = singles.get(ch, 0) + n
+        for k in range(2, UNIGRAM_MAXP + 1):
+            for i in range(k, len(w) + 1):
+                p = w[i - k : i]
+                multi[p] = multi.get(p, 0) + n
+    top = sorted(multi.items(), key=lambda kv: (-kv[1], kv[0]))[:UNIGRAM_N_MULTI]
+    vocab = dict(singles)
+    vocab.update(dict(top))
+    total = sum(vocab.values())
+    logp = {p: round(math.log(c / total), 6) for p, c in vocab.items()}
+    single_set = set(singles)
+    counts = {}
+    for _ in range(UNIGRAM_ROUNDS):
+        counts = {}
+        for w, n in words.items():
+            ln = len(w)
+            dp, kk = [0.0] + [None] * ln, [0] * (ln + 1)
+            for i in range(1, ln + 1):
+                best, bk = -1e9, 1
+                for k in range(1, min(UNIGRAM_MAXP, i) + 1):
+                    p = w[i - k : i]
+                    cand = dp[i - k] + logp[p] if p in logp else -1e9
+                    if cand > best:  # strict: first (smallest-k) max wins
+                        best, bk = cand, k
+                dp[i], kk[i] = best, bk
+            i = ln
+            while i > 0:
+                p = w[i - kk[i] : i]
+                counts[p] = counts.get(p, 0) + n
+                i -= kk[i]
+        nxt = {p: counts.get(p, 0) for p in single_set}
+        nxt.update({p: c for p, c in counts.items() if len(p) >= 2})
+        total = sum(nxt.values())
+        logp = {
+            p: (round(math.log(c / total), 6) if c > 0 else UNIGRAM_FLOOR)
+            for p, c in nxt.items()
+        }
+        counts = nxt
+    return sorted((p, c, logp[p]) for p, c in counts.items())
+
+
+def test_unigram_train_matches_reference(spark):
+    """The distributed unrolled-Viterbi EM trainer must reproduce the
+    sequential reference exactly — piece set, counts, scores — on a
+    corpus that exercises pruning (multi pieces losing all segments),
+    unused-single flooring, the smallest-k tie-break, and words at the
+    UNIGRAM_MAXLEN boundary (13-char word excluded)."""
+    from utils_spark.operators.textmodel import unigram_train
+
+    texts = [
+        "the cat sat on the mat the bat",
+        "banana bandana cabana aaaaa",
+        "low lower lowest lowering",
+        "internationalization is excluded",  # 20-char word drops out
+        "abcabcabc xyxyxy zzzz",
+    ]
+    want = _unigram_reference(texts)
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["id", "text"])
+    got = sorted(
+        (r.piece, r.piece_count, r.score) for r in unigram_train(df, "text").collect()
+    )
+    assert got == want, (got[:10], want[:10])
+
+
 def test_ann_ivf_pq_recall(duck):
     """PQ quantization must stay INFORMATIVE, not just hash-consistent:
     for every query, the exact-L2 nearest neighbor must land in the ADC

@@ -202,6 +202,168 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 8, return_vocab: boo
     return merges_df
 
 
+# --- Unigram-LM tokenizer (Kudo 2018, SentencePiece's default) -------------
+
+UNIGRAM_MAXLEN = 12  # words longer than this are excluded from training
+UNIGRAM_MAXP = 4  # max piece length
+UNIGRAM_N_MULTI = 60  # multi-char seed pieces kept (by weighted frequency)
+UNIGRAM_ROUNDS = 2  # Viterbi-EM rounds
+UNIGRAM_FLOOR = -20.0  # log-prob floor for kept-but-unused single chars
+
+
+def _unigram_words(df: DataFrame, text_col: str) -> DataFrame:
+    """(w, n) word-frequency table bounded to trainable words."""
+    return (
+        df.select(F.explode(word_tokens(text_col)).alias("w"))
+        .filter(F.length("w") <= UNIGRAM_MAXLEN)
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _unigram_seed(words: DataFrame) -> DataFrame:
+    """Seed vocabulary: every single character (coverage guarantee) plus
+    the top ``UNIGRAM_N_MULTI`` substrings of length 2..UNIGRAM_MAXP by
+    occurrence-weighted frequency (cnt desc, piece asc — deterministic).
+    Returns (piece, cnt, logp) with logp = round(ln(cnt/total), 6)
+    normalized over the SELECTED pieces."""
+    singles = (
+        words.select(
+            "n",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w")),
+                    lambda i: F.col("w").substr(i, F.lit(1)),
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("n").alias("cnt"))
+    )
+    multi_cand = F.flatten(
+        F.transform(
+            F.sequence(F.lit(2), F.lit(UNIGRAM_MAXP)),
+            lambda k: F.transform(
+                F.when(F.length("w") >= k, F.sequence(k, F.length("w"))).otherwise(
+                    F.expr("array()").cast("array<int>")
+                ),
+                lambda i: F.col("w").substr(i - k + 1, k),
+            ),
+        )
+    )
+    multi = (
+        words.select("n", F.explode(multi_cand).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("n").alias("cnt"))
+    )
+    # (cnt desc, piece asc) is a total order → limit() is deterministic and
+    # plans as a distributed TakeOrderedAndProject, never a one-task sort
+    multi_top = multi.orderBy(F.desc("cnt"), F.asc("piece")).limit(UNIGRAM_N_MULTI)
+    vocab = singles.unionByName(multi_top)
+    total = vocab.agg(F.sum("cnt").cast("double").alias("__t"))
+    return vocab.crossJoin(F.broadcast(total)).select(
+        "piece", "cnt", F.round(F.log(F.col("cnt") / F.col("__t")), 6).alias("logp")
+    )
+
+
+def _viterbi_segments(words: DataFrame, vocab: DataFrame) -> DataFrame:
+    """E-step: per word, the max-log-prob segmentation under the current
+    piece table, as an UNROLLED relational Viterbi — dp/backpointer
+    columns for positions 1..UNIGRAM_MAXLEN (forward), then on-path flags
+    (backward), then the chosen pieces. Pure chained projections (no
+    lateral column aliases — see the engine-parity pitfall), identical in
+    shape to the generated SQL oracle. Tie-break: smallest piece length.
+    Returns (piece, n) rows — one per use of a piece in a best path."""
+    NEG = F.lit(-1.0e9)
+    vmap = vocab.agg(
+        F.map_from_entries(F.collect_list(F.struct("piece", "logp"))).alias("__m")
+    )
+    cur = words.crossJoin(F.broadcast(vmap)).withColumn("dp_0", F.lit(0.0))
+    for i in range(1, UNIGRAM_MAXLEN + 1):
+        cands = []
+        for k in range(1, min(UNIGRAM_MAXP, i) + 1):
+            lp = F.element_at("__m", F.col("w").substr(i - k + 1, k))
+            cands.append(
+                F.when(
+                    F.length("w") >= i, F.coalesce(F.col(f"dp_{i - k}") + lp, NEG)
+                ).otherwise(NEG)
+            )
+        cur = cur.withColumn(f"dp_{i}", F.greatest(*cands) if len(cands) > 1 else cands[0])
+        # first matching WHEN wins → smallest piece length breaks ties
+        kc = None
+        for k in range(1, len(cands) + 1):
+            cond = cands[k - 1] == F.col(f"dp_{i}")
+            kc = F.when(cond, k) if kc is None else kc.when(cond, k)
+        cur = cur.withColumn(f"k_{i}", kc.otherwise(1))
+    for i in range(UNIGRAM_MAXLEN, 0, -1):
+        on = F.length("w") == i
+        for k in range(1, UNIGRAM_MAXP + 1):
+            if i + k <= UNIGRAM_MAXLEN:
+                on = on | (F.col(f"on_{i + k}") & (F.col(f"k_{i + k}") == k))
+        cur = cur.withColumn(f"on_{i}", on)
+    piece_at = []
+    for i in range(1, UNIGRAM_MAXLEN + 1):
+        sub = F.lit(None).cast("string")
+        for k in range(1, min(UNIGRAM_MAXP, i) + 1):
+            sub = F.when(F.col(f"k_{i}") == k, F.col("w").substr(i - k + 1, k)).otherwise(sub)
+        piece_at.append(F.when((F.length("w") >= i) & F.col(f"on_{i}"), sub))
+    return cur.select(
+        "n",
+        F.explode(F.filter(F.array(*piece_at), lambda x: x.isNotNull())).alias("piece"),
+    )
+
+
+def unigram_train(df: DataFrame, text_col: str) -> DataFrame:
+    """Unigram-LM tokenizer training (Kudo 2018, "Subword regularization"
+    — the SentencePiece default), hard-EM (Viterbi) variant: seed a piece
+    vocabulary from frequent substrings, then alternate (E) Viterbi-best
+    segmentation of every word under the current piece log-probs with
+    (M) piece-probability re-estimation from the segmentation counts.
+    Multi-char pieces that win no segment are PRUNED each M-step (the
+    vocabulary-shrinking step of the published algorithm, merged into
+    M); single characters are never pruned (coverage guarantee) and
+    floor at logp = -20 when unused. Documented simplifications vs the
+    paper: hard (Viterbi) EM instead of forward-backward expected
+    counts, and frequency-based seeding instead of ESA — both standard
+    engineering reductions; the DP, tie-breaks (smallest piece length),
+    and rounding are engine-exact so the trainer has a full SQL twin.
+
+    Scale shape (the `bpe_train` recipe): one corpus-sized shuffle
+    builds the word-frequency table; every EM round after is
+    O(vocab-bounded words × UNIGRAM_MAXLEN × UNIGRAM_MAXP) — the piece
+    table broadcasts as a 1-row map (≤ singles + 60 entries), the
+    Viterbi is ~90 chained JVM column expressions (no UDF, no driver
+    loop over words), and the M-step is one bounded piece aggregation.
+    Vocab lineage is cut per round.
+
+    Returns the final piece table (piece, piece_count, score), the
+    artifact a unigram tokenizer ships."""
+    from utils_spark.plans import cut_lineage
+
+    words = cut_lineage(_unigram_words(df, text_col))
+    vocab = _unigram_seed(words)
+    singles = vocab.filter(F.length("piece") == 1).select("piece")
+    for _round in range(UNIGRAM_ROUNDS):
+        vocab = cut_lineage(vocab)
+        counts = _viterbi_segments(words, vocab).groupBy("piece").agg(F.sum("n").alias("cnt"))
+        kept_singles = singles.join(counts, "piece", "left").select(
+            "piece", F.coalesce("cnt", F.lit(0)).alias("cnt")
+        )
+        kept_multi = counts.filter(F.length("piece") >= 2)
+        nxt = kept_singles.unionByName(kept_multi)
+        total = nxt.agg(F.sum("cnt").cast("double").alias("__t"))
+        vocab = nxt.crossJoin(F.broadcast(total)).select(
+            "piece",
+            "cnt",
+            F.when(
+                F.col("cnt") > 0, F.round(F.log(F.col("cnt") / F.col("__t")), 6)
+            ).otherwise(F.lit(UNIGRAM_FLOOR)).alias("logp"),
+        )
+    return vocab.select(
+        "piece", F.col("cnt").cast("long").alias("piece_count"), F.col("logp").alias("score")
+    )
+
+
 def _trigram_structs(toks_col: str):
     """array<struct<w1,w2,w3>> of adjacent token triples (empty for <3)."""
     idx = F.when(
