@@ -51,7 +51,8 @@ _PRIORITY = (
     "ann_ivf_pq",  # r7: IVF-PQ quantized ANN (asymmetric-distance top-k)
     "unigram_lm_tokenizer",  # r7: unigram-LM (SentencePiece) EM trainer
     "star_connected_components",  # r7: large-star/small-star O(log n) CC
-    "dedup_cluster_sizes_star",  # r7: star CC wired into the dup-graph path
+    # (dup_cluster_assignments, in the r2 block below, re-certifies the
+    # swapped star CC on the real LSH dup graph this round)
     # -- last driver-green in round 2 (26 queries; rewritten-underneath first)
     "ngram_jaccard_pairs",  # REWRITTEN r6 (prefix filter) under r2-only evidence
     "minhash_lsh_pairs",

@@ -1490,6 +1490,63 @@ def triangle_count_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "star_connected_components",
+    # alternating large-star/small-star connected components (Kiveris et
+    # al. 2014) on a PLANTED long-chain graph: vec_ids chained i—i+1
+    # inside blocks of 50, so every component is a path of diameter 49 —
+    # the exact shape O(diameter) min-label propagation handles worst
+    # (it would need ~49 rounds; the star algorithm needs ~7). The true
+    # partition is provable arithmetic: component of id = 50·(id div 50).
+    oracle="""
+    SELECT CAST(50 * (vec_id // 50) AS BIGINT) AS component,
+           CAST(COUNT(*) AS BIGINT) AS size,
+           CAST(SUM(vec_id) AS BIGINT) AS member_checksum
+    FROM embeddings GROUP BY 1
+    """,
+    tags=("composite", "graph", "connected-components", "dedup-support"),
+)
+def star_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(log n)-round connected components (large-star/small-star,
+    Kiveris et al. 2014) certified on planted diameter-49 path
+    components — the chain-shaped duplicate-graph case (A~B~C~... drift)
+    that made the previous O(diameter) min-label propagation unsafe at
+    100 TB. `duplicate_clusters` (and through it every dedup keep-policy
+    query) now runs this algorithm; this query pins the long-chain
+    behavior with an arithmetic ground-truth oracle, while
+    `dup_cluster_assignments` / `semantic_dedup_keep` keep their
+    recursive-CTE oracles over the real LSH dup graphs.
+
+    Scale shape: each round is two bounded groupBy/join shuffles over
+    the current edge set + a limit(1) stability probe; round count is
+    logarithmic in component size on ANY graph shape."""
+    from utils_spark.operators.dedup import connected_components_star
+    from utils_spark.plans import scaled_shuffle_partitions
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("u")
+    )
+    nxt = e.select(F.col("u").alias("v"))
+    edges = (
+        e.withColumn("v", F.col("u") + 1)
+        .join(nxt, "v")  # keep chain edges whose successor exists
+        .filter(F.floor(F.col("u") / 50) == F.floor(F.col("v") / 50))
+    )
+    n_nodes = e.count()
+    with scaled_shuffle_partitions(spark, n_nodes, 5_000):
+        cc = connected_components_star(edges, "u", "v")
+        labeled = e.join(
+            cc.withColumnRenamed("key", "u"), "u", "left"
+        ).select("u", F.coalesce("component", F.col("u")).alias("component"))
+        out = labeled.groupBy("component").agg(
+            F.count("*").cast("long").alias("size"),
+            F.sum("u").cast("long").alias("member_checksum"),
+        )
+        from utils_spark.plans import cut_lineage
+
+        return cut_lineage(out)
+
+
+@register(
     "leiden_refined_communities",
     # the reference's FindClusters(algorithm=4) analog (Leiden): coarse
     # Louvain local moving, then the Leiden REFINEMENT phase — re-grow
