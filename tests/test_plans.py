@@ -150,17 +150,16 @@ def test_louvain_job_count_bounded(spark, sf_dir):
         sc.setJobGroup(None, None)
     tracker = sc.statusTracker()
     n_jobs = len(tracker.getJobIdsForGroup(group))
-    # AQE submits every shuffle stage as its own job, so the count is high
-    # but deterministic FOR A GIVEN SPARK VERSION: baseline 59 measured on
-    # Spark 4.1.2 after the round-6 observation fusion (m2/convergence/
-    # crossing probes ride the checkpoint jobs as observe() metrics) and
-    # the identity-assignment sweep-1 specialization (was 77 in round 5,
-    # 151 in round 4). AQE's stage-as-job accounting
-    # shifts across minor versions, so the bound is deliberately coarse:
-    # losing the id-decreasing fast path or the desired-move early-stop
-    # adds back 3+ sweeps (~40+ stage-jobs), which this still catches with
-    # room for accounting drift.
-    assert 0 < n_jobs <= 100, f"louvain ran {n_jobs} jobs — early-stop or lineage regression?"
+    # Baseline 23 jobs measured on Spark 4.1.2 after the round-7 loop
+    # rework: AQE disabled inside the measured-size-guarded sweep loop
+    # (no stage-as-job accounting there), 2m measured once on the edge
+    # count (contraction preserves it — the per-level deg-observe job is
+    # gone), and the mapping checkpoint skipped on the converged path
+    # (was 59 in round 6, 77 in round 5, 151 in round 4). The bound
+    # keeps room for version/accounting drift while still catching a
+    # lost early-stop (3+ extra sweeps ≈ +10 jobs) or a lineage
+    # regression.
+    assert 0 < n_jobs <= 60, f"louvain ran {n_jobs} jobs — early-stop or lineage regression?"
 
 
 def test_dedup_keep_best_no_raw_gram_join(spark, sf_dir):

@@ -95,26 +95,92 @@ def knn_graph(
     num_hash_tables: int = 3,
     max_distance: float = float("inf"),
 ) -> DataFrame:
-    """Approximate KNN edge list via BucketedRandomProjectionLSH (reference
-    M4: R/wrapper.R:294 FindNeighbors): (src, dst, dist), ≤k neighbors per
-    src. LSH bounds candidate pairs (vs. O(n²) crossJoin); tune
-    bucket_length/num_hash_tables for recall-vs-cost."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    """Approximate KNN edge list via bucketed-random-projection LSH
+    (reference M4: R/wrapper.R:294 FindNeighbors): (src, dst, dist), ≤k
+    neighbors per src. LSH bounds candidate pairs (vs. O(n²) crossJoin);
+    tune bucket_length/num_hash_tables for recall-vs-cost.
 
+    The hash family is MLlib's BucketedRandomProjectionLSH — the seeded
+    random unit vectors come from the (cached, data-independent) fitted
+    model, so buckets and therefore the candidate-pair set are IDENTICAL
+    to ``model.approxSimilarityJoin`` — but the banded join itself is
+    native DataFrame ops: per-table hash ``floor(<v,u_j>/L)``, explode →
+    (table, bucket) equi-join → per-pair min (dups across tables
+    collapse; distance is identical per dup) → two-stage top-k. Flatter
+    plan than the MLlib wrapper (one explode instead of its
+    dataset-tagging union machinery), pure JVM expressions end to end."""
     work = _to_vector_col(df, array_col, "__feat").select(F.col(key_col).alias("__key"), "__feat")
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="__feat", outputCol="__hashes", bucketLength=bucket_length, numHashTables=num_hash_tables, seed=290
+    model = _fitted_brp_lsh(work, bucket_length, num_hash_tables)
+    jvecs = model._java_obj.randUnitVectors()  # type: ignore[attr-defined]
+    units = [[float(x) for x in v.toArray()] for v in jvecs]  # scala Array → py4j JavaArray
+    pts = df.select(
+        F.col(key_col).alias("__key"), F.col(array_col).cast("array<double>").alias("__v")
     )
-    model = lsh.fit(work)
-    pairs = (
-        model.approxSimilarityJoin(work, work, max_distance, distCol="dist")
-        .filter(F.col("datasetA.__key") != F.col("datasetB.__key"))
-        .select(
-            F.col("datasetA.__key").alias("src"), F.col("datasetB.__key").alias("dst"), "dist"
+    hash_exprs = [
+        F.floor(
+            F.aggregate(
+                F.zip_with(
+                    F.col("__v"),
+                    F.array(*[F.lit(x) for x in u]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.lit(float(bucket_length))
+        ).cast("long")
+        for u in units
+    ]
+    hashed = pts.select(
+        "__key", "__v", F.posexplode(F.array(*hash_exprs)).alias("__ht", "__hv")
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("a.__v"), F.col("b.__v"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
+    )
+    pairs = (
+        hashed.alias("a")
+        .join(hashed.alias("b"), ["__ht", "__hv"])
+        .filter(F.col("a.__key") != F.col("b.__key"))
+        .select(F.col("a.__key").alias("src"), F.col("b.__key").alias("dst"), dist.alias("dist"))
+        .filter(F.col("dist") <= max_distance)
+        .groupBy("src", "dst")
+        .agg(F.min("dist").alias("dist"))
     )
     w = Window.partitionBy("src").orderBy(F.asc("dist"), F.asc("dst"))
     return pairs.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop("__rn")
+
+
+# BucketedRandomProjectionLSH.fit is DATA-INDEPENDENT given the seed and
+# the input dimensionality: it only draws the seeded random unit
+# projection vectors (no statistics of the data enter the model). The
+# fitted model is therefore cacheable per (dim, bucket_length,
+# num_hash_tables, seed) for the whole session — repeated graph builds
+# (bench min-of-2, the lisi/triangle/louvain queries sharing one layout)
+# skip the fit job; the cache key's dim probe is a single narrow head().
+_BRP_LSH_CACHE: dict = {}
+
+
+def _fitted_brp_lsh(work: DataFrame, bucket_length: float, num_hash_tables: int, seed: int = 290):
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+
+    head = work.select("__feat").head()
+    dim = len(head[0]) if head is not None else 0
+    key = (dim, bucket_length, num_hash_tables, seed)
+    model = _BRP_LSH_CACHE.get(key)
+    if model is None:
+        model = BucketedRandomProjectionLSH(
+            inputCol="__feat",
+            outputCol="__hashes",
+            bucketLength=bucket_length,
+            numHashTables=num_hash_tables,
+            seed=seed,
+        ).fit(work)
+        _BRP_LSH_CACHE[key] = model
+    return model
 
 
 def snn_graph(knn_edges: DataFrame, min_shared: int = 1) -> DataFrame:
@@ -264,48 +330,66 @@ def louvain_communities(
     from pyspark.sql import Observation
 
     spark = edges.sparkSession
-    und = cut_lineage(_symmetrize(edges, weight_col))
+    # 2m rides the mandatory edge-count job as an observe() metric; graph
+    # contraction preserves total weight (intra-community weight becomes
+    # self-loops), so ONE measurement serves every level — the per-level
+    # degree-checkpoint job that used to carry it is gone.
+    obs_m2 = Observation("louvain_m2")
+    und = cut_lineage(_symmetrize(edges, weight_col)).observe(
+        obs_m2, F.sum("w").alias("m2")
+    )
     base = nodes.select(F.col(key_col).cast("long").alias("node")).distinct()
     # node → final community, composed across levels
     mapping = base.select("node", F.col("node").alias("community"))
 
     # Iterative sweeps shuffle the same bounded graph dozens of times; size
     # their parallelism from the MEASURED edge count (no-op at 100 TB —
-    # see plans.scaled_shuffle_partitions).
+    # see plans.scaled_shuffle_partitions). AQE is disabled inside the
+    # loop: partitions are already sized from the measured graph, and
+    # AQE's stage-as-job submission added ~15 scheduler round-trips per
+    # run on an already-2-partition plan (measured ~0.7 s at sf0.1) while
+    # having nothing left to re-optimize; restored on exit either way.
     from utils_spark.plans import scaled_shuffle_partitions
 
     n_edges = und.count()
-    with scaled_shuffle_partitions(spark, n_edges, 100_000):
-        mapping = _louvain_levels(und, mapping, resolution, max_iter, levels)
+    m2_val = obs_m2.get["m2"]
+    if not m2_val:
+        return mapping
+    from utils_spark.plans import interpreted_execution
+
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        with scaled_shuffle_partitions(spark, n_edges, 100_000), interpreted_execution(
+            spark, n_edges
+        ):
+            mapping = _louvain_levels(und, mapping, float(m2_val), resolution, max_iter, levels)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     return mapping
 
 
 def _louvain_levels(
     und: DataFrame,
     mapping: DataFrame,
+    m2: float,
     resolution: float,
     max_iter: int,
     levels: int,
 ) -> DataFrame:
     """Level/sweep loop of ``louvain_communities`` (split out so the
-    shuffle-parallelism guard wraps it with try/finally)."""
+    shuffle-parallelism and AQE guards wrap it with try/finally). ``m2``
+    (total directed weight = 2m) is measured once by the caller —
+    contraction preserves it exactly."""
     from pyspark.sql import Observation
 
     for level in range(levels):
-        # deg is read twice per sweep (ctot + scored); checkpoint it once per
-        # level so every sweep reads materialized partitions instead of
-        # re-shuffling the edge list. 2m = Σk rides along as an observe()
-        # metric, collected DURING the checkpoint job — no separate agg job.
-        obs_deg = Observation(f"louvain_deg_l{level}")
-        deg = cut_lineage(
-            und.groupBy("u")
-            .agg(F.sum("w").alias("k"))
-            .observe(obs_deg, F.sum("k").alias("m2"), F.count(F.lit(1)).alias("n"))
-        )
-        m2_row = obs_deg.get["m2"]
-        if not m2_row:
-            break
-        m2 = float(m2_row)
+        # deg is read 2-3x per sweep (ctot + scored + stay); checkpoint it
+        # once per level so every sweep's plan references a flat
+        # LogicalRDD instead of re-analyzing the aggregation subplan
+        # 3x per sweep (measured: cache() kept execution cheap but paid
+        # more in driver-side planning than the one checkpoint job costs)
+        deg = cut_lineage(und.groupBy("u").agg(F.sum("w").alias("k")))
         # every node with an edge appears in deg — reuse it as the node set
         # (isolated super-nodes keep strength 0 and never move anyway)
         asg = deg.select(F.col("u").alias("node"), F.col("u").alias("community"))
@@ -438,14 +522,16 @@ def _louvain_levels(
             .select("node", F.coalesce("__c2", "community").alias("community"))
         )
         if level + 1 < levels:
-            mapping = cut_lineage(mapping)
             # Blondel phase-2 termination, checked BEFORE paying the
-            # contraction: if no edge crosses communities at the fixed
-            # point, the quotient graph is all self-loops and further
-            # levels cannot move anything. When the sweeps converged, the
-            # final sweep's has_cross metric already answered this (free);
-            # only a max_iter bailout (asg moved past the last sweep's
-            # evidence) pays the explicit limit(1) probe.
+            # contraction OR the mapping checkpoint: if no edge crosses
+            # communities at the fixed point, the quotient graph is all
+            # self-loops and further levels cannot move anything — return
+            # the lazily-composed mapping and let the consumer's action
+            # materialize it (the eager checkpoint used to cost a job on
+            # exactly the converged path). When the sweeps converged, the
+            # final sweep's has_cross metric already answered the probe
+            # (free); only a max_iter bailout (asg moved past the last
+            # sweep's evidence) pays the explicit limit(1) probe.
             if crossing_at_fixpoint is not None:
                 crossing = crossing_at_fixpoint
             else:
@@ -459,6 +545,7 @@ def _louvain_levels(
                 )
             if crossing == 0:
                 break
+            mapping = cut_lineage(mapping)
             # contract: communities become super-nodes, parallel edges summed.
             # Intra-community weight becomes a SELF-LOOP row (cu == cv) so the
             # next level's node strengths and 2m stay exact (Blondel et al.
@@ -888,18 +975,9 @@ def _cross_knn(
     are (__key, __v array<double>) frames. The LSH model is a set of seeded
     random projections (data-independent), so fitting on ``a`` alone is
     sound; the join is banded-candidate, never a cross join."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-
     wa = _to_vector_col(a, "__v", "__feat").select(F.col("__key"), "__feat")
     wb = _to_vector_col(b, "__v", "__feat").select(F.col("__key"), "__feat")
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="__feat",
-        outputCol="__hashes",
-        bucketLength=bucket_length,
-        numHashTables=num_hash_tables,
-        seed=290,
-    )
-    model = lsh.fit(wa)
+    model = _fitted_brp_lsh(wa, bucket_length, num_hash_tables)
     pairs = model.approxSimilarityJoin(wa, wb, float("inf"), distCol="dist").select(
         F.col("datasetA.__key").alias("src"), F.col("datasetB.__key").alias("dst"), "dist"
     )
@@ -1419,7 +1497,11 @@ def refine_partition(
     parent = assignment.select(
         F.col("node").cast("long").alias("node"), F.col("community").alias("pc")
     )
-    with scaled_shuffle_partitions(spark, n_edges, 100_000):
+    from utils_spark.plans import interpreted_execution
+
+    with scaled_shuffle_partitions(spark, n_edges, 100_000), interpreted_execution(
+        spark, n_edges
+    ):
         obs_deg = Observation("refine_deg")
         deg = cut_lineage(
             und.groupBy("u")

@@ -159,6 +159,33 @@ def cut_lineage(df: DataFrame) -> DataFrame:
 
 
 @contextmanager
+def interpreted_execution(spark, n_rows: int | None = None, rows_threshold: int = 100_000):
+    """Temporarily disable whole-stage codegen for plans over MEASURED
+    small data — the codegen twin of ``scaled_shuffle_partitions``.
+
+    One-shot plans (iterative sweeps with per-iteration literals and
+    fresh checkpoint sources, bounded certificate pipelines) each compile
+    a unique Java class that executes exactly once over a few thousand
+    rows — measured ~1.6 s of driver-side compile latency per Louvain
+    run at sf0.1 against ~0 execution benefit. Codegen pays for itself
+    only when the compile amortizes over real data volume, so this guard
+    is MEASUREMENT-GATED: pass the observed row count and it is a
+    strict NO-OP when ``n_rows >= rows_threshold`` — corpus-scale plans
+    always keep codegen. Omit ``n_rows`` only where boundedness is
+    structural (e.g. an already-guarded loop body). Conf restored on
+    exit."""
+    if n_rows is not None and n_rows >= rows_threshold:
+        yield
+        return
+    prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", prev)
+
+
+@contextmanager
 def scaled_shuffle_partitions(spark, n_rows: int, rows_per_partition: int = 100_000):
     """Temporarily size ``spark.sql.shuffle.partitions`` from a MEASURED
     row count, for iterative/multi-join algorithms over bounded data.

@@ -625,8 +625,17 @@ def louvain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size its parallelism from the measured vector count (no-op at scale;
     # louvain() applies the same guard to its own sweeps internally)
     n_vec = planted.count()
-    with scaled_shuffle_partitions(spark, n_vec, 5_000):
-        edges = knn_graph(planted, "vec_id", "vec", k=4, bucket_length=250.0)
+    from utils_spark.plans import interpreted_execution
+
+    # measurement-gated guards (both strict NO-OPs at corpus scale): sized
+    # shuffle parallelism AND interpreted execution — every plan in this
+    # pipeline is one-shot over the measured bounded vector set, so
+    # whole-stage codegen only buys per-plan compile latency here
+    with scaled_shuffle_partitions(spark, n_vec, 5_000), interpreted_execution(spark, n_vec, 100_000):
+        # checkpoint the KNN edges before the SNN self-join: un-materialized,
+        # the LSH-join subplan appears TWICE in the self-join (double
+        # planning; exchange reuse only partially saves execution)
+        edges = cut_lineage(knn_graph(planted, "vec_id", "vec", k=4, bucket_length=250.0))
         snn = snn_graph(edges, min_shared=1).withColumnRenamed("shared", "weight")
         asg = louvain(snn, planted, "vec_id", weight_col="weight", max_iter=10, levels=2)
         sizes = asg.groupBy("community").agg(
