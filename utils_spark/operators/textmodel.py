@@ -266,14 +266,24 @@ def _unigram_seed(words: DataFrame) -> DataFrame:
     )
 
 
-def _viterbi_segments(words: DataFrame, vocab: DataFrame) -> DataFrame:
-    """E-step: per word, the max-log-prob segmentation under the current
-    piece table, as an UNROLLED relational Viterbi — dp/backpointer
-    columns for positions 1..UNIGRAM_MAXLEN (forward), then on-path flags
-    (backward), then the chosen pieces. Pure chained projections (no
-    lateral column aliases — see the engine-parity pitfall), identical in
-    shape to the generated SQL oracle. Tie-break: smallest piece length.
-    Returns (piece, n) rows — one per use of a piece in a best path."""
+def _viterbi_chain(words: DataFrame, vocab: DataFrame):
+    """Per word, the max-log-prob segmentation under the current piece
+    table, as an UNROLLED relational Viterbi — dp/backpointer columns for
+    positions 1..UNIGRAM_MAXLEN (forward), then on-path flags (backward).
+    Pure chained projections (no lateral column aliases — see the
+    engine-parity pitfall), identical in shape to the generated SQL
+    oracle. Tie-break: smallest piece length. Returns (chained_df,
+    piece_at) where ``piece_at[i-1]`` is the piece ending at position i
+    on the best path (NULL off-path) — callers assemble explode/array
+    shapes from it themselves. CONTRACT: consumers that explode must
+    explode the array EXPRESSION inline, never an aliased attribute —
+    ``F.explode(alias)`` over this ~90-projection chain trips Spark's
+    InferFiltersFromGenerate, whose ``size(alias) > 0`` filter is then
+    pushed through every projection with alias substitution at each
+    level: an exponentially-growing predicate tree that OOMs the driver
+    during optimization (observed: heap exhaustion inside
+    PushPredicateThroughNonJoin.trimAliases). Inline generators skip
+    that rule."""
     NEG = F.lit(-1.0e9)
     vmap = vocab.agg(
         F.map_from_entries(F.collect_list(F.struct("piece", "logp"))).alias("__m")
@@ -307,13 +317,34 @@ def _viterbi_segments(words: DataFrame, vocab: DataFrame) -> DataFrame:
         for k in range(1, min(UNIGRAM_MAXP, i) + 1):
             sub = F.when(F.col(f"k_{i}") == k, F.col("w").substr(i - k + 1, k)).otherwise(sub)
         piece_at.append(F.when((F.length("w") >= i) & F.col(f"on_{i}"), sub))
+    return cur, piece_at
+
+
+def _viterbi_segments(words: DataFrame, vocab: DataFrame) -> DataFrame:
+    """E-step counts: one (piece, n) row per use of a piece in a best
+    path. The explode is INLINE over the array expression (not an
+    aliased column) per the ``_viterbi_chain`` contract."""
+    cur, piece_at = _viterbi_chain(words, vocab)
     return cur.select(
         "n",
         F.explode(F.filter(F.array(*piece_at), lambda x: x.isNotNull())).alias("piece"),
     )
 
 
-def unigram_train(df: DataFrame, text_col: str) -> DataFrame:
+def _viterbi_segment_words(words: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Apply-side dictionary: per word the ordered best-path token array
+    (w, n, toks). No explode here — a pure projection chain optimizes
+    linearly (see the ``_viterbi_chain`` contract note); downstream
+    consumers join on ``w`` and read ``toks`` whole."""
+    cur, piece_at = _viterbi_chain(words, vocab)
+    return cur.select(
+        "w",
+        "n",
+        F.filter(F.array(*piece_at), lambda x: x.isNotNull()).alias("toks"),
+    )
+
+
+def unigram_train(df: DataFrame, text_col: str, return_vocab: bool = False):
     """Unigram-LM tokenizer training (Kudo 2018, "Subword regularization"
     — the SentencePiece default), hard-EM (Viterbi) variant: seed a piece
     vocabulary from frequent substrings, then alternate (E) Viterbi-best
@@ -337,7 +368,11 @@ def unigram_train(df: DataFrame, text_col: str) -> DataFrame:
     Vocab lineage is cut per round.
 
     Returns the final piece table (piece, piece_count, score), the
-    artifact a unigram tokenizer ships."""
+    artifact a unigram tokenizer ships; with ``return_vocab=True`` also
+    returns the word → token-array dictionary (one extra Viterbi pass
+    under the FINAL piece table), the broadcastable mapping the APPLY
+    side joins against to encode a corpus map-only — the exact analog of
+    ``bpe_train(return_vocab=True)``."""
     from utils_spark.plans import cut_lineage
 
     words = cut_lineage(_unigram_words(df, text_col))
@@ -359,9 +394,12 @@ def unigram_train(df: DataFrame, text_col: str) -> DataFrame:
                 F.col("cnt") > 0, F.round(F.log(F.col("cnt") / F.col("__t")), 6)
             ).otherwise(F.lit(UNIGRAM_FLOOR)).alias("logp"),
         )
-    return vocab.select(
+    pieces = vocab.select(
         "piece", F.col("cnt").cast("long").alias("piece_count"), F.col("logp").alias("score")
     )
+    if return_vocab:
+        return pieces, _viterbi_segment_words(words, cut_lineage(vocab)).select("w", "toks")
+    return pieces
 
 
 def _trigram_structs(toks_col: str):

@@ -2126,11 +2126,13 @@ def bpe_encoding_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _unigram_oracle() -> str:
-    """Generated SQL twin of ``textmodel.unigram_train``: seed vocabulary,
-    then per EM round a 12-position unrolled Viterbi (forward dp/backptr
-    CTEs, backward on-path CTEs) and the piece-count M-step. Segment CTEs
-    are MATERIALIZED so DuckDB never inlines the recurrence into an
+def _unigram_cte_parts(apply_pass: bool = False) -> str:
+    """Generated WITH-clause body shared by the unigram oracles: seed
+    vocabulary, then per EM round a 12-position unrolled Viterbi (forward
+    dp/backptr CTEs, backward on-path CTEs) and the piece-count M-step;
+    with ``apply_pass`` one extra Viterbi chain under the FINAL piece
+    table ending in a per-word ordered token list (``wordtok``). Segment
+    CTEs are MATERIALIZED so DuckDB never inlines the recurrence into an
     exponential expression tree. Constants imported from the operator so
     the two can't drift."""
     from utils_spark.operators.textmodel import (
@@ -2172,12 +2174,13 @@ def _unigram_oracle() -> str:
     vocab0 AS (
       SELECT piece, cnt, ROUND(ln(cnt / t), 6) AS logp FROM nxt0 CROSS JOIN tot0
     )"""]
-    for r in range(1, UNIGRAM_ROUNDS + 1):
-        prev = r - 1
+    def seg_chain(r: int, src_vocab: str) -> list[str]:
+        """Append the unrolled Viterbi CTE chain seg{r}_0..seg{r}_on1 under
+        the ``src_vocab`` piece table; returns the ordered piece CASEs."""
         parts.append(f"""
     m{r} AS (
       SELECT map(list(piece ORDER BY piece), list(logp ORDER BY piece)) AS mp
-      FROM vocab{prev}
+      FROM {src_vocab}
     ),
     seg{r}_0 AS MATERIALIZED (
       SELECT w.w, w.n, m.mp, CAST(0.0 AS DOUBLE) AS dp_0 FROM words w CROSS JOIN m{r} m
@@ -2216,6 +2219,10 @@ def _unigram_oracle() -> str:
             piece_cases.append(
                 f"CASE WHEN length(w) >= {i} AND on_{i} THEN CASE k_{i} {sub} END END"
             )
+        return piece_cases
+
+    for r in range(1, UNIGRAM_ROUNDS + 1):
+        piece_cases = seg_chain(r, f"vocab{r - 1}")
         parts.append(f"""
     cnt{r} AS (
       SELECT piece, SUM(n) AS cnt FROM (
@@ -2237,10 +2244,27 @@ def _unigram_oracle() -> str:
              CASE WHEN cnt > 0 THEN ROUND(ln(cnt / t), 6) ELSE {UNIGRAM_FLOOR} END AS logp
       FROM nxt{r} CROSS JOIN tot{r}
     )""")
-    parts.append(f"""
+    if apply_pass:
+        piece_cases = seg_chain(UNIGRAM_ROUNDS + 1, f"vocab{UNIGRAM_ROUNDS}")
+        parts.append(f"""
+    wordtok AS (
+      SELECT w, list_filter([{', '.join(piece_cases)}], x -> x IS NOT NULL) AS toks
+      FROM seg{UNIGRAM_ROUNDS + 1}_on1
+    )""")
+    return ",".join(parts)
+
+
+def _unigram_oracle() -> str:
+    """SQL twin of ``textmodel.unigram_train``: replay the full trainer,
+    emit the final piece table."""
+    from utils_spark.operators.textmodel import UNIGRAM_ROUNDS
+
+    return (
+        _unigram_cte_parts()
+        + f"""
     SELECT piece, CAST(cnt AS BIGINT) AS piece_count, logp AS score
-    FROM vocab{UNIGRAM_ROUNDS}""")
-    return ",".join(parts[:-1]) + "\n    " + parts[-1]
+    FROM vocab{UNIGRAM_ROUNDS}"""
+    )
 
 
 @register(
@@ -2269,6 +2293,72 @@ def unigram_lm_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return unigram_train(d, "text")
+
+
+@register(
+    "unigram_encoding_apply",
+    # the APPLY side of unigram tokenizer induction: one extra Viterbi
+    # pass under the FINAL piece table yields the word -> ordered-token
+    # dictionary (bounded by distinct trainable words, broadcast); corpus
+    # encoding is a map-only join. Per-source exact token accounting + a
+    # word-level (word, encoding) checksum make any mis-segmentation
+    # hash-visible. The oracle replays training AND the apply pass.
+    oracle=_unigram_cte_parts(apply_pass=True)
+    + """,
+    vocabw AS (
+      SELECT w, array_to_string(toks, ' ') AS tok_str, len(toks) AS ntok FROM wordtok
+    ),
+    docw AS (
+      SELECT doc_id, source,
+             unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    enc AS (
+      SELECT d.doc_id, d.source, v.ntok,
+             CAST(('0x' || substr(md5(d.w || '|' || v.tok_str), 1, 15)) AS BIGINT)
+               % 1073741824 AS h
+      FROM docw d JOIN vocabw v USING (w)
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           CAST(SUM(h) AS BIGINT) AS checksum
+    FROM enc GROUP BY source
+    """,
+    tags=("text", "tokenizer", "llm-pipeline", "unigram", "apply-side"),
+)
+def unigram_encoding_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encoding with a trained unigram-LM tokenizer — the
+    SentencePiece-family twin of `bpe_encoding_apply`: train 2 Viterbi-EM
+    rounds (`unigram_lm_tokenizer`), take the word → ordered-token-array
+    dictionary from one final Viterbi pass, and encode every document by
+    joining its words against the broadcast dictionary — map-only, never
+    re-running the DP per document. Words above the trainable length
+    bound are excluded from the dictionary and thus from the accounting
+    (both engines identically). Emits per-source token accounting plus a
+    word-level checksum over (word, encoding) pairs."""
+    from utils_spark.operators.textmodel import unigram_train
+
+    d = load_table(spark, sf_dir, "documents")
+    _pieces, vocab = unigram_train(d, "text", return_vocab=True)
+    docw = d.select("doc_id", "source", F.explode(word_tokens("text")).alias("w"))
+    enc = docw.join(F.broadcast(vocab), "w").select(
+        "doc_id",
+        "source",
+        F.size("toks").alias("ntok"),
+        F.pmod(
+            md5_long(F.concat_ws("|", F.col("w"), F.concat_ws(" ", F.col("toks")))),
+            F.lit(1073741824),
+        ).alias("h"),
+    )
+    return enc.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("ntok").cast("long").alias("n_tokens"),
+        F.sum("h").cast("long").alias("checksum"),
+    )
 
 
 @register(
