@@ -51,6 +51,10 @@ _PRIORITY = (
     "ann_ivf_pq",  # r7: IVF-PQ quantized ANN (asymmetric-distance top-k)
     "unigram_lm_tokenizer",  # r7: unigram-LM (SentencePiece) EM trainer
     "star_connected_components",  # r7: large-star/small-star O(log n) CC
+    "unigram_encoding_apply",  # r7: unigram apply side (word->toks dict)
+    "ann_ivfadc",  # r7: true IVFADC (coarse routing + residual PQ ADC)
+    "fuzzy_decontamination",  # r7: MinHash LSH train-vs-benchmark decon
+    "mixture_temperature_weights",  # r7: XLM-R alpha=0.3 mixture weights
     # (dup_cluster_assignments, in the r2 block below, re-certifies the
     # swapped star CC on the real LSH dup graph this round)
     # -- last driver-green in round 2 (26 queries; rewritten-underneath first)

@@ -722,6 +722,150 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fuzzy_decontamination",
+    # the NEAR-DUPLICATE analog of benchmark_decontamination: MinHash+LSH
+    # banding BETWEEN the train split and the benchmark holdout
+    # (doc_id % 50 == 0, the exact query's convention), so paraphrased /
+    # lightly-edited benchmark leaks that exact 5-gram matching misses
+    # are still flagged (GPT-3 appendix C's motivation). The oracle
+    # replays signatures, banding, and the cross-split join. Cross-split
+    # hits exist at every SF (4 / 2 / 151 pairs) — never vacuous.
+    oracle=_LSH_ORACLE.format(
+        sig_elems=", ".join(
+            f"CAST(list_min(list_transform(base, h -> ({a} * h + {b}) % {MINHASH_P30})) AS BIGINT)"
+            for a, b in _minhash_constants(16)
+        )
+    )
+    .replace("AND x.doc_id < y.doc_id", "AND x.doc_id % 50 <> 0 AND y.doc_id % 50 = 0")
+    .replace(
+        "SELECT doc_a, doc_b, ROUND(est, 6) AS est_jaccard FROM cand WHERE est >= 0.5",
+        """SELECT doc_a AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench_matches,
+           ROUND(MAX(est), 6) AS max_est_jaccard
+    FROM cand WHERE est >= 0.5 GROUP BY doc_a""",
+    ),
+    tags=("text", "llm-pipeline", "decontamination", "minhash", "lsh"),
+)
+def fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy train-vs-benchmark decontamination: flag training documents
+    whose MinHash signature collides in any LSH band with a benchmark
+    document AND whose estimated Jaccard >= 0.5 — catching paraphrased
+    or lightly-edited benchmark leakage that `benchmark_decontamination`'s
+    exact 5-gram join misses. Emits (doc_id, n_bench_matches,
+    max_est_jaccard) per contaminated train doc.
+
+    Scale shape: signatures are the same zero-shuffle map-side array
+    math as `minhash_lsh_pairs`; the ONLY join keys on
+    (band_id, band_hash) with the benchmark split on the build side —
+    at 100 TB the benchmark corpus is tiny by construction (a fixed
+    eval-suite set), so the probe side streams map-only and no doc×doc
+    pairing ever materializes."""
+    n_hashes, n_bands = 16, 4
+    rows_per_band = n_hashes // n_bands
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < max(2, par // 2):
+        d = d.repartition(par)
+    sig = d.select("doc_id", _minhash_sig_col(char_shingles("text", 5), n_hashes).alias("sig"))
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                ",", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "sig", "band.band_id", "band.band_hash")
+    train = bands.filter(F.col("doc_id") % 50 != 0)
+    bench = bands.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.col("sig").alias("bsig"),
+        "band_id",
+        "band_hash",
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig", "bsig", lambda x, y: x == y), lambda v: v)).cast("double")
+        / n_hashes
+    )
+    cand = (
+        train.join(bench, ["band_id", "band_hash"])
+        .select("doc_id", "bench_id", est.alias("est"))
+        .distinct()  # a pair colliding in several bands counts once
+        .filter(F.col("est") >= 0.5)
+    )
+    return cand.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bench_matches"),
+        F.round(F.max("est"), 6).alias("max_est_jaccard"),
+    )
+
+
+@register(
+    "mixture_temperature_weights",
+    # temperature-based mixture weighting (Conneau et al. 2020 XLM-R
+    # §3.1 / Xue et al. 2021 mT5: q_i ∝ p_i^alpha with alpha = 0.3):
+    # per-source token share p, smoothed sampling prob q, and the
+    # implied upsample factor q/p — the knob a multilingual/multi-source
+    # training run turns to keep small sources from vanishing.
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x <> '')) AS nt
+      FROM documents
+    ),
+    per AS (SELECT source, COUNT(*) AS n_docs, SUM(nt) AS n_tokens FROM tok GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS t FROM per),
+    p AS (SELECT source, n_docs, n_tokens, n_tokens / t AS p FROM per CROSS JOIN tot),
+    z AS (SELECT SUM(pow(p, 0.3)) AS z FROM p)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(p, 6) AS token_share,
+           ROUND(pow(p, 0.3) / z, 6) AS sample_prob,
+           ROUND(pow(p, 0.3) / z / p, 6) AS upsample_factor
+    FROM p CROSS JOIN z
+    """,
+    tags=("text", "llm-pipeline", "sampling", "mixing"),
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed source-mixing weights (XLM-R / mT5,
+    alpha = 0.3): per source, token share p_i = n_i / N, sampling
+    probability q_i = p_i^alpha / sum_j p_j^alpha, and upsample factor
+    q_i / p_i. alpha < 1 flattens the mixture so low-resource sources
+    are seen more often than their raw share.
+
+    Scale shape: one corpus-sized map (token count per doc) feeding a
+    source-keyed agg (bounded by #sources), then two 1-row scalar
+    aggregates broadcast back — nothing corpus-sized ever shuffles
+    twice."""
+    d = load_table(spark, sf_dir, "documents")
+    per = (
+        d.select("source", F.size(word_tokens("text")).alias("nt"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("nt").alias("n_tokens"))
+    )
+    tot = per.agg(F.sum("n_tokens").cast("double").alias("t"))
+    p = per.crossJoin(F.broadcast(tot)).withColumn("p", F.col("n_tokens") / F.col("t"))
+    z = p.agg(F.sum(F.pow("p", F.lit(0.3))).alias("z"))
+    return p.crossJoin(F.broadcast(z)).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("p", 6).alias("token_share"),
+        F.round(F.pow("p", F.lit(0.3)) / F.col("z"), 6).alias("sample_prob"),
+        F.round(F.pow("p", F.lit(0.3)) / F.col("z") / F.col("p"), 6).alias("upsample_factor"),
+    )
+
+
+@register(
     "corpus_mixture_sample",
     oracle="""
     WITH ranked AS (

@@ -529,7 +529,10 @@ def _sq_dist(a, b):
     )
 
 
-def _pq_subs(vecs: DataFrame) -> DataFrame:
+def _pq_subs(vecs: DataFrame, *extra_cols: str) -> DataFrame:
+    """(key cols, v[64]) → one row per (vector, subspace): (key cols, j,
+    sub[8]). ``extra_cols`` are carried through unchanged (e.g. the IVF
+    cell label, so encode never needs a corpus-sized join-back)."""
     subarrays = F.transform(
         F.sequence(F.lit(1), F.lit(_PQ_M)),
         lambda j: F.transform(
@@ -537,9 +540,10 @@ def _pq_subs(vecs: DataFrame) -> DataFrame:
             lambda i: F.element_at(F.col("v"), ((j - 1) * _PQ_SUBDIM + i).cast("int")),
         ),
     )
+    keys = ["vec_id", *extra_cols]
     return (
-        vecs.select("vec_id", F.posexplode(subarrays).alias("pos", "sub"))
-        .select("vec_id", (F.col("pos") + 1).alias("j"), "sub")
+        vecs.select(*keys, F.posexplode(subarrays).alias("pos", "sub"))
+        .select(*keys, (F.col("pos") + 1).alias("j"), "sub")
     )
 
 
@@ -635,6 +639,243 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(codes)
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc_dist"))
+    )
+    order = (F.asc("adc_dist"), F.asc("neighbor_id"))
+    w1 = Window.partitionBy("query_id", F.pmod(F.hash("neighbor_id"), F.lit(32))).orderBy(*order)
+    bucket_topk = scored.withColumn("rn", F.row_number().over(w1)).filter(F.col("rn") <= 5).drop("rn")
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return bucket_topk.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
+
+
+_IVFADC_NPROBE = 2  # coarse cells probed per query
+
+
+def _ivfadc_oracle() -> str:
+    """Generated SQL twin of ``ann_ivfadc``: coarse label-centroid
+    quantizer, RESIDUAL PQ codebook training (deterministic init + 2
+    Lloyd rounds on the bounded sample's residuals), residual corpus
+    encoding, query routing to the 2 nearest coarse cells by L2, then
+    per-(query, cell) residual distance tables and ADC top-5 over the
+    probed cells only — the full IVFADC pipeline replayed independently."""
+    cent_elems = ", ".join(f"ROUND(AVG(e[{d}]), 6)" for d in range(1, 65))
+    avg_elems = ", ".join(f"ROUND(AVG(sub[{d}]), 6)" for d in range(1, _PQ_SUBDIM + 1))
+    parts = [
+        f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    coarse AS (SELECT label, [{cent_elems}] AS c FROM v GROUP BY label),
+    res AS (
+      SELECT v.vec_id, v.label,
+             list_transform(range(1, 65), i -> v.e[i] - co.c[i]) AS e
+      FROM v JOIN coarse co USING (label)
+    ),
+    subs AS (
+      SELECT vec_id, label, j,
+             list_transform(range(1, {_PQ_SUBDIM + 1}),
+                            i -> e[(j - 1) * {_PQ_SUBDIM} + i]) AS sub
+      FROM res CROSS JOIN (SELECT unnest(range(1, {_PQ_M + 1})) AS j) js
+    ),
+    cent0 AS (
+      SELECT j,
+             CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS INT) AS code,
+             sub AS cent
+      FROM subs WHERE vec_id < {_PQ_TRAIN_LIMIT}
+      QUALIFY row_number() OVER (PARTITION BY j ORDER BY vec_id) <= {_PQ_K}
+    )"""
+    ]
+    for r in range(1, _PQ_ROUNDS + 1):
+        parts.append(f"""
+    assign{r} AS (
+      SELECT s.vec_id, s.j, s.sub, c.code,
+             row_number() OVER (PARTITION BY s.vec_id, s.j
+               ORDER BY {_pq_sq_dist_sql("s.sub", "c.cent")}, c.code) AS rn
+      FROM (SELECT * FROM subs WHERE vec_id < {_PQ_TRAIN_LIMIT}) s
+           JOIN cent{r - 1} c USING (j)
+    ),
+    cent{r} AS (
+      SELECT j, code, [{avg_elems}] AS cent
+      FROM assign{r} WHERE rn = 1 GROUP BY j, code
+    )""")
+    parts.append(f"""
+    enc AS (
+      SELECT s.vec_id, s.label, s.j, c.code,
+             row_number() OVER (PARTITION BY s.vec_id, s.j
+               ORDER BY {_pq_sq_dist_sql("s.sub", "c.cent")}, c.code) AS rn
+      FROM subs s JOIN cent{_PQ_ROUNDS} c USING (j)
+    ),
+    codes AS (SELECT vec_id, label, j, code FROM enc WHERE rn = 1),
+    qv AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+    routed AS (
+      SELECT query_id, qe, label AS probed_label, c,
+             row_number() OVER (PARTITION BY query_id ORDER BY
+               ROUND(list_sum(list_transform(range(1, 65),
+                     i -> (qe[i] - c[i]) * (qe[i] - c[i]))), 6), label) AS rn
+      FROM qv CROSS JOIN coarse
+    ),
+    probes AS (
+      SELECT query_id, probed_label,
+             list_transform(range(1, 65), i -> qe[i] - c[i]) AS re
+      FROM routed WHERE rn <= {_IVFADC_NPROBE}
+    ),
+    qsubs AS (
+      SELECT query_id, probed_label, j,
+             list_transform(range(1, {_PQ_SUBDIM + 1}),
+                            i -> re[(j - 1) * {_PQ_SUBDIM} + i]) AS sub
+      FROM probes CROSS JOIN (SELECT unnest(range(1, {_PQ_M + 1})) AS j) js
+    ),
+    qdt AS (
+      SELECT s.query_id, s.probed_label, c.j, c.code,
+             {_pq_sq_dist_sql("s.sub", "c.cent")} AS d
+      FROM qsubs s JOIN cent{_PQ_ROUNDS} c USING (j)
+    ),
+    scored AS (
+      SELECT t.query_id, k.vec_id AS neighbor_id, k.label AS probed_label,
+             ROUND(SUM(t.d), 6) AS adc_dist
+      FROM codes k JOIN qdt t
+        ON t.probed_label = k.label AND t.j = k.j AND t.code = k.code
+           AND k.vec_id <> t.query_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           probed_label, adc_dist
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc_dist, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5""")
+    return ",".join(parts)
+
+
+@register(
+    "ann_ivfadc",
+    # TRUE IVFADC (Jégou et al. 2011 §IV): coarse quantizer + RESIDUAL
+    # product quantization + nprobe=2 cell-restricted ADC scoring — the
+    # published billion-scale recipe (FAISS's IVFx,PQy index family).
+    # The oracle replays the entire pipeline (coarse centroids, residual
+    # codebook training, encoding, routing, scoring) in generated SQL.
+    oracle=_ivfadc_oracle(),
+    tags=("vector", "similarity", "ann", "ivf", "pq", "llm-pipeline"),
+)
+def ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — inverted file + asymmetric distance computation (Jégou
+    et al. 2011): the composition `ann_ivf_bucketed` (coarse routing)
+    x `ann_ivf_pq` (PQ codes), which is THE published structure for
+    billion-scale ANN. Differences from the two building blocks:
+
+    - PQ codebooks are trained on and encode RESIDUALS v − c(cell), not
+      raw vectors — residuals are smaller in norm, so the same 8x4-bit
+      budget quantizes finer (the paper's §IV argument).
+    - Queries probe their ``_IVFADC_NPROBE`` = 2 nearest coarse cells
+      (L2 on the rounded centroids) and score ONLY those cells' codes:
+      per-query work is O(corpus/n_cells x nprobe), not O(corpus).
+
+    Scale shape: coarse centroids (n_labels x 64) and codebooks (128
+    rows) broadcast; residual computation + encoding are map-only over
+    the corpus (label carried through ``_pq_subs``, never a corpus-sized
+    join-back); the scoring join streams the code table against the
+    broadcast (query, cell) distance-table rows with a label equi-join —
+    non-probed cells drop at the join, zero corpus shuffle on the query
+    path. The two bounded groupBys (per-vector code assembly) are the
+    one-time index build, persisted next to the data at 100 TB.
+
+    Recall vs exact in-probe L2 and routing quality are certified in
+    tests/test_operators.py::test_ann_ivfadc_recall."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", "label", to_double_array("embedding").alias("v"))
+    from utils_spark.plans import cut_lineage
+
+    # coarse quantizer: per-label centroids, 6dp-rounded per component so
+    # residuals and routing argmins are engine-stable (= oracle's coarse)
+    coarse = (
+        vecs.select("label", F.posexplode("v").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("p"))
+        .select("label", F.transform("p", lambda s: F.round(s["cx"], 6)).alias("c"))
+    )
+    coarse = cut_lineage(coarse)  # one row per label, reused 3x
+    res = vecs.join(F.broadcast(coarse), "label").select(
+        "vec_id", "label", F.zip_with("v", "c", lambda x, y: x - y).alias("v")
+    )
+    cb = cut_lineage(pq_codebook(res.select("vec_id", "v")))  # <=128 rows
+    # index build: residual PQ codes per vector, cell label carried through
+    subs = _pq_subs(res, "label")
+    enc = subs.join(F.broadcast(cb), "j").withColumn(
+        "dist", F.round(_sq_dist(F.col("sub"), F.col("cent")), 6)
+    )
+    codes_long = (
+        enc.groupBy("vec_id", "label", "j")
+        .agg(F.min(F.struct("dist", "code")).alias("m"))
+        .select("vec_id", "label", "j", F.col("m.code").alias("code"))
+    )
+    codes = (
+        codes_long.groupBy("vec_id", "label")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "code"))).alias("jc"))
+        .select("vec_id", "label", F.transform("jc", lambda s: s["code"]).alias("codes"))
+    )
+    # query routing: nprobe nearest coarse cells by L2, residual per cell
+    q = vecs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    routed = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(coarse))
+        .withColumn("rdist", F.round(_sq_dist(F.col("qv"), F.col("c")), 6))
+    )
+    wroute = Window.partitionBy("query_id").orderBy(F.asc("rdist"), F.asc("label"))
+    probes = (
+        routed.withColumn("rn", F.row_number().over(wroute))
+        .filter(F.col("rn") <= _IVFADC_NPROBE)
+        .select(
+            "query_id",
+            F.col("label").alias("probed_label"),
+            F.zip_with("qv", "c", lambda x, y: x - y).alias("v"),
+        )
+    )
+    # per-(query, probed cell) ADC table, densified to 128 O(1) slots
+    qsubs = _pq_subs(
+        probes.withColumnRenamed("query_id", "vec_id"), "probed_label"
+    ).withColumnRenamed("vec_id", "query_id")
+    qdt = qsubs.join(F.broadcast(cb), "j").select(
+        "query_id",
+        "probed_label",
+        ((F.col("j") - 1) * _PQ_K + F.col("code")).cast("int").alias("slot"),
+        F.round(_sq_dist(F.col("sub"), F.col("cent")), 6).alias("d"),
+    )
+    qrows = (
+        qdt.groupBy("query_id", "probed_label")
+        .agg(F.map_from_entries(F.collect_list(F.struct("slot", "d"))).alias("qm"))
+        .select(
+            "query_id",
+            "probed_label",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_M * _PQ_K - 1)),
+                lambda idx: F.element_at(F.col("qm"), idx.cast("int")),
+            ).alias("qdtab"),
+        )
+    )
+    adc = F.round(
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(_PQ_M)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + F.element_at(
+                F.col("qdtab"),
+                ((j - 1) * _PQ_K + 1).cast("int") + F.element_at(F.col("codes"), j.cast("int")),
+            ),
+        ),
+        6,
+    )
+    scored = (
+        F.broadcast(qrows)
+        .join(codes, F.col("label") == F.col("probed_label"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "probed_label",
+            adc.alias("adc_dist"),
+        )
     )
     order = (F.asc("adc_dist"), F.asc("neighbor_id"))
     w1 = Window.partitionBy("query_id", F.pmod(F.hash("neighbor_id"), F.lit(32))).orderBy(*order)
