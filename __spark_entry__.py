@@ -55,6 +55,9 @@ _PRIORITY = (
     "ann_ivfadc",  # r7: true IVFADC (coarse routing + residual PQ ADC)
     "fuzzy_decontamination",  # r7: MinHash LSH train-vs-benchmark decon
     "mixture_temperature_weights",  # r7: XLM-R alpha=0.3 mixture weights
+    "gopher_quality_rules",  # r7: Gopher filter set, published thresholds
+    "countmin_heavy_hitters",  # r7: Count-Min sketch + overestimate cert
+    "winnowing_fingerprints",  # r7: winnowing local fingerprints (MOSS)
     # (dup_cluster_assignments, in the r2 block below, re-certifies the
     # swapped star CC on the real LSH dup graph this round)
     # -- last driver-green in round 2 (26 queries; rewritten-underneath first)

@@ -130,6 +130,266 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+@register(
+    "gopher_quality_rules",
+    # the published Gopher rule set (Rae et al. 2021, appendix A),
+    # thresholds verbatim: word count in [50, 100k], mean word length in
+    # [3, 10], >=80% alphabetic words, >=2 of the 8 listed stop words.
+    # Flags are computed over the ROUNDED stats in a separate query
+    # level on BOTH engines (no lateral aliases; no boundary drift). On
+    # the synthetic fixture the word-count flag VARIES (10-99 words/doc)
+    # and drives the composite; mean-len always passes and
+    # alpha/stop-hits always fail there — but every underlying STAT
+    # varies per doc, so the value hash is never vacuous.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
+      FROM documents
+    ),
+    stats AS (
+      SELECT doc_id, source,
+             len(w) AS n_words,
+             ROUND(list_sum(list_transform(w, x -> CAST(length(x) AS DOUBLE))) / len(w), 6)
+               AS mean_word_len,
+             ROUND(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                   / CAST(len(w) AS DOUBLE), 6) AS alpha_word_ratio,
+             len(list_intersect(list_distinct(w),
+                 ['the','be','to','of','and','that','have','with'])) AS stop_hits
+      FROM toks
+    )
+    SELECT doc_id, source,
+           CAST(n_words AS BIGINT) AS n_words, mean_word_len, alpha_word_ratio,
+           CAST(stop_hits AS BIGINT) AS stop_hits,
+           CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS flag_word_count,
+           CASE WHEN mean_word_len BETWEEN 3 AND 10 THEN 1 ELSE 0 END AS flag_mean_len,
+           CASE WHEN alpha_word_ratio >= 0.8 THEN 1 ELSE 0 END AS flag_alpha,
+           CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS flag_stopwords,
+           CASE WHEN n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+                 AND alpha_word_ratio >= 0.8 AND stop_hits >= 2
+                THEN 1 ELSE 0 END AS passes_gopher
+    FROM stats
+    """,
+    tags=("text", "quality", "llm-pipeline", "gopher"),
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al. 2021, appendix A),
+    published thresholds verbatim: 50 <= word count <= 100,000; 3 <=
+    mean word length <= 10; >= 80% of words contain an alphabetic
+    character; document contains >= 2 of {the, be, to, of, and, that,
+    have, with}. Emits the per-document statistics, each rule's flag,
+    and the composite pass. Map-only: every stat is a per-row array
+    kernel; no shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = word_tokens("text")
+    stops = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+    stats = d.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_words"),
+        F.round(
+            F.aggregate(
+                F.transform(toks, lambda w: F.length(w).cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.size(toks),
+            6,
+        ).alias("mean_word_len"),
+        F.round(
+            F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]"))).cast("double") / F.size(toks),
+            6,
+        ).alias("alpha_word_ratio"),
+        F.size(F.array_intersect(F.array_distinct(toks), stops)).alias("stop_hits"),
+    )
+    f_wc = F.col("n_words").between(50, 100000)
+    f_ml = F.col("mean_word_len").between(3.0, 10.0)
+    f_al = F.col("alpha_word_ratio") >= 0.8
+    f_sw = F.col("stop_hits") >= 2
+    flag = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    return stats.select(
+        "doc_id",
+        "source",
+        F.col("n_words").cast("long").alias("n_words"),
+        "mean_word_len",
+        "alpha_word_ratio",
+        F.col("stop_hits").cast("long").alias("stop_hits"),
+        flag(f_wc).alias("flag_word_count"),
+        flag(f_ml).alias("flag_mean_len"),
+        flag(f_al).alias("flag_alpha"),
+        flag(f_sw).alias("flag_stopwords"),
+        flag(f_wc & f_ml & f_al & f_sw).alias("passes_gopher"),
+    )
+
+
+_CMS_D = 4  # count-min sketch depth (hash rows)
+_CMS_W = 256  # count-min sketch width (buckets per row)
+
+
+@register(
+    "countmin_heavy_hitters",
+    # Count-Min sketch (Cormode & Muthukrishnan 2005) heavy hitters: the
+    # sketch path shuffles only its d x w = 1024 cells (map-side partial
+    # agg collapses the corpus before the exchange); the exact top-20 is
+    # the in-query ground truth certifying the overestimate bound
+    # cms_estimate >= true_count per hitter. Deterministic md5 bucket
+    # hashing -> both engines build the byte-identical sketch.
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    exact AS (SELECT w, COUNT(*) AS true_count FROM words GROUP BY w),
+    top AS (SELECT w, true_count FROM exact ORDER BY true_count DESC, w LIMIT 20),
+    cells AS (
+      SELECT ii.i,
+             CAST(('0x' || substr(md5(CAST(ii.i AS VARCHAR) || ':' || w), 1, 15)) AS BIGINT)
+               % {_CMS_W} AS b,
+             COUNT(*) AS cnt
+      FROM words CROSS JOIN (SELECT unnest(range(0, {_CMS_D})) AS i) ii
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT t.w, t.true_count, MIN(c.cnt) AS cms_estimate
+      FROM top t CROSS JOIN (SELECT unnest(range(0, {_CMS_D})) AS i) ii
+      JOIN cells c ON c.i = ii.i
+       AND c.b = CAST(('0x' || substr(md5(CAST(ii.i AS VARCHAR) || ':' || t.w), 1, 15)) AS BIGINT)
+                   % {_CMS_W}
+      GROUP BY 1, 2
+    )
+    SELECT w, CAST(true_count AS BIGINT) AS true_count,
+           CAST(cms_estimate AS BIGINT) AS cms_estimate,
+           CAST(cms_estimate - true_count AS BIGINT) AS overestimate
+    FROM est
+    """,
+    tags=("text", "sketch", "llm-pipeline", "heavy-hitters"),
+)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    build a 4 x 256 CMS over the corpus word stream with deterministic
+    md5 bucket hashes, then report the exact top-20 words with their
+    sketch estimates and overestimation error (CMS never underestimates;
+    equality means no collision in some row).
+
+    Scale shape: the SKETCH path never shuffles corpus volume — each
+    task's partial aggregation collapses its word stream into <= 1024
+    (row, bucket) cells before the exchange, so the sketch costs the
+    same at 100 TB as at 100 MB (the whole point of the structure; the
+    Bloom-filter decontamination query is the membership analog). The
+    exact top-20 aggregation exists as the in-query ground truth that
+    CERTIFIES the overestimate bound; a pure-scale deployment would keep
+    only the sketch plus a candidate stream."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(word_tokens("text")).alias("w"))
+
+    def hashes():
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.pmod(md5_long(F.concat(F.lit(f"{i}:"), F.col("w"))), F.lit(_CMS_W)).alias("b"),
+                )
+                for i in range(_CMS_D)
+            ]
+        )
+
+    cells = (
+        words.select(F.explode(hashes()).alias("h"))
+        .groupBy(F.col("h.i").alias("i"), F.col("h.b").alias("b"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = words.groupBy("w").agg(F.count("*").alias("true_count"))
+    # (true_count desc, w asc) is a total order -> deterministic distributed
+    # TakeOrderedAndProject, exactly the oracle's ORDER BY ... LIMIT 20
+    top = exact.orderBy(F.desc("true_count"), F.asc("w")).limit(20)
+    tope = top.select("w", "true_count", F.explode(hashes()).alias("h")).select(
+        "w", "true_count", F.col("h.i").alias("i"), F.col("h.b").alias("b")
+    )
+    est = tope.join(F.broadcast(cells), ["i", "b"]).groupBy("w", "true_count").agg(
+        F.min("cnt").alias("cms_estimate")
+    )
+    return est.select(
+        "w",
+        F.col("true_count").cast("long").alias("true_count"),
+        F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        (F.col("cms_estimate") - F.col("true_count")).cast("long").alias("overestimate"),
+    )
+
+
+@register(
+    "winnowing_fingerprints",
+    # Winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003): the local
+    # document-fingerprinting guarantee — at least one k-gram hash
+    # selected from EVERY window of w consecutive grams, so any match of
+    # length >= w+k-1 chars is always detected. We emit the per-doc
+    # selected-hash VALUE set (size + checksum); selecting min-per-window
+    # makes the value set independent of the paper's positional
+    # rightmost-tie rule (ties share the value).
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source,
+             list_transform(range(1, GREATEST(length(text) - 4, 0) + 1),
+                i -> CAST(('0x' || substr(md5(substr(text, i, 5)), 1, 15)) AS BIGINT)
+                       % 1073741824) AS hs
+      FROM documents
+    ),
+    sel AS (
+      SELECT doc_id, source, hs,
+             list_distinct(list_transform(range(1, GREATEST(len(hs) - 3, 0) + 1),
+                                          p -> list_min(hs[p:p+3]))) AS fps
+      FROM h
+    )
+    SELECT doc_id, source,
+           CAST(len(hs) AS BIGINT) AS n_grams,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           CAST(COALESCE(list_sum(fps), 0) AS BIGINT) AS fp_checksum
+    FROM sel
+    """,
+    tags=("text", "dedup", "fingerprint", "llm-pipeline"),
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm): hash every 5-char gram, slide a window of 4 consecutive
+    gram hashes, select each window's minimum — guaranteeing a shared
+    fingerprint for any substring match of >= 8 chars, at ~2/(w+1)
+    selection density. Complements `doc_fingerprint` (global rolling
+    hash) with LOCAL fingerprints that survive partial edits. Emits per
+    doc the gram count, distinct selected-hash count, and their sum as
+    a checksum. Map-only per-row array kernels, zero shuffle; built as
+    chained projections (hash array -> window mins -> aggregates), each
+    alias consumed whole-array by the next level."""
+    d = load_table(spark, sf_dir, "documents")
+    hs = F.when(
+        F.length("text") >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - 4),
+            lambda i: F.pmod(md5_long(F.col("text").substr(i, F.lit(5))), F.lit(1073741824)),
+        ),
+    ).otherwise(F.expr("array()").cast("array<bigint>"))
+    step1 = d.select("doc_id", "source", hs.alias("hs"))
+    fps = F.array_distinct(
+        F.when(
+            F.size("hs") >= 4,
+            F.transform(
+                F.sequence(F.lit(1), F.size("hs") - 3),
+                lambda p: F.array_min(F.slice("hs", p, F.lit(4))),
+            ),
+        ).otherwise(F.expr("array()").cast("array<bigint>"))
+    )
+    step2 = step1.select("doc_id", "source", F.size("hs").alias("n_grams"), fps.alias("fps"))
+    return step2.select(
+        "doc_id",
+        "source",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        F.aggregate("fps", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("fp_checksum"),
+    )
+
+
 @register(
     "lang_id_ngram",
     oracle="""
