@@ -791,6 +791,59 @@ def test_ann_ivfadc_recall(duck):
     assert sum(ranks) / len(ranks) <= 15, ranks
 
 
+def test_countmin_never_underestimates(duck):
+    """The defining CMS property (Cormode & Muthukrishnan 2005 Thm 1):
+    the sketch estimate is >= the true count for EVERY word, not just
+    the 20 the query reports. Runs the registered oracle formulation
+    with the top-20 limit removed over the whole vocabulary; the Spark
+    side is hash-identical via test_oracle_parity[countmin_heavy_hitters],
+    so the property transfers."""
+    from utils_spark.registry import load_all
+
+    sql = load_all()["countmin_heavy_hitters"].oracle.replace(
+        "ORDER BY true_count DESC, w LIMIT 20", ""
+    )
+    rows = duck.execute(sql).fetchall()
+    assert len(rows) > 20  # the full vocabulary, not the reported slice
+    assert all(est >= true for _, true, est, _ in rows), [
+        r for r in rows if r[2] < r[1]
+    ][:5]
+    assert all(over == est - true for _, true, est, over in rows)
+
+
+def test_winnowing_match_guarantee(duck):
+    """Winnowing's correctness guarantee (Schleimer et al. 2003 §2): any
+    substring match of length >= w + k - 1 = 8 chars between two
+    documents yields at least one SHARED selected fingerprint. Planted
+    pairs sharing exactly an 8-char span (at different offsets, inside
+    different surrounding text) must intersect; a control pair with no
+    8-char common substring must not be forced to. Runs the registered
+    oracle formulation on a synthetic documents relation, with the
+    checksum columns swapped for the raw fingerprint lists."""
+    import duckdb
+
+    from utils_spark.registry import load_all
+
+    con = duckdb.connect()
+    con.execute("""
+        CREATE VIEW documents AS SELECT * FROM (VALUES
+          (1, 'src', 'xxxxxxxxxxABCDEFGHyyyyyyyyyy'),
+          (2, 'src', 'qqqqqppppABCDEFGHrrrrrsssss'),
+          (3, 'src', 'zzzzzzzzzzzzzzzzzzzzzzzzzzzz')
+        ) AS t(doc_id, source, text)
+    """)
+    sql = load_all()["winnowing_fingerprints"].oracle.replace(
+        """CAST(len(hs) AS BIGINT) AS n_grams,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           CAST(COALESCE(list_sum(fps), 0) AS BIGINT) AS fp_checksum""",
+        "fps",
+    )
+    got = {doc_id: set(fps) for doc_id, _src, fps in con.execute(sql).fetchall()}
+    con.close()
+    assert got[1] & got[2], "8-char shared span must share a fingerprint"
+    assert not (got[1] & got[3]) and not (got[2] & got[3])
+
+
 def test_substring_window_duplicates_reference(spark):
     """Window-fingerprint substring dedup vs a brute-force reference:
     docs sharing any W-token run with an earlier doc are flagged; shorter
