@@ -391,6 +391,151 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "distinct_ngram_diversity",
+    # Distinct-n diversity (Li et al. 2016, NAACL): per-source ratio of
+    # distinct unigrams/bigrams to total — the standard corpus-diversity
+    # stat a curation run reports next to quality scores (low distinct-2
+    # = templated/repetitive source). Gram-keyed countDistinct per
+    # source; the gram shuffle partial-aggregates map-side.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
+      FROM documents
+    ),
+    uni AS (SELECT source, unnest(w) AS g FROM toks),
+    bi AS (
+      SELECT source, unnest(list_transform(range(1, GREATEST(len(w) - 1, 0) + 1),
+                                           i -> w[i] || ' ' || w[i + 1])) AS g
+      FROM toks
+    ),
+    u AS (SELECT source, COUNT(DISTINCT g) AS d1, COUNT(*) AS n1 FROM uni GROUP BY source),
+    b AS (SELECT source, COUNT(DISTINCT g) AS d2, COUNT(*) AS n2 FROM bi GROUP BY source)
+    SELECT u.source,
+           CAST(n1 AS BIGINT) AS n_unigrams, CAST(d1 AS BIGINT) AS distinct_unigrams,
+           ROUND(d1 / CAST(n1 AS DOUBLE), 6) AS distinct_1,
+           CAST(n2 AS BIGINT) AS n_bigrams, CAST(d2 AS BIGINT) AS distinct_bigrams,
+           ROUND(d2 / CAST(n2 AS DOUBLE), 6) AS distinct_2
+    FROM u JOIN b ON u.source = b.source
+    """,
+    tags=("text", "quality", "llm-pipeline", "diversity"),
+)
+def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1 / Distinct-2 corpus diversity (Li et al. 2016): per
+    source, the ratio of distinct unigrams and bigrams to totals. The
+    go-to cheap detector for templated or repetitive sources in a
+    training-data audit. One gram-keyed distinct-aggregate per n; the
+    per-(source, gram) partial aggregation collapses duplicates map-side
+    before the exchange."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = word_tokens("text")
+    base = d.select("doc_id", "source", toks.alias("w"))
+    uni = base.select("source", F.explode("w").alias("g"))
+    bigrams = F.when(
+        F.size("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("w", i.cast("int")), F.element_at("w", (i + 1).cast("int"))
+            ),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    bi = base.select("source", F.explode(bigrams).alias("g"))
+    u = uni.groupBy("source").agg(
+        F.countDistinct("g").alias("d1"), F.count("*").alias("n1")
+    )
+    b = bi.groupBy("source").agg(
+        F.countDistinct("g").alias("d2"), F.count("*").alias("n2")
+    )
+    return u.join(b, "source").select(
+        "source",
+        F.col("n1").cast("long").alias("n_unigrams"),
+        F.col("d1").cast("long").alias("distinct_unigrams"),
+        F.round(F.col("d1") / F.col("n1"), 6).alias("distinct_1"),
+        F.col("n2").cast("long").alias("n_bigrams"),
+        F.col("d2").cast("long").alias("distinct_bigrams"),
+        F.round(F.col("d2") / F.col("n2"), 6).alias("distinct_2"),
+    )
+
+
+@register(
+    "zipf_law_fit",
+    # Zipf's-law exponent per source: OLS of ln(freq) on ln(rank) over
+    # the top-100 words — a corpus-statistics fingerprint (natural text
+    # sits near alpha ~ 1; synthetic/templated text drifts). Rank by
+    # (freq desc, word asc) so the top-100 cutoff and the regression are
+    # engine-deterministic; stats computed in a separate query level.
+    oracle="""
+    WITH words AS (
+      SELECT source,
+             unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    freq AS (SELECT source, w, COUNT(*) AS f FROM words GROUP BY source, w),
+    ranked AS (
+      SELECT source, f,
+             row_number() OVER (PARTITION BY source ORDER BY f DESC, w ASC) AS r
+      FROM freq
+    ),
+    xy AS (
+      SELECT source, ln(r) AS x, ln(f) AS y FROM ranked WHERE r <= 100
+    ),
+    s AS (
+      SELECT source, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM xy GROUP BY source
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_ranks,
+           ROUND(-(n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_alpha,
+           ROUND(POW(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r_squared
+    FROM s
+    """,
+    tags=("text", "quality", "llm-pipeline", "zipf"),
+)
+def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per source: regress ln(word frequency) on ln(rank)
+    over each source's top-100 words and report the exponent alpha and
+    fit r² — the classical corpus-statistics fingerprint (Zipf 1949;
+    natural language sits near alpha ~ 1, templated or synthetic text
+    drifts off). Closed-form OLS from six running sums.
+
+    Scale shape: one (source, word) aggregation (map-side combined),
+    a per-source top-100 rank window over the BOUNDED per-source
+    vocabulary, then a six-sum closed-form regression per source —
+    nothing corpus-sized past the first aggregate."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("source", F.explode(word_tokens("text")).alias("w"))
+    freq = words.groupBy("source", "w").agg(F.count("*").alias("f"))
+    wr = Window.partitionBy("source").orderBy(F.desc("f"), F.asc("w"))
+    xy = (
+        freq.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") <= 100)
+        .select("source", F.log("r").alias("x"), F.log("f").alias("y"))
+    )
+    s = xy.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "source",
+        F.col("n").cast("long").alias("n_ranks"),
+        F.round(-num / dxx, 6).alias("zipf_alpha"),
+        F.round(F.pow(num, F.lit(2.0)) / (dxx * dyy), 6).alias("r_squared"),
+    )
+
+
+@register(
     "lang_id_ngram",
     oracle="""
     WITH shingled AS (
