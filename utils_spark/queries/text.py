@@ -284,6 +284,12 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     CERTIFIES the overestimate bound; a pure-scale deployment would keep
     only the sketch plus a candidate stream."""
     d = load_table(spark, sf_dir, "documents")
+    # local single-file parquet arrives as ONE partition; the 4x md5
+    # hashing is CPU-bound, so spread it when scan parallelism is low
+    # (no-op on a many-file cluster read — same guard as minhash_lsh_pairs)
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < max(2, par // 2):
+        d = d.repartition(par)
     words = d.select(F.explode(word_tokens("text")).alias("w"))
 
     def hashes():
@@ -363,6 +369,12 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     chained projections (hash array -> window mins -> aggregates), each
     alias consumed whole-array by the next level."""
     d = load_table(spark, sf_dir, "documents")
+    # one md5 per char of text is CPU-bound and a local single-file scan
+    # is ONE partition — spread it (round-7 probe measured 3.7 s -> sub-
+    # second at sf0.1; no-op when the scan already has parallelism)
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < max(2, par // 2):
+        d = d.repartition(par)
     hs = F.when(
         F.length("text") >= 5,
         F.transform(
