@@ -60,6 +60,7 @@ _PRIORITY = (
     "winnowing_fingerprints",  # r7: winnowing local fingerprints (MOSS)
     "distinct_ngram_diversity",  # r7: Distinct-1/2 corpus diversity
     "zipf_law_fit",  # r7: per-source Zipf exponent OLS fit
+    "stream_near_dup_registry",  # r7: LIVE streaming LSH band registry
     # (dup_cluster_assignments, in the r2 block below, re-certifies the
     # swapped star CC on the real LSH dup graph this round)
     # -- last driver-green in round 2 (26 queries; rewritten-underneath first)

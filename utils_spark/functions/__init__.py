@@ -104,6 +104,25 @@ def word_tokens(text: Column | str) -> Column:
     return F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != "")
 
 
+def minhash_band_structs(sig_col: Column | str, n_hashes: int, n_bands: int) -> Column:
+    """LSH band keys from a MinHash signature array:
+    array<struct<band_id int, band_hash string>> where band_hash is the
+    md5 of the comma-joined signature slice — the exact banding used by
+    minhash_lsh_pairs / fuzzy_decontamination (their inline builders are
+    the historical copies of this kernel). Stateless, streaming-safe."""
+    rows = n_hashes // n_bands
+    c = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws(",", *[c[b * rows + r] for r in range(rows)])).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
 def strict_mean(value: Column | str) -> Column:
     """NA-poisoning mean — R's ``mean(x)`` DEFAULT (na.rm=FALSE): NULL if
     ANY input is NULL, else the mean. Spark's ``avg`` matches only R's

@@ -340,14 +340,6 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def load_table_schema(spark: SparkSession, sf_dir: str):
-    """Schema for the documents file stream, taken from the batch loader so
-    stream and batch agree by construction."""
-    from utils_spark.io import load_table
-
-    return load_table(spark, sf_dir, "documents").schema
-
-
 @register(
     "stream_curation_funnel",
     # streamed re-crawl: the document stream unioned with itself (every doc
@@ -386,12 +378,9 @@ def stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact dedup uses in batch — so state grows with UNIQUE content, not
     stream length. On a cluster the identical plan runs unbounded with a
     watermarked ingest timestamp for state TTL."""
-    docs_schema = load_table_schema(spark, sf_dir)
-    stream = (
-        spark.readStream.schema(docs_schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    from utils_spark.streaming.windows import read_documents_stream
+
+    stream = read_documents_stream(spark, sf_dir)
     stream = stream.union(stream)  # re-crawl: every doc arrives twice
     from utils_spark.functions import word_tokens
 
@@ -453,3 +442,85 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "complete",
     )
     return out.select("window_start", "event_type", "n", "total_value")
+
+
+def _near_dup_registry_oracle() -> str:
+    """Batch SQL twin of the streaming band registry: replay signatures
+    (the _LSH_ORACLE hash family), band every doc, and aggregate the
+    collision buckets (count >= 2) with winner-independent stats."""
+    from utils_spark.queries.text import MINHASH_P30, _minhash_constants
+
+    sig_elems = ", ".join(
+        f"CAST(list_min(list_transform(base, h -> ({a} * h + {b}) % {MINHASH_P30})) AS BIGINT)"
+        for a, b in _minhash_constants(16)
+    )
+    return f"""
+    WITH shingled AS (
+      SELECT doc_id,
+             list_transform(
+               list_distinct(list_transform(range(1, GREATEST(length(text) - 4, 1) + 1),
+                                            i -> substr(text, i, 5))),
+               s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 1073741824) AS base
+      FROM documents
+    ),
+    sig AS (SELECT doc_id, [{sig_elems}] AS sig FROM shingled),
+    bands AS (
+      SELECT doc_id, CAST(b.band_id AS INT) AS band_id,
+             md5(array_to_string(sig[b.band_id * 4 + 1 : b.band_id * 4 + 4], ',')) AS band_hash
+      FROM sig, (SELECT unnest(range(0, 4)) AS band_id) b
+    ),
+    reg AS (
+      SELECT band_id, band_hash, COUNT(*) AS n, MIN(doc_id) AS c, SUM(doc_id) AS s
+      FROM bands GROUP BY band_id, band_hash
+    )
+    SELECT band_id, band_hash, CAST(n AS BIGINT) AS n_docs,
+           CAST(c AS BIGINT) AS canonical_doc, CAST(s AS BIGINT) AS id_checksum
+    FROM reg WHERE n >= 2
+    """
+
+
+@register(
+    "stream_near_dup_registry",
+    # LIVE streaming NEAR-duplicate detection: MinHash band keys as the
+    # running state registry. Output is winner-independent (bucket
+    # counts + min/sum over doc ids), so it is deterministic however the
+    # single availableNow batch orders arrivals — unlike a per-band
+    # dropDuplicates formulation, whose survivor would depend on
+    # partition order when colliding docs share a micro-batch.
+    oracle=_near_dup_registry_oracle(),
+    tags=("streaming", "dedup", "minhash", "lsh", "live", "llm-pipeline"),
+)
+def stream_near_dup_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE streaming near-dup band registry (§2.9 x the dedup north
+    star): the DOCUMENT stream (a new file-source table, the ingest
+    stand-in for a curation firehose) flows through map-only MinHash
+    signatures + LSH banding — the same kernels as `minhash_lsh_pairs`,
+    now certified stateless-streaming-safe — into a running
+    (band_id, band_hash) state registry; buckets hit by >= 2 documents
+    are the near-dup collision set an ingest pipeline would route to
+    verification. At 100 TB the registry state is bounded by distinct
+    band keys and would be watermark-evicted by ingest time; here the
+    bounded backfill drains in one availableNow batch and must equal the
+    batch replay exactly."""
+    from utils_spark.functions import char_shingles, minhash_band_structs
+    from utils_spark.queries.text import _minhash_sig_col
+    from utils_spark.streaming.windows import read_documents_stream
+
+    docs = read_documents_stream(spark, sf_dir)
+    sig = docs.select("doc_id", _minhash_sig_col(char_shingles("text", 5), 16).alias("sig"))
+    bands = sig.select(
+        "doc_id", F.explode(minhash_band_structs("sig", 16, 4)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    reg = bands.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("canonical_doc"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+    out = _run_to_table(spark, reg, "complete")
+    return out.filter(F.col("n_docs") >= 2).select(
+        "band_id",
+        "band_hash",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("canonical_doc").cast("long").alias("canonical_doc"),
+        F.col("id_checksum").cast("long").alias("id_checksum"),
+    )

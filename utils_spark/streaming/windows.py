@@ -75,6 +75,24 @@ def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: 
     return df
 
 
+def read_documents_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the documents table — the ingest stand-in
+    for a document firehose (Kafka/queue in production). Schema comes
+    from the batch loader so stream and batch agree by construction
+    (documents has no legacy-timestamp branches, so no further
+    normalization is needed)."""
+    from utils_spark.io import load_table
+
+    schema = load_table(spark, sf_dir, "documents").schema
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", "documents.parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # the file source needs a DIRECTORY; select just the documents file
+    return reader.parquet(sf_dir)
+
+
 def windowed_counts_stream(
     events: DataFrame,
     window: str = "1 hour",
