@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from utils_spark.functions import char_shingles, md5_long
+from utils_spark.functions import char_shingles, md5_long, minhash_band_structs
 from utils_spark.plans import cut_lineage
 
 
@@ -52,7 +52,6 @@ def minhash_lsh_candidates(
     (band_id, band_hash) self-join — never O(n²) pair enumeration."""
     from utils_spark.queries.text import _minhash_sig_col
 
-    rows_per_band = n_hashes // n_bands
     # signature computation is CPU-bound (n_hashes × grams/doc per row); a
     # single-file local scan arrives as ONE partition (parquet splits at
     # row-group granularity), which would serialize it. Spread only when
@@ -69,21 +68,7 @@ def minhash_lsh_candidates(
     bands = sig.select(
         "__key",
         "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.md5(
-                            F.concat_ws(
-                                ",", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
+        F.explode(minhash_band_structs("sig", n_hashes, n_bands)).alias("band"),
     ).select("__key", "sig", "band.band_id", "band.band_hash")
     a, b = bands.alias("a"), bands.alias("b")
     est: Column = (

@@ -14,7 +14,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from utils_spark.functions import char_shingles, det_order_key, md5_long, word_tokens
+from utils_spark.functions import (
+    char_shingles,
+    det_order_key,
+    md5_long,
+    minhash_band_structs,
+    word_tokens,
+)
 from utils_spark.io import load_table
 from utils_spark.registry import register
 
@@ -801,7 +807,6 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the canonical 100 TB near-dup design (MinHashLSH as in MLlib, but with
     deterministic md5 hashing and explicit banding)."""
     n_hashes, n_bands = 16, 4
-    rows_per_band = n_hashes // n_bands
     # local testdata is ONE parquet file with ONE row group, so the scan is
     # a single partition no matter what spark.sql.files.maxPartitionBytes
     # says (parquet splits at row-group granularity) — repartition is the
@@ -816,19 +821,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select(
         "doc_id",
         "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.md5(F.concat_ws(",", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])).alias(
-                            "band_hash"
-                        ),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
+        F.explode(minhash_band_structs("sig", n_hashes, n_bands)).alias("band"),
     ).select("doc_id", "sig", "band.band_id", "band.band_hash")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -1177,7 +1170,6 @@ def fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval-suite set), so the probe side streams map-only and no doc×doc
     pairing ever materializes."""
     n_hashes, n_bands = 16, 4
-    rows_per_band = n_hashes // n_bands
     d = load_table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
     if d.rdd.getNumPartitions() < max(2, par // 2):
@@ -1186,21 +1178,7 @@ def fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select(
         "doc_id",
         "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.md5(
-                            F.concat_ws(
-                                ",", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
+        F.explode(minhash_band_structs("sig", n_hashes, n_bands)).alias("band"),
     ).select("doc_id", "sig", "band.band_id", "band.band_hash")
     train = bands.filter(F.col("doc_id") % 50 != 0)
     bench = bands.filter(F.col("doc_id") % 50 == 0).select(
