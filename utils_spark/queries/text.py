@@ -3526,3 +3526,174 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bloom").cast("long").alias("n_gram_hits_bloom"),
         F.sum("n_exact").cast("long").alias("n_gram_hits_exact"),
     )
+
+
+# --- SimHash near-duplicate pairing (Charikar STOC'02; Manku et al. WWW'07) --
+
+_SIMHASH_BITS = 48  # bit-vote signature width (exact in double: < 2^53)
+_SIMHASH_BANDS = 4  # band count; 12 bits/band
+_SIMHASH_K = 3  # Hamming radius; <= bands-1 so banding has perfect recall
+
+
+def _simhash_sig48(text_col: str):
+    """48-bit SimHash signature Column over distinct word tokens: each
+    token's md5-derived 48-bit hash votes ±1 per bit position; the
+    signature sets bits whose vote sum is positive. All arithmetic is
+    exact: token hashes < 2^48 so floor(h / 2^b) % 2 is lossless in
+    double (division by a power of two only shifts the exponent), and
+    the positional weight 2^b (b <= 47) fits a long. Returns
+    (sig_long, band_vals array<long>[4]) — band k holds bits
+    [12k, 12k+12), so sig == sum(band_vals[k] * 2^(12k)).
+
+    The 48 per-bit vote sums accumulate in ONE pass over the token
+    array (array accumulator + zip_with), so the md5 hash runs exactly
+    once per token — a per-bit aggregate formulation inlines the hash
+    array into all 48 aggregates (CollapseProject re-inlines it even
+    through an intermediate projection) and was measured 48× the
+    hashing work (20 s → 4 s at sf0.1)."""
+    hs = F.transform(
+        F.array_distinct(word_tokens(text_col)),
+        lambda t: md5_long(t) % F.lit(1 << _SIMHASH_BITS).cast("long"),
+    )
+
+    def bit_of(h, b):
+        # floor(h / 2^b) % 2 — identical to DuckDB BIGINT (h >> b) & 1
+        return F.floor(h.cast("double") / F.pow(F.lit(2.0), b.cast("double"))).cast("long") % 2
+
+    bit_range = F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))
+    votes = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0), _SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(bit_range, lambda b: F.when(bit_of(h, b) == 1, 1).otherwise(-1)),
+            lambda a, v: a + v,
+        ),
+    )
+    bits = F.transform(votes, lambda v: F.when(v > 0, 1).otherwise(0).cast("long"))
+
+    def weighted(arr):
+        # sum(arr[i] * 2^i) via a (sum, weight) fold — pure long arithmetic
+        acc0 = F.struct(F.lit(0).cast("long").alias("s"), F.lit(1).cast("long").alias("w"))
+        return F.aggregate(
+            arr,
+            acc0,
+            lambda a, x: F.struct((a["s"] + x * a["w"]).alias("s"), (a["w"] * 2).alias("w")),
+            lambda a: a["s"],
+        )
+
+    width = _SIMHASH_BITS // _SIMHASH_BANDS
+    band_vals = F.transform(
+        F.sequence(F.lit(0), F.lit(_SIMHASH_BANDS - 1)),
+        lambda k: weighted(F.slice(bits, k * width + 1, width)),
+    )
+    return weighted(bits), band_vals
+
+
+@register(
+    "simhash_hamming_pairs",
+    # SimHash near-dup pairs at CLUSTER grain: identical signatures are
+    # collapsed first (the exact-dedup trick), then only DISTINCT
+    # signatures are banded — the brute-force oracle over distinct sigs
+    # proves the banded join loses nothing (Hamming <= 3 over 4 bands
+    # leaves >= 1 band untouched, pigeonhole).
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(
+               list_distinct(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                         x -> x <> '')),
+               w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)
+                    % {1 << _SIMHASH_BITS}) AS hs
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, {_SIMHASH_BITS}),
+                  b -> CASE WHEN list_sum(list_transform(hs,
+                         h -> CASE WHEN (h // (CAST(1 AS BIGINT) << b)) % 2 = 1
+                              THEN 1 ELSE -1 END)) > 0
+                       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS sig
+      FROM toks
+    ),
+    clus AS (
+      SELECT sig, CAST(MIN(doc_id) AS BIGINT) AS rep,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM sig GROUP BY sig
+    )
+    SELECT a.rep AS rep_a, b.rep AS rep_b, a.n_docs AS n_docs_a,
+           b.n_docs AS n_docs_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming,
+           a.n_docs * b.n_docs AS pair_weight
+    FROM clus a JOIN clus b ON a.rep < b.rep
+    WHERE bit_count(xor(a.sig, b.sig)) <= {_SIMHASH_K}
+    """,
+    tags=("text", "dedup", "simhash", "lsh", "llm-pipeline"),
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate detection (Charikar STOC'02 random-hyperplane
+    sketch; the banded Hamming lookup is Manku, Jain & Das Sarma WWW'07 —
+    Google's web near-dup detector): 48-bit bit-vote signatures over
+    distinct word tokens; identical signatures are collapsed into
+    clusters FIRST; then only distinct signatures are banded (4
+    contiguous 12-bit bands) and cluster pairs within Hamming distance 3
+    are emitted with their member counts. Recall is PROVABLY perfect:
+    <= 3 differing bits touch at most 3 of the 4 bands, so at least one
+    band matches exactly (pigeonhole) — the brute-force oracle over
+    distinct signatures checks exactly this.
+
+    Completes the dedup taxonomy's SimHash family at pair level
+    (`simhash_signature` emits only per-doc sketches).
+
+    Scale shape: signatures are map-only JVM array expressions (one md5
+    per distinct token, zero shuffle); collapsing identical signatures
+    BEFORE banding is the load-bearing design — near-dup corpora have
+    huge identical-signature clusters, and enumerating within-cluster
+    pairs is quadratic in cluster size (an early doc-grain draft emitted
+    994k pairs at sf0.1 in 36 s; this emits the same information as
+    cluster pairs + weights in bounded output). The banded join then
+    shuffles only (band_id, band_value) keys over DISTINCT signatures —
+    never O(n²) in docs. Band width is the scale knob (Manku et al. use
+    64-bit sigs with wider bands at web scale); 12-bit bands keep every
+    integer exact in double for cross-engine parity while preserving the
+    identical banded plan shape."""
+    d = load_table(spark, sf_dir, "documents")
+    # single-file local scans arrive as ONE partition; the 48-way bit
+    # votes are CPU-bound, so spread them when scan parallelism is low
+    # (no-op on a many-file cluster read — same guard as minhash_lsh_pairs)
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < max(2, par // 2):
+        d = d.repartition(par)
+    sig, band_vals = _simhash_sig48("text")
+    clus = (
+        d.select("doc_id", sig.alias("sig"), band_vals.alias("band_vals"))
+        .groupBy("sig")
+        .agg(
+            F.min("doc_id").cast("long").alias("rep"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.first("band_vals").alias("band_vals"),
+        )
+    )
+    bands = clus.select(
+        "sig", "rep", "n_docs", F.posexplode("band_vals").alias("band_id", "band_val")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.rep") < F.col("b.rep")),
+        )
+        .filter(hamming <= _SIMHASH_K)
+        .select(
+            F.col("a.rep").alias("rep_a"),
+            F.col("b.rep").alias("rep_b"),
+            F.col("a.n_docs").alias("n_docs_a"),
+            F.col("b.n_docs").alias("n_docs_b"),
+            hamming.cast("int").alias("hamming"),
+            (F.col("a.n_docs") * F.col("b.n_docs")).alias("pair_weight"),
+        )
+        .distinct()
+    )
