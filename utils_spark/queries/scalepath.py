@@ -426,3 +426,129 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("yb").cast("int").alias("max_yb"),
         )
     )
+
+
+# --- HyperLogLog with explicit, engine-identical registers ------------------
+
+_HLL_M = 256  # registers (p = 8); standard error 1.04/sqrt(256) = 6.5%
+# alpha_m for m >= 128 (Flajolet et al. 2007): 0.7213 / (1 + 1.079/m) — the
+# Python float literal is interpolated into BOTH engines, so it is the
+# identical double by construction
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / 256)
+_HLL_WBITS = 30  # rank-word width; rho in [1, 31], exact in double
+
+
+@register(
+    "hll_cardinality_sketch",
+    # HyperLogLog (Flajolet, Fusy, Gandouet & Meunier, AofA 2007) with
+    # DETERMINISTIC md5 register hashing — both engines build the
+    # byte-identical 64-register sketch (register_sum is the checksum),
+    # alongside the exact COUNT(DISTINCT) certifying the estimate error.
+    # Bit length via binary-string conv/bin — floor(log2()) is NOT
+    # engine-stable (Spark's log2(2^29) = 29.000000000000004).
+    oracle=f"""
+    WITH h AS (
+      SELECT l_returnflag AS flag,
+             CAST(('0x' || substr(md5('reg:' || CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT)
+               % {_HLL_M} AS j,
+             CAST(('0x' || substr(md5('rho:' || CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT)
+               % {1 << _HLL_WBITS} AS w
+      FROM lineitem
+    ),
+    regs AS (
+      SELECT flag, j,
+             MAX(CASE WHEN w = 0 THEN {_HLL_WBITS + 1}
+                      ELSE {_HLL_WBITS + 1} - length(bin(w)) END) AS m
+      FROM h GROUP BY flag, j
+    ),
+    agg AS (
+      SELECT flag,
+             SUM(power(2.0, -m)) + ({_HLL_M} - COUNT(*)) AS inv_sum,
+             {_HLL_M} - COUNT(*) AS v,
+             CAST(SUM(m) AS BIGINT) AS register_sum
+      FROM regs GROUP BY flag
+    ),
+    est AS (
+      SELECT flag, register_sum, v,
+             CASE WHEN CAST({_HLL_ALPHA} AS DOUBLE) * {_HLL_M * _HLL_M} / inv_sum
+                         <= {2.5 * _HLL_M} AND v > 0
+                  THEN {_HLL_M} * ln({_HLL_M} * 1.0 / v)
+                  ELSE CAST({_HLL_ALPHA} AS DOUBLE) * {_HLL_M * _HLL_M} / inv_sum END AS e
+      FROM agg
+    ),
+    ex AS (
+      SELECT l_returnflag AS flag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+      FROM lineitem GROUP BY 1
+    )
+    SELECT est.flag AS l_returnflag, ex.exact_distinct,
+           ROUND(est.e, 4) AS hll_estimate,
+           ROUND((est.e - ex.exact_distinct) / ex.exact_distinct, 4) AS rel_error,
+           est.register_sum, CAST(est.v AS INT) AS zero_registers
+    FROM est JOIN ex ON est.flag = ex.flag
+    """,
+    tags=("sketch", "scale-path", "llm-pipeline", "hll"),
+)
+def hll_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007) with
+    EXPLICIT registers: per return flag, every l_partkey hashes to one of
+    256 registers (md5 'reg:' stream) and contributes rho = leading-zero
+    rank of a 30-bit md5 'rho:' word; registers keep max(rho); the
+    harmonic-mean estimate (alpha_m * m^2 / sum 2^-M_j, linear-counting
+    fallback when E <= 2.5m with empty registers) rides next to the exact
+    COUNT(DISTINCT) that certifies its error. Deterministic md5 hashing
+    means both engines materialize the byte-identical register array —
+    register_sum is the checksum (contrast `approx_sketch_aggs`, which
+    certifies Spark's own built-in HLL++ only by error bound, since its
+    internal sketch is not reproducible engine-independently).
+
+    Completes the sketch family: Count-Min (frequency), Bloom
+    (membership), MinHash (similarity), HLL (cardinality).
+
+    Scale shape: the sketch path never shuffles corpus volume — map-side
+    partial max() collapses each task's stream to <= m x n_groups
+    register cells before the exchange (the entire point of HLL: distinct
+    counting at 100 TB without a key-cardinality shuffle; the exact
+    COUNT(DISTINCT) here is the small-SF certificate, not the scale
+    path). Rank extraction uses binary-string length (conv/bin), not
+    floor(log2()) — Spark's log2 is not exact on powers of two
+    (log2(2^29) = 29.000000000000004) and the two engines would disagree."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"), "l_partkey"
+    )
+    from utils_spark.functions import md5_long
+
+    key = F.col("l_partkey").cast("string")
+    j = md5_long(F.concat(F.lit("reg:"), key)) % _HLL_M
+    w = md5_long(F.concat(F.lit("rho:"), key)) % (1 << _HLL_WBITS)
+    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    regs = (
+        li.select("flag", j.alias("j"), rho.alias("rho"))
+        .groupBy("flag", "j")
+        .agg(F.max("rho").alias("m"))
+    )
+    agg = regs.groupBy("flag").agg(
+        (F.sum(F.pow(F.lit(2.0), -F.col("m"))) + (_HLL_M - F.count("*"))).alias("inv_sum"),
+        (_HLL_M - F.count("*")).alias("v"),
+        F.sum("m").cast("long").alias("register_sum"),
+    )
+    raw = F.lit(_HLL_ALPHA) * (_HLL_M * _HLL_M) / F.col("inv_sum")
+    est = F.when(
+        (raw <= 2.5 * _HLL_M) & (F.col("v") > 0),
+        F.lit(float(_HLL_M)) * F.log(_HLL_M / F.col("v")),
+    ).otherwise(raw)
+    ex = li.groupBy("flag").agg(F.count_distinct("l_partkey").cast("long").alias("exact_distinct"))
+    return (
+        agg.join(ex, "flag")
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            "exact_distinct",
+            F.round(est, 4).alias("hll_estimate"),
+            F.round((est - F.col("exact_distinct")) / F.col("exact_distinct"), 4).alias(
+                "rel_error"
+            ),
+            "register_sum",
+            F.col("v").cast("int").alias("zero_registers"),
+        )
+    )
