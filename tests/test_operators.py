@@ -620,6 +620,96 @@ def test_bpe_oracle_merge_identical_token_runs():
     assert sorted(got) == sorted(want), (sorted(got), sorted(want))
 
 
+def _wordpiece_reference(texts, n_merges):
+    """Pure-Python WordPiece trainer (Schuster & Nakajima 2012) as the test
+    oracle: BPE round structure with the likelihood argmax
+    count(l,r)/(count(l)*count(r)). Score comparison in Python doubles —
+    the same arithmetic both engines perform."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.split():
+            words[w] += 1
+    vocab = {w: [c for c in w] for w in words}
+    merges = []
+    for rnd in range(1, n_merges + 1):
+        counts, uni = Counter(), Counter()
+        for w, toks in vocab.items():
+            for tok in toks:
+                uni[tok] += words[w]
+            for i in range(len(toks) - 1):
+                counts[(toks[i], toks[i + 1])] += words[w]
+        if not counts:
+            break
+        (l, r), cnt = min(
+            counts.items(), key=lambda kv: (-(kv[1] / (uni[kv[0][0]] * uni[kv[0][1]])), kv[0])
+        )
+        merges.append((rnd, l, r, cnt, uni[l], uni[r]))
+        for w, toks in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == l and toks[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_wordpiece_train_matches_reference(spark):
+    """The distributed WordPiece trainer must reproduce the sequential
+    likelihood-argmax algorithm exactly — merge choices driven by the
+    cnt/(cl*cr) score (NOT raw frequency: the corpus is built so the two
+    criteria pick different pairs), tie-breaks, and the constituent
+    unigram counts."""
+    from utils_spark.operators.textmodel import wordpiece_train
+
+    texts = [
+        "low low low low lower lower newest newest newest widest",
+        "aaa aaa abab abab abab banana bandana",
+        "the cat sat on the mat the bat qu qu",
+    ]
+    want = _wordpiece_reference(texts, 10)
+    bpe_first = _bpe_reference(texts, 1)[0][1:3]
+    wp_first = want[0][1:3]
+    assert bpe_first != wp_first, "corpus fails to distinguish WordPiece from BPE"
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["id", "text"])
+    got = [
+        (r.merge_round, r.left_tok, r.right_tok, r.pair_count, r.left_count, r.right_count)
+        for r in wordpiece_train(df, "text", 10).orderBy("merge_round").collect()
+    ]
+    assert got == want, (got, want)
+
+
+def test_wordpiece_oracle_matches_reference():
+    """The generated likelihood-mode SQL oracle replays the same rounds:
+    run it in DuckDB on the distinguishing corpus (plus identical-token
+    runs for the greedy fold) and require the merge table to match the
+    sequential reference."""
+    import duckdb
+
+    from utils_spark.queries.text import _wordpiece_train_oracle
+
+    texts = [
+        "low low low low lower lower newest newest newest widest",
+        "aaaaa aaaaa abab abab qu qu",
+        "the cat sat on the mat the bat",
+    ]
+    want = _wordpiece_reference(texts, 8)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{t}')" for t in texts)
+        + ") t(text)"
+    )
+    got = [tuple(r) for r in con.execute(_wordpiece_train_oracle(8)).fetchall()]
+    con.close()
+    assert sorted(got) == sorted(want), (sorted(got), sorted(want))
+
+
 def _unigram_reference(texts):
     """Pure-Python Viterbi-EM unigram trainer implementing the operator's
     exact spec (seed, smallest-k tie-break, prune-in-M, single-char

@@ -114,6 +114,43 @@ def bpe_pair_counts(df: DataFrame, text_col: str) -> DataFrame:
     return pair_rows.groupBy("pair").agg(F.sum("n").cast("long").alias("pair_count"))
 
 
+def _greedy_merge_fold(l: str, r: str):
+    """Greedy left-to-right (l, r) -> l||r merge over the ``toks`` array
+    column as a JVM-side fold: an occurrence merges iff the accumulator's
+    last token is exactly ``l`` and the current token is ``r``, so consumed
+    tokens can't re-match ("aaa" with (a,a) -> [aa, a]) and a merged token
+    only matches rules addressed to it. Shared by the BPE and WordPiece
+    trainers (identical merge semantics; they differ only in the pair
+    SELECTION criterion)."""
+    merged = l + r
+    return F.aggregate(
+        F.col("toks"),
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == F.lit(l)) & (x == F.lit(r)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _word_symbol_table(df: DataFrame, text_col: str) -> DataFrame:
+    """(w, toks, n) word-frequency table with words split to character
+    symbol sequences — the shared starting state of BPE and WordPiece
+    training. One corpus-sized shuffle; everything after is
+    O(vocab x word-length)."""
+    sep = "\x1f"
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")), lambda i: F.col("w").substr(i, F.lit(1))
+    )
+    return (
+        df.select(F.explode(word_tokens(text_col)).alias("w"))
+        .filter(~F.col("w").contains(sep))  # sentinel guard (oracle twin)
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .select("w", chars.alias("toks"), "n")
+    )
+
+
 def bpe_train(df: DataFrame, text_col: str, n_merges: int = 8, return_vocab: bool = False):
     """FULL iterative BPE tokenizer training (Sennrich et al. 2016, the
     public neural-MT subword recipe): collapse the corpus to its word
@@ -142,18 +179,7 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 8, return_vocab: boo
     from utils_spark.plans import cut_lineage
 
     sess = df.sparkSession
-    sep = "\x1f"
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length("w")), lambda i: F.col("w").substr(i, F.lit(1))
-    )
-    words = (
-        df.select(F.explode(word_tokens(text_col)).alias("w"))
-        .filter(~F.col("w").contains(sep))  # sentinel guard (oracle twin)
-        .groupBy("w")
-        .agg(F.count("*").alias("n"))
-        .select("w", chars.alias("toks"), "n")
-    )
-    words = cut_lineage(words)
+    words = cut_lineage(_word_symbol_table(df, text_col))
     merges = []
     for rnd in range(1, n_merges + 1):
         pair_idx = F.when(
@@ -182,24 +208,89 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 8, return_vocab: boo
             break
         l, r, cnt = best[0].l, best[0].r, best[0].cnt
         merges.append((rnd, l, r, cnt))
-        merged = l + r
-        fold = F.aggregate(
-            F.col("toks"),
-            F.expr("CAST(array() AS array<string>)"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(l))
-                & (x == F.lit(r)),
-                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
-        words = cut_lineage(words.select("w", fold.alias("toks"), "n"))
+        words = cut_lineage(words.select("w", _greedy_merge_fold(l, r).alias("toks"), "n"))
     merges_df = sess.createDataFrame(
         merges, "merge_round int, left_tok string, right_tok string, pair_count long"
     )
     if return_vocab:
         return merges_df, words.select("w", "toks")
     return merges_df
+
+
+def wordpiece_train(df: DataFrame, text_col: str, n_merges: int = 8) -> DataFrame:
+    """FULL iterative WordPiece tokenizer training (Schuster & Nakajima,
+    ICASSP 2012 — the BERT tokenizer's trainer): identical round
+    structure to ``bpe_train`` (count -> argmax -> greedy merge over the
+    word-frequency symbol table), but the merge criterion is the
+    LIKELIHOOD score count(l,r) / (count(l) * count(r)) — the pair whose
+    merge most increases a unigram LM's corpus likelihood — instead of
+    raw pair frequency. Tie-break (score desc, l asc, r asc) is fully
+    deterministic; the score comparison is exact across engines because
+    both divide the same exact BIGINTs in double precision (all counts
+    < 2^53). Returns (merge_round, left_tok, right_tok, pair_count,
+    left_count, right_count) — counts, not the float score, so the
+    emitted table is integer-exact.
+
+    The '##' continuation-prefix surface convention of BERT vocabularies
+    is deliberately omitted: it is an apply-side display detail, while
+    the likelihood criterion IS the algorithmic difference between
+    WordPiece and BPE (Sennrich 2016 vs Schuster & Nakajima 2012).
+
+    Scale shape: identical to ``bpe_train`` — one corpus-sized shuffle
+    builds the word-frequency table, then every round is O(vocab x
+    word-length) regardless of corpus size: a bounded pair aggregation,
+    a bounded unigram aggregation, a broadcast-sized 3-way join between
+    them, and a 1-row argmax collect; vocab lineage cut per round."""
+    from utils_spark.plans import cut_lineage
+
+    sess = df.sparkSession
+    words = cut_lineage(_word_symbol_table(df, text_col))
+    merges = []
+    for rnd in range(1, n_merges + 1):
+        pair_idx = F.when(
+            F.size("toks") >= 2, F.sequence(F.lit(1), F.size("toks") - 1)
+        ).otherwise(F.expr("array()").cast("array<int>"))
+        pairs = (
+            words.select(
+                "n",
+                F.explode(
+                    F.transform(
+                        pair_idx,
+                        lambda i: F.struct(
+                            F.element_at("toks", i).alias("l"),
+                            F.element_at("toks", i + F.lit(1)).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("n").cast("long").alias("cnt"))
+        )
+        uni = (
+            words.select("n", F.explode("toks").alias("tok"))
+            .groupBy("tok")
+            .agg(F.sum("n").cast("long").alias("c"))
+        )
+        ul = uni.select(F.col("tok").alias("l"), F.col("c").alias("lc"))
+        ur = uni.select(F.col("tok").alias("r"), F.col("c").alias("rc"))
+        score = F.col("cnt").cast("double") / (F.col("lc") * F.col("rc"))
+        best = (
+            pairs.join(ul, "l")
+            .join(ur, "r")
+            .orderBy(F.desc(score), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        row = best[0]
+        merges.append((rnd, row.l, row.r, row.cnt, row.lc, row.rc))
+        words = cut_lineage(words.select("w", _greedy_merge_fold(row.l, row.r).alias("toks"), "n"))
+    return sess.createDataFrame(
+        merges,
+        "merge_round int, left_tok string, right_tok string, "
+        "pair_count long, left_count long, right_count long",
+    )
 
 
 # --- Unigram-LM tokenizer (Kudo 2018, SentencePiece's default) -------------

@@ -2485,7 +2485,7 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tallies.orderBy(F.desc("pair_count"), F.asc("pair")).limit(20)
 
 
-def _bpe_cte_parts(n_rounds: int) -> str:
+def _bpe_cte_parts(n_rounds: int, mode: str = "bpe") -> str:
     """Shared WITH-clause body for the BPE oracles (training + apply):
     words0..words{n} CTEs replaying every merge round. Tokens live in a
     chr(31)-sentinel string ("\\x1ft1\\x1ft2\\x1f"); the merge is a TRUE
@@ -2507,7 +2507,7 @@ def _bpe_cte_parts(n_rounds: int) -> str:
     test_bpe_oracle_merge_identical_token_runs.)"""
     parts = [
         """
-    WITH words0 AS (
+    WITH words0 AS MATERIALIZED (
       SELECT chr(31) || array_to_string(list_transform(range(1, length(w) + 1),
                                                        i -> substr(w, i, 1)), chr(31))
              || chr(31) AS s,
@@ -2521,6 +2521,30 @@ def _bpe_cte_parts(n_rounds: int) -> str:
     ]
     for r in range(1, n_rounds + 1):
         prev = r - 1
+        if mode == "wordpiece":
+            # WordPiece argmax: likelihood score cnt/(count(l)*count(r)) —
+            # exact BIGINTs divided in double, identical in both engines
+            best_cte = f"""
+    uni{r} AS (
+      SELECT tok, CAST(SUM(n) AS BIGINT) AS c
+      FROM (SELECT n, unnest(list_filter(string_split(s, chr(31)), x -> x <> '')) AS tok
+            FROM words{prev})
+      GROUP BY tok
+    ),
+    best{r} AS (
+      SELECT p.left_tok, p.right_tok, p.cnt, ul.c AS left_cnt, ur.c AS right_cnt
+      FROM pairs{r} p
+      JOIN uni{r} ul ON ul.tok = p.left_tok
+      JOIN uni{r} ur ON ur.tok = p.right_tok
+      ORDER BY CAST(p.cnt AS DOUBLE) / (ul.c * ur.c) DESC,
+               p.left_tok ASC, p.right_tok ASC LIMIT 1
+    ),"""
+        else:
+            best_cte = f"""
+    best{r} AS (
+      SELECT left_tok, right_tok, cnt FROM pairs{r}
+      ORDER BY cnt DESC, left_tok ASC, right_tok ASC LIMIT 1
+    ),"""
         parts.append(f"""
     pairs{r} AS (
       SELECT p.t[1] AS left_tok, p.t[2] AS right_tok, CAST(SUM(n) AS BIGINT) AS cnt
@@ -2531,12 +2555,8 @@ def _bpe_cte_parts(n_rounds: int) -> str:
             FROM (SELECT list_filter(string_split(s, chr(31)), x -> x <> '') AS toks, n
                   FROM words{prev}))
       GROUP BY 1, 2
-    ),
-    best{r} AS (
-      SELECT left_tok, right_tok, cnt FROM pairs{r}
-      ORDER BY cnt DESC, left_tok ASC, right_tok ASC LIMIT 1
-    ),
-    words{r} AS (
+    ),{best_cte}
+    words{r} AS MATERIALIZED (
       SELECT chr(31) || list_reduce(
                list_filter(string_split(w.s, chr(31)), x -> x <> ''),
                (acc, x) -> CASE WHEN x = b.right_tok
@@ -2559,6 +2579,18 @@ def _bpe_train_oracle(n_rounds: int) -> str:
         for r in range(1, n_rounds + 1)
     )
     return _bpe_cte_parts(n_rounds) + "\n    " + selects
+
+
+def _wordpiece_train_oracle(n_rounds: int) -> str:
+    """Generated N-step SQL twin of ``wordpiece_train``: the shared round
+    CTEs in likelihood-score mode plus the union of each round's argmax
+    merge row with its constituent unigram counts."""
+    selects = "\n    UNION ALL\n    ".join(
+        f"SELECT {r} AS merge_round, left_tok, right_tok, cnt AS pair_count, "
+        f"left_cnt AS left_count, right_cnt AS right_count FROM best{r}"
+        for r in range(1, n_rounds + 1)
+    )
+    return _bpe_cte_parts(n_rounds, mode="wordpiece") + "\n    " + selects
 
 
 @register(
@@ -2587,6 +2619,37 @@ def bpe_training_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return bpe_train(d, "text", n_merges=8)
+
+
+@register(
+    "wordpiece_training_rounds",
+    # FULL iterative WordPiece training (8 merge rounds): same round
+    # structure as BPE but the argmax criterion is the likelihood score
+    # cnt/(count(l)*count(r)) — the algorithmic difference between the
+    # two trainers. Integer-only output; deterministic tie-break.
+    oracle=_wordpiece_train_oracle(8),
+    tags=("text", "tokenizer", "llm-pipeline", "wordpiece", "iterative"),
+)
+def wordpiece_training_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end WordPiece tokenizer induction, distributed (Schuster &
+    Nakajima, ICASSP 2012 — the BERT tokenizer's trainer): 8 rounds of
+    count pairs + unigrams -> argmax LIKELIHOOD score count(l,r) /
+    (count(l)*count(r)) -> greedy merge. Third tokenizer family beside
+    BPE (`bpe_training_rounds`, frequency argmax) and unigram-LM
+    (`unigram_lm_tokenizer`, Viterbi-EM pruning); the emitted merge
+    table carries the constituent unigram counts so the score is
+    derivable without hashing floats.
+
+    Scale shape: identical to BPE training — one corpus-sized shuffle to
+    the word-frequency table, then each round is O(vocab x word-length)
+    independent of corpus size (bounded pair + unigram aggregations, a
+    vocab-bounded 3-way join, a 1-row argmax collect; lineage cut per
+    round). The oracle replays all 8 rounds in generated SQL with the
+    likelihood-mode argmax and the true-fold greedy merge."""
+    from utils_spark.operators.textmodel import wordpiece_train
+
+    d = load_table(spark, sf_dir, "documents")
+    return wordpiece_train(d, "text", n_merges=8)
 
 
 @register(
