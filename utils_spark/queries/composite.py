@@ -1722,3 +1722,104 @@ def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("anchor", "neighbor", "aa_score", "common_suppliers", "rnk")
     )
+
+
+def _lpa_oracle(n_rounds: int) -> str:
+    """Generated N-round SQL twin of ``ml.label_propagation`` on the
+    customer-supplier graph: per round every node adopts its most
+    frequent neighbor label (ties -> smallest label). Round CTEs are
+    MATERIALIZED — each is referenced twice (vote join + carry-forward
+    base), so inlining would double the plan per round."""
+    parts = [
+        """
+    WITH pair AS (
+      SELECT DISTINCT o.o_custkey * 2 AS u, li.l_suppkey * 2 + 1 AS v
+      FROM orders o JOIN lineitem li ON o.o_orderkey = li.l_orderkey
+    ),
+    edges AS MATERIALIZED (
+      SELECT u, v FROM pair UNION SELECT v AS u, u AS v FROM pair
+    ),
+    l0 AS MATERIALIZED (
+      SELECT DISTINCT u AS node, u AS label FROM edges
+    )"""
+    ]
+    for r in range(1, n_rounds + 1):
+        prev = r - 1
+        parts.append(f"""
+    l{r} AS MATERIALIZED (
+      SELECT n.node, COALESCE(nl.label, n.label) AS label
+      FROM l{prev} n LEFT JOIN (
+        SELECT u, label FROM (
+          SELECT e.u, l.label,
+                 row_number() OVER (PARTITION BY e.u
+                                    ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+          FROM edges e JOIN l{prev} l ON l.node = e.v
+          GROUP BY e.u, l.label) q
+        WHERE rn = 1
+      ) nl ON nl.u = n.node
+    )""")
+    return ",".join(parts) + f"""
+    , comm AS (
+      SELECT label, COUNT(*) AS size, CAST(SUM(node) AS BIGINT) AS member_checksum
+      FROM l{n_rounds} GROUP BY label
+    )
+    SELECT CAST(size AS BIGINT) AS size,
+           CAST(COUNT(*) AS BIGINT) AS n_communities,
+           CAST(SUM(member_checksum) AS BIGINT) AS checksum
+    FROM comm GROUP BY size
+    """
+
+
+@register(
+    "lpa_communities",
+    # Synchronous label propagation (Raghavan, Albert & Kumara 2007) — 4
+    # deterministic rounds on the customer-supplier graph; the oracle
+    # replays every round in generated MATERIALIZED-CTE SQL (the
+    # pagerank/BPE technique). Output is the community-size histogram
+    # with membership checksums, winner-set exact.
+    oracle=_lpa_oracle(4),
+    tags=("composite", "graph", "communities", "iterative"),
+)
+def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection (Raghavan et al., Phys. Rev.
+    E 2007 — the near-linear-time community baseline): 4 synchronous
+    rounds over the customer-supplier interaction graph; each node
+    adopts its most frequent neighbor label, ties to the smallest label
+    (fully deterministic — no randomized update order). Complements
+    modularity-based Louvain/Leiden: LPA is the cheap first-pass
+    community sweep a 100 TB graph gets before heavier objectives.
+    Emits the community-size histogram with per-size membership
+    checksums, so any mis-assignment is hash-visible.
+
+    Scale shape: per round one label-keyed join (edges x labels) + one
+    (node, label) vote aggregation + a per-node argmax window — all
+    keyed shuffles bounded by the edge list, never node^2; lineage cut
+    every second round (operators/ml.py:199). The synchronous update
+    rule is what makes the result engine-replayable; classic
+    random-order asynchronous LPA cannot be oracled."""
+    from utils_spark.operators.ml import label_propagation
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pair = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    nodes = (
+        pair.select(F.col("u").alias("n"))
+        .unionByName(pair.select(F.col("v").alias("n")))
+        .distinct()
+    )
+    lbl = label_propagation(pair, nodes, "n", max_iter=4)
+    comm = lbl.groupBy("label").agg(
+        F.count("*").alias("size"),
+        F.sum("node").cast("long").alias("member_checksum"),
+    )
+    return comm.groupBy(F.col("size").cast("long").alias("size")).agg(
+        F.count("*").cast("long").alias("n_communities"),
+        F.sum("member_checksum").cast("long").alias("checksum"),
+    )
