@@ -498,6 +498,53 @@ def test_prefix_filter_jaccard_matches_brute_force(spark):
             assert abs(got[pair] - j) < 1e-12
 
 
+def test_prefix_filter_containment_matches_brute_force(spark):
+    """The asymmetric containment prefix filter must have PERFECT recall:
+    the verified ORDERED pair set equals brute-force all-ordered-pairs
+    containment on a corpus with planted excerpts (short docs copied
+    verbatim into longer hosts — the case symmetric Jaccard misses)."""
+    import itertools
+    import random
+
+    from utils_spark.operators.dedup import prefix_filtered_containment_pairs
+
+    rng = random.Random(13)
+    alphabet = "abcdefgh "
+    hosts = ["".join(rng.choice(alphabet) for _ in range(90)) for _ in range(8)]
+    texts = []
+    did = 0
+    for h in hosts:
+        texts.append((did, h)); did += 1
+        # an excerpt: a 25-char slice of the host (fully contained)
+        start = rng.randrange(len(h) - 25)
+        texts.append((did, h[start : start + 25])); did += 1
+        # a mutated excerpt: mostly-contained
+        mut = list(h[start : start + 30])
+        mut[rng.randrange(len(mut))] = rng.choice(alphabet)
+        texts.append((did, "".join(mut))); did += 1
+    for num, den in ((4, 5), (9, 10), (1, 2)):
+        sets = {
+            i: {t[j : j + 5] for j in range(max(len(t) - 5, 0) + 1)} for i, t in texts
+        }
+        want = {}
+        for (ia, sa), (ib, sb) in itertools.permutations(sorted(sets.items()), 2):
+            inter = len(sa & sb)
+            if den * inter >= num * len(sa):
+                want[(ia, ib)] = inter / len(sa)
+        df = spark.createDataFrame(texts, ["doc_id", "text"])
+        got = {
+            (r.key_a, r.key_b): r.containment
+            for r in prefix_filtered_containment_pairs(
+                df, "text", "doc_id", shingle_k=5, threshold_num=num, threshold_den=den
+            ).collect()
+        }
+        assert set(got) == set(want), (
+            f"{num}/{den}", set(want) - set(got), set(got) - set(want)
+        )
+        for pair, c in want.items():
+            assert abs(got[pair] - c) < 1e-12
+
+
 def test_prefix_filter_suppresses_hot_grams(spark):
     """The df² skew bomb: every doc shares one hot shingle, pairwise
     Jaccard far below threshold. A bare gram self-join would emit

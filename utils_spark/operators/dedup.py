@@ -394,6 +394,82 @@ def prefix_filtered_jaccard_pairs(
     )
 
 
+def prefix_filtered_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    shingle_k: int = 5,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """All ORDERED pairs with exact shingle-set containment
+    C(a, b) = |S(a) n S(b)| / |S(a)| >= num/den — the ASYMMETRIC near-dup
+    relation (Broder 1997 "resemblance and containment"): doc a quoted or
+    copied into a larger doc b scores high even when symmetric Jaccard is
+    low. Candidates come from an asymmetric prefix filter (the
+    containment member of the AllPairs/PPJoin family, Bayardo et al.
+    WWW'07): with required overlap o = ceil(t*|a|), if none of a's
+    |a| - o + 1 globally-rarest grams hit ANY gram of b, then
+    S(a) n S(b) lies inside a's o - 1 most frequent grams — fewer than o,
+    so the pair cannot qualify. Recall is therefore exactly 1.0: a's
+    prefix joins b's FULL gram index (only the probe side can be pruned
+    without knowing |a| at index time).
+
+    The threshold is a RATIONAL (num/den) and every gate is integer
+    arithmetic — o = (num*|a| + den - 1) div den, qualify iff
+    den*inter >= num*|a| — because ceil(0.8 * 5.0) in binary floating
+    point is ceil(4.000000000000000222...) = 5, not the intended 4.
+
+    Scale shape: same as ``prefix_filter_candidates`` — hot grams sort
+    last in the global df order and vanish from probe prefixes, so the
+    index side's hot-gram postings meet only the rare-prefix stream,
+    never each other. Verification intersects the two bounded gram
+    arrays per candidate (JVM array_intersect), no second gram shuffle.
+    Returns (key_a, key_b, containment, sz_a, n_common) with key_a the
+    CONTAINED side."""
+    shingled = df.select(
+        F.col(key_col).alias("__k"), char_shingles(text_col, shingle_k).alias("grams")
+    )
+    g = shingled.select("__k", F.size("grams").alias("sz"), F.explode("grams").alias("gram"))
+    gram_df = g.groupBy("gram").agg(F.count("*").alias("df"))
+    ranked = g.join(gram_df, "gram").withColumn(
+        "pos",
+        F.row_number().over(Window.partitionBy("__k").orderBy(F.asc("df"), F.asc("gram"))),
+    )
+    o = F.floor((F.lit(threshold_num) * F.col("sz") + (threshold_den - 1)) / threshold_den)
+    prefix = ranked.filter(F.col("pos") <= F.col("sz") - o + 1).select(
+        F.col("__k").alias("key_a"), "gram"
+    )
+    index = g.select(F.col("__k").alias("key_b"), "gram")
+    cand = (
+        prefix.join(index, "gram")
+        .filter(F.col("key_a") != F.col("key_b"))
+        .select("key_a", "key_b")
+        .distinct()
+    )
+    ga = shingled.select(F.col("__k").alias("key_a"), F.col("grams").alias("ga"))
+    gb = shingled.select(F.col("__k").alias("key_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    return (
+        cand.join(ga, "key_a")
+        .join(gb, "key_b")
+        .select(
+            "key_a",
+            "key_b",
+            F.size("ga").alias("sz_a"),
+            inter.alias("n_common"),
+        )
+        .filter(F.lit(threshold_den) * F.col("n_common") >= F.lit(threshold_num) * F.col("sz_a"))
+        .select(
+            "key_a",
+            "key_b",
+            (F.col("n_common").cast("double") / F.col("sz_a")).alias("containment"),
+            "sz_a",
+            F.col("n_common").cast("long").alias("n_common"),
+        )
+    )
+
+
 def substring_window_duplicates(
     df: DataFrame,
     text_col: str,

@@ -3760,3 +3760,63 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@register(
+    "containment_prefix_pairs",
+    # ASYMMETRIC containment near-dup (Broder 1997): ordered pairs where
+    # >= 4/5 of doc a's 5-gram shingles appear in doc b. Engine uses the
+    # asymmetric prefix filter (provable perfect recall); the oracle is
+    # brute-force inverted-index SQL over the same doc_id < 200 slice
+    # BOTH engines use (precedent: ngram_jaccard_pairs — the synthetic
+    # corpus's hot grams make an unfiltered corpus-wide gram self-join
+    # quadratic, which is exactly why the prefix filter exists).
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, GREATEST(length(text) - 4, 1) + 1),
+                     i -> substr(text, i, 5))) AS grams
+      FROM documents WHERE doc_id < 200
+    ),
+    eg AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS gram FROM sh),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS sz_a, COUNT(*) AS n_common
+      FROM eg a JOIN eg b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / sz_a, 6) AS containment,
+           CAST(sz_a AS BIGINT) AS sz_a, CAST(n_common AS BIGINT) AS n_common
+    FROM inter WHERE 5 * n_common >= 4 * sz_a
+    """,
+    tags=("text", "dedup", "containment", "prefix-filter", "llm-pipeline"),
+)
+def containment_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment near-dup pairs (Broder 1997,
+    "On the resemblance and containment of documents"): ordered pairs
+    (contained doc_a, container doc_b) where >= 80% of a's distinct
+    5-gram shingles also occur in b — the quote/excerpt/copy relation
+    symmetric Jaccard misses when |b| >> |a|. Candidates via the
+    asymmetric prefix filter (a's rarest |a| - ceil(0.8|a|) + 1 grams
+    probe b's FULL gram index — perfect recall, integer-rational
+    threshold arithmetic; see ``dedup.prefix_filtered_containment_pairs``),
+    then exact array-intersection verify. Completes the near-dup
+    taxonomy's asymmetric axis beside symmetric `ngram_jaccard_pairs`.
+
+    Scale shape: hot grams are structurally excluded from probe
+    prefixes (global df ordering), so the index side's hot postings
+    meet only rare-prefix probes; verification is per-candidate JVM
+    array math. Both engines run the doc_id < 200 slice because the
+    ORACLE is brute-force (the un-prefix-filtered gram join it runs is
+    the quadratic shape the operator avoids; same bounding as
+    `ngram_jaccard_pairs`)."""
+    from utils_spark.operators.dedup import prefix_filtered_containment_pairs
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    r = prefix_filtered_containment_pairs(d, "text", "doc_id", 5, 4, 5)
+    return r.select(
+        F.col("key_a").alias("doc_a"),
+        F.col("key_b").alias("doc_b"),
+        F.round("containment", 6).alias("containment"),
+        F.col("sz_a").cast("long").alias("sz_a"),
+        "n_common",
+    )
