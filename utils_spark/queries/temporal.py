@@ -928,3 +928,104 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         F.round(F.expr("percentile(s, 0.5)"), 6).alias("theil_sen_slope"),
     )
+
+
+@register(
+    "autocorrelation_lags",
+    # sample autocorrelation function (Box & Jenkins) of per-type daily
+    # counts at lags 1..7, with the +-1.96/sqrt(T) white-noise band flag
+    # — the periodicity DETECTOR next to seasonal_decomposition (which
+    # ASSUMES period 7; the ACF is how you discover it). All 7 lags in
+    # one window pass; 6dp both engines.
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, AVG(n) AS mu, COUNT(*) AS cnt,
+             SUM(n * n) - COUNT(*) * AVG(n) * AVG(n) AS ss
+      FROM daily GROUP BY event_type
+    ),
+    lagged AS (
+      SELECT event_type, n,
+             lag(n, 1) OVER w AS l1, lag(n, 2) OVER w AS l2,
+             lag(n, 3) OVER w AS l3, lag(n, 4) OVER w AS l4,
+             lag(n, 5) OVER w AS l5, lag(n, 6) OVER w AS l6,
+             lag(n, 7) OVER w AS l7
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    terms AS (
+      SELECT l.event_type, k.lag, l.n,
+             CASE k.lag WHEN 1 THEN l1 WHEN 2 THEN l2 WHEN 3 THEN l3
+                        WHEN 4 THEN l4 WHEN 5 THEN l5 WHEN 6 THEN l6
+                        ELSE l7 END AS lv
+      FROM lagged l CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) k
+    ),
+    acf AS (
+      SELECT t.event_type, t.lag,
+             SUM((t.n - s.mu) * (t.lv - s.mu)) AS num,
+             ANY_VALUE(s.ss) AS ss, ANY_VALUE(s.cnt) AS cnt
+      FROM terms t JOIN stats s ON s.event_type = t.event_type
+      WHERE t.lv IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(lag AS INT) AS lag,
+           ROUND(num / ss, 6) AS acf,
+           ABS(num / ss) > 1.96 / sqrt(cnt) AS outside_band
+    FROM acf
+    """,
+    tags=("temporal", "timeseries", "acf"),
+)
+def autocorrelation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation function (Box & Jenkins) of per-event-type
+    daily counts at lags 1..7, flagged against the +-1.96/sqrt(T)
+    white-noise confidence band — the periodicity detector that
+    complements `seasonal_decomposition` (which assumes period 7; the
+    ACF is how a monitoring pipeline discovers the period and whether
+    seasonality is significant at all). ACF_k = sum over overlapping
+    observations of (x_t - mu)(x_{t-k} - mu) / sum (x_t - mu)^2 with
+    the global series mean/variance (the standard biased estimator).
+
+    Scale shape: one bounded daily rollup, then ALL SEVEN lags from a
+    single ordered window pass (one sort, seven lag columns, stack to
+    long form), one bounded aggregation per (type, lag) — work is
+    O(series-length x 7) after the rollup, never a per-lag re-sort.
+    The band flag compares the unrounded ratio; the emitted acf is
+    6dp-rounded for cross-engine hashing."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count("*").cast("double").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("n").alias("mu"),
+        F.count("*").alias("cnt"),
+        (F.sum(F.col("n") * F.col("n")) - F.count("*") * F.avg("n") * F.avg("n")).alias("ss"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type", "n", *[F.lag("n", k).over(w).alias(f"l{k}") for k in range(1, 8)]
+    )
+    stacked = lagged.select(
+        "event_type",
+        "n",
+        F.expr(
+            "stack(7, " + ", ".join(f"{k}, l{k}" for k in range(1, 8)) + ") AS (lag, lv)"
+        ),
+    ).filter(F.col("lv").isNotNull())
+    num = F.sum((F.col("n") - F.col("mu")) * (F.col("lv") - F.col("mu")))
+    acf = (
+        stacked.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "lag")
+        .agg(num.alias("num"), F.first("ss").alias("ss"), F.first("cnt").alias("cnt"))
+    )
+    ratio = F.col("num") / F.col("ss")
+    return acf.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        F.round(ratio, 6).alias("acf"),
+        (F.abs(ratio) > 1.96 / F.sqrt(F.col("cnt"))).alias("outside_band"),
+    )
