@@ -47,7 +47,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # block follows in registry order. Regenerate next round the same way.
 _PRIORITY = (
     # -- tier 0: NEW in round 7 — never driver-sampled, need first proof
-    # (names appended here as they land this round)
+    # (names appended here as they land this round; latest additions first)
+    "simhash_hamming_pairs",  # r7: banded SimHash Hamming pairs (cluster grain)
+    "hll_cardinality_sketch",  # r7: explicit-register HyperLogLog + exact cert
+    "wordpiece_training_rounds",  # r7: WordPiece likelihood-argmax trainer
+    "containment_prefix_pairs",  # r7: asymmetric containment prefix filter
+    "adamic_adar_link_prediction",  # r7: anchored AA link scores
+    "lpa_communities",  # r7: synchronous label propagation, 4 rounds
+    "autocorrelation_lags",  # r7: sample ACF lags 1..7 + white-noise band
     "ann_ivf_pq",  # r7: IVF-PQ quantized ANN (asymmetric-distance top-k)
     "unigram_lm_tokenizer",  # r7: unigram-LM (SentencePiece) EM trainer
     "star_connected_components",  # r7: large-star/small-star O(log n) CC

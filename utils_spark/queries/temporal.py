@@ -1029,3 +1029,131 @@ def autocorrelation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio, 6).alias("acf"),
         (F.abs(ratio) > 1.96 / F.sqrt(F.col("cnt"))).alias("outside_band"),
     )
+
+
+@register(
+    "cusum_changepoints",
+    # two-sided CUSUM control chart (Page 1954) over daily event counts
+    # with PLANTED level shifts from day-of-month 20 (x2 up; x0.5 down
+    # for 'view') in both engines,
+    # the ewma_anomaly_flags planting technique) so the detection path is
+    # value-checked non-vacuously. The recursion S+_t = max(0, S+_{t-1}
+    # + d_t) is window-expressible via the prefix-sum identity
+    # S+_t = P_t - min(0, min_{j<=t} P_j) — no fold, one ordered pass.
+    # 4dp-rounded on BOTH sides of the threshold compare.
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE)
+               * CASE WHEN dayofmonth(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) >= 20
+                      THEN (CASE WHEN event_type = 'view' THEN 0.5 ELSE 2 END)
+                      ELSE 1 END AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ref AS (
+      SELECT event_type, AVG(n) AS mu0,
+             sqrt(AVG(n * n) - AVG(n) * AVG(n)) AS sigma0
+      FROM daily WHERE dayofmonth(day) < 20 GROUP BY event_type
+    ),
+    pre AS (
+      SELECT d.event_type, d.day, r.sigma0,
+             SUM(d.n - r.mu0 - 0.5 * r.sigma0)
+               OVER (PARTITION BY d.event_type ORDER BY d.day
+                     ROWS UNBOUNDED PRECEDING) AS p_up,
+             SUM(d.n - r.mu0 + 0.5 * r.sigma0)
+               OVER (PARTITION BY d.event_type ORDER BY d.day
+                     ROWS UNBOUNDED PRECEDING) AS p_dn
+      FROM daily d JOIN ref r ON r.event_type = d.event_type
+    ),
+    cusum AS (
+      SELECT event_type, day, sigma0,
+             p_up - LEAST(0, MIN(p_up) OVER (PARTITION BY event_type ORDER BY day
+                                             ROWS UNBOUNDED PRECEDING)) AS s_up,
+             GREATEST(0, MAX(p_dn) OVER (PARTITION BY event_type ORDER BY day
+                                         ROWS UNBOUNDED PRECEDING)) - p_dn AS s_dn
+      FROM pre
+    )
+    SELECT event_type, day,
+           ROUND(s_up, 4) AS cusum_pos, ROUND(s_dn, 4) AS cusum_neg,
+           ROUND(s_up, 4) > ROUND(4 * sigma0, 4) AS shift_up,
+           ROUND(s_dn, 4) > ROUND(4 * sigma0, 4) AS shift_down
+    FROM cusum
+    WHERE ROUND(s_up, 4) > ROUND(4 * sigma0, 4)
+       OR ROUND(s_dn, 4) > ROUND(4 * sigma0, 4)
+    """,
+    tags=("temporal", "timeseries", "changepoint", "monitoring"),
+)
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM changepoint detection (Page, Biometrika 1954 — the
+    classic sequential level-shift detector, complementing the EWMA
+    chart's spike detection and the ACF's periodicity): per event type,
+    daily counts against in-control mean/std estimated from the
+    pre-shift reference days, slack k = 0.5 sigma, decision interval
+    h = 4 sigma; emits the days where either one-sided statistic exceeds
+    h. Deterministic level shifts are PLANTED from day-of-month 20 in
+    BOTH engines — x2 for most types, x0.5 for 'view' — so BOTH
+    one-sided paths fire non-vacuously and their exact onset days are
+    hash-checked.
+
+    Scale shape: the recursion S+_t = max(0, S+_{t-1} + d_t) looks
+    sequential but is window-expressible through the prefix-sum identity
+    S+_t = P_t - min(0, min_{j<=t} P_j) (reset-at-zero = subtracting the
+    running minimum), so the whole detector is one bounded daily rollup
+    + two ordered window passes per series — no fold, no UDF, and
+    per-series partitioning parallelizes across series exactly like the
+    EWMA chart. Thresholds compare 4dp-rounded values on both sides so
+    float noise cannot flip a flag."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    day = F.to_date(F.date_trunc("day", "ts"))
+    spike = F.when(
+        F.dayofmonth("day") >= 20,
+        F.when(F.col("event_type") == "view", F.lit(0.5)).otherwise(F.lit(2.0)),
+    ).otherwise(F.lit(1.0))
+    daily = (
+        e.groupBy("event_type", day.alias("day"))
+        .agg(F.count("*").cast("double").alias("raw_n"))
+        .select("event_type", "day", (F.col("raw_n") * spike).alias("n"))
+    )
+    ref = (
+        daily.filter(F.dayofmonth("day") < 20)
+        .groupBy("event_type")
+        .agg(
+            F.avg("n").alias("mu0"),
+            F.sqrt(F.avg(F.col("n") * F.col("n")) - F.avg("n") * F.avg("n")).alias("sigma0"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = daily.join(F.broadcast(ref), "event_type").select(
+        "event_type",
+        "day",
+        "sigma0",
+        F.sum(F.col("n") - F.col("mu0") - 0.5 * F.col("sigma0")).over(w).alias("p_up"),
+        F.sum(F.col("n") - F.col("mu0") + 0.5 * F.col("sigma0")).over(w).alias("p_dn"),
+    )
+    s_up = F.col("p_up") - F.least(F.lit(0.0), F.min("p_up").over(w))
+    s_dn = F.greatest(F.lit(0.0), F.max("p_dn").over(w)) - F.col("p_dn")
+    cusum = pre.select(
+        "event_type",
+        "day",
+        "sigma0",
+        F.round(s_up, 4).alias("cusum_pos"),
+        F.round(s_dn, 4).alias("cusum_neg"),
+    )
+    h = F.round(4 * F.col("sigma0"), 4)
+    return (
+        cusum.filter((F.col("cusum_pos") > h) | (F.col("cusum_neg") > h))
+        .select(
+            "event_type",
+            "day",
+            "cusum_pos",
+            "cusum_neg",
+            (F.col("cusum_pos") > h).alias("shift_up"),
+            (F.col("cusum_neg") > h).alias("shift_down"),
+        )
+    )
