@@ -285,3 +285,98 @@ def pseudobulk_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_quantity"), 4).alias("total_qty"),
         F.count("*").alias("n_lines"),
     )
+
+
+@register(
+    "benford_digit_audit",
+    # Benford first-significant-digit audit (Newcomb 1881 / Benford 1938;
+    # the standard forensic data-quality screen) over order totals: the
+    # first digit comes from the INTEGER string of round(x*100) — prices
+    # are 2-decimal quantized, so this is exact in both engines, whereas
+    # floor(x/10^floor(log10 x)) can flip at power-of-ten boundaries.
+    # Chi-square goodness-of-fit rides along as a 1-row broadcast scalar.
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    obs AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM digits GROUP BY digit
+    ),
+    expect AS (
+      SELECT d.digit, log10(1.0 + 1.0 / d.digit) AS p
+      FROM (SELECT unnest(range(1, 10)) AS digit) d
+    ),
+    joined AS (
+      SELECT e.digit, COALESCE(o.n_obs, 0) AS n_obs, e.p,
+             SUM(COALESCE(o.n_obs, 0)) OVER () AS total
+      FROM expect e LEFT JOIN obs o ON o.digit = e.digit
+    ),
+    chi AS (
+      SELECT SUM((n_obs - total * p) * (n_obs - total * p) / (total * p)) AS chi2
+      FROM joined
+    )
+    SELECT CAST(j.digit AS INT) AS digit, j.n_obs,
+           ROUND(CAST(j.n_obs AS DOUBLE) / j.total, 6) AS obs_share,
+           ROUND(j.p, 6) AS benford_share,
+           ROUND(ABS(CAST(j.n_obs AS DOUBLE) / j.total - j.p), 6) AS abs_dev,
+           ROUND(c.chi2, 4) AS chi2_total
+    FROM joined j CROSS JOIN chi c
+    """,
+    tags=("aggregate", "data-quality", "benford"),
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals (Newcomb 1881,
+    Benford 1938 — the classic forensic screen for fabricated or
+    truncated numeric columns, a standard datasheet/data-quality check
+    next to `corpus_datasheet` and `k_anonymity_audit`): observed
+    first-significant-digit shares vs log10(1 + 1/d), per-digit absolute
+    deviation, and the chi-square goodness-of-fit statistic. TPC-H
+    prices are near-uniform over a bounded range, so they FAIL Benford
+    loudly — the audit's value is the deterministic machinery, exercised
+    on real columns.
+
+    Scale shape: digit extraction is a map-side expression (integer
+    string of round(x*100) — exact for 2-decimal money, immune to the
+    log10 power-of-ten boundary instability); one 9-key aggregation;
+    the chi-square total is a 1-row scalar joined back by broadcast
+    (the allow-listed bounded BNLJ pattern)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    obs = o.select(digit.alias("digit")).groupBy("digit").agg(F.count("*").alias("n_obs"))
+    expect = spark.range(1, 10).select(
+        F.col("id").cast("int").alias("digit"),
+        F.log10(1.0 + 1.0 / F.col("id")).alias("p"),
+    )
+    joined = (
+        expect.join(obs, "digit", "left")
+        .na.fill({"n_obs": 0})
+        .crossJoin(
+            F.broadcast(
+                o.agg(F.count("*").cast("long").alias("total"))
+            )
+        )
+    )
+    chi = joined.agg(
+        F.sum(
+            (F.col("n_obs") - F.col("total") * F.col("p"))
+            * (F.col("n_obs") - F.col("total") * F.col("p"))
+            / (F.col("total") * F.col("p"))
+        ).alias("chi2")
+    )
+    return (
+        joined.crossJoin(F.broadcast(chi))
+        .select(
+            F.col("digit").cast("int").alias("digit"),
+            F.col("n_obs").cast("long").alias("n_obs"),
+            F.round(F.col("n_obs").cast("double") / F.col("total"), 6).alias("obs_share"),
+            F.round("p", 6).alias("benford_share"),
+            F.round(F.abs(F.col("n_obs").cast("double") / F.col("total") - F.col("p")), 6).alias(
+                "abs_dev"
+            ),
+            F.round("chi2", 4).alias("chi2_total"),
+        )
+    )
