@@ -1823,3 +1823,138 @@ def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_communities"),
         F.sum("member_checksum").cast("long").alias("checksum"),
     )
+
+
+def _kcore_oracle(n_rounds: int) -> str:
+    """Generated N-round SQL twin of the k-core peel: every round drops
+    nodes with degree < k and their edges (Seidman 1983; the simultaneous
+    -removal variant, deterministic). k is DATA-DERIVED — the degree at
+    rank ceil(0.75 * n_nodes) of the initial (degree asc, node asc)
+    order — so the peel cascade is non-vacuous at every SF (a fixed k
+    either removes nothing or everything as the graph densifies with
+    scale). Round CTEs are MATERIALIZED — each edge set is referenced by
+    the keep CTE, two keep-joins and the stats row, so inlining would go
+    exponential."""
+    parts = [
+        """
+    WITH pair AS (
+      SELECT DISTINCT o.o_custkey * 2 AS u, li.l_suppkey * 2 + 1 AS v
+      FROM orders o JOIN lineitem li ON o.o_orderkey = li.l_orderkey
+    ),
+    e0 AS MATERIALIZED (
+      SELECT u, v FROM pair UNION SELECT v AS u, u AS v FROM pair
+    ),
+    deg0 AS MATERIALIZED (SELECT u, COUNT(*) AS c FROM e0 GROUP BY u),
+    kval AS MATERIALIZED (
+      SELECT c AS k FROM (
+        SELECT c, row_number() OVER (ORDER BY c ASC, u ASC) AS rn,
+               COUNT(*) OVER () AS n
+        FROM deg0) q
+      WHERE rn = CAST(ceil(0.75 * n) AS BIGINT)
+    )"""
+    ]
+    for r in range(1, n_rounds + 1):
+        prev = r - 1
+        parts.append(f"""
+    keep{r} AS MATERIALIZED (
+      SELECT e.u FROM e{prev} e GROUP BY e.u
+      HAVING COUNT(*) >= (SELECT k FROM kval)
+    ),
+    e{r} AS MATERIALIZED (
+      SELECT e.u, e.v FROM e{prev} e
+      JOIN keep{r} a ON a.u = e.u
+      JOIN keep{r} b ON b.u = e.v
+    )""")
+    stats = "\n    UNION ALL\n    ".join(
+        f"""SELECT {r} AS round,
+           CAST(COUNT(DISTINCT u) AS BIGINT) AS n_nodes,
+           CAST(COUNT(*) / 2 AS BIGINT) AS n_edges,
+           CAST(COALESCE(SUM(DISTINCT u), 0) AS BIGINT) AS node_checksum
+        FROM e{r}"""
+        for r in range(1, n_rounds + 1)
+    )
+    return ",".join(parts) + "\n    " + stats
+
+
+@register(
+    "kcore_decomposition",
+    # iterative k-core peel (Seidman 1983), 4 simultaneous-removal
+    # rounds on the customer-supplier graph with k = the 75th-percentile
+    # initial degree (data-derived so the cascade fires at every SF);
+    # the oracle replays every round in generated MATERIALIZED-CTE SQL.
+    # The per-round trajectory (nodes, edges, membership checksum) makes
+    # the cascade and its convergence part of the hashed evidence.
+    oracle=_kcore_oracle(4),
+    tags=("composite", "graph", "kcore", "iterative"),
+)
+def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (Seidman, Social Networks 1983 — graph
+    degeneracy peeling, the standard cohesion screen before community
+    detection): 4 rounds of simultaneously deleting every node with
+    degree < k from the customer-supplier graph, k chosen as the
+    75th-percentile initial degree (rank ceil(0.75n) of the
+    (degree, node) order — explicit rank, no engine percentile
+    semantics; a FIXED k is vacuous here because degrees grow with SF).
+    Emits the per-round (surviving nodes, surviving edges, membership
+    checksum) trajectory — the removal cascade and its plateau are
+    hash-checked, not asserted. Completes the graph-primitive family:
+    centrality (PageRank), communities (Louvain/Leiden/LPA), cohesion
+    (triangles), components (star-CC), degeneracy (k-core).
+
+    Scale shape: each round is one degree aggregation (edge-keyed,
+    map-side combined) plus two semi joins of the edge list against the
+    bounded keep-set — never node^2; the edge list is checkpointed per
+    round so plans stay flat (the star-CC discipline); k itself is a
+    1-row driver scalar (the BPE-argmax pattern). Simultaneous removal
+    (vs sequential min-degree peeling) is what makes the round
+    deterministic and engine-replayable."""
+    from utils_spark.plans import cut_lineage
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pair = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    e = cut_lineage(
+        pair.unionByName(pair.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    )
+    from pyspark.sql import Window
+
+    deg0 = e.groupBy("u").agg(F.count("*").alias("c"))
+    ranked = deg0.select(
+        "c",
+        F.row_number().over(Window.orderBy(F.asc("c"), F.asc("u"))).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    k = (
+        ranked.filter(F.col("rn") == F.ceil(0.75 * F.col("n")).cast("long"))
+        .select("c")
+        .collect()[0][0]
+    )
+    stats = []
+    for r in range(1, 5):
+        keep = (
+            e.groupBy("u").agg(F.count("*").alias("c")).filter(F.col("c") >= k).select("u")
+        )
+        e = cut_lineage(
+            e.join(keep, "u").join(keep.withColumnRenamed("u", "v"), "v").select("u", "v")
+        )
+        nodes = e.select("u").distinct()
+        stats.append(
+            nodes.agg(
+                F.lit(r).alias("round"),
+                F.count("*").cast("long").alias("n_nodes"),
+                F.coalesce(F.sum("u"), F.lit(0)).cast("long").alias("node_checksum"),
+            ).crossJoin(
+                F.broadcast(e.agg((F.count("*") / 2).cast("long").alias("n_edges")))
+            )
+        )
+    out = stats[0]
+    for st in stats[1:]:
+        out = out.unionByName(st)
+    return out.select("round", "n_nodes", "n_edges", "node_checksum")
