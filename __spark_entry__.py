@@ -48,6 +48,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = (
     # -- tier 0: NEW in round 7 — never driver-sampled, need first proof
     # (names appended here as they land this round; latest additions first)
+    "kcore_decomposition",  # r7: k-core peel trajectory, data-derived k
+    "benford_digit_audit",  # r7: Benford first-digit + chi-square audit
+    "cusum_changepoints",  # r7: CUSUM level-shift detector, planted shifts
     "simhash_hamming_pairs",  # r7: banded SimHash Hamming pairs (cluster grain)
     "hll_cardinality_sketch",  # r7: explicit-register HyperLogLog + exact cert
     "wordpiece_training_rounds",  # r7: WordPiece likelihood-argmax trainer
