@@ -1686,9 +1686,15 @@ def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor set is TakeOrdered; the final per-anchor top-5 ranks on the
     ROUNDED score (float sums are order-dependent at the ulp level;
     6dp rounding makes the rank key engine-stable)."""
+    from utils_spark.plans import cut_lineage
+
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    e = (
+    # materialize the distinct edge list ONCE: it is read three times below
+    # (degrees, anchor edges, wedge probe), and the o x li build join would
+    # otherwise be re-planned per consumer (same discipline as pagerank /
+    # lpa / kcore edge builds)
+    e = cut_lineage(
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
         .distinct()
