@@ -48,6 +48,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = (
     # -- tier 0: NEW in round 7 — never driver-sampled, need first proof
     # (names appended here as they land this round; latest additions first)
+    "spearman_rank_correlation",  # r7: average-rank Spearman rho
+    "chi_square_independence",  # r7: chi-square independence + contributions
     "kcore_decomposition",  # r7: k-core peel trajectory, data-derived k
     "benford_digit_audit",  # r7: Benford first-digit + chi-square audit
     "cusum_changepoints",  # r7: CUSUM level-shift detector, planted shifts

@@ -419,3 +419,161 @@ def grouped_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(skew, 6).alias("skewness_pop"),
         F.round(kurt, 6).alias("excess_kurtosis_pop"),
     )
+
+
+@register(
+    "spearman_rank_correlation",
+    # Spearman rho per event type between the daily count and daily mean
+    # value series — rank-based (monotone, outlier-robust), with R's
+    # average-rank tie handling computed explicitly: avg_rank =
+    # min_rank + (n_ties - 1)/2, then Pearson over the ranks. Integer
+    # counts tie often, so tie handling is load-bearing, not decorative.
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS x, AVG(value) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, day,
+             rank() OVER (PARTITION BY event_type ORDER BY x)
+               + (COUNT(*) OVER (PARTITION BY event_type, x) - 1) / 2.0 AS rx,
+             rank() OVER (PARTITION BY event_type ORDER BY y)
+               + (COUNT(*) OVER (PARTITION BY event_type, y) - 1) / 2.0 AS ry
+      FROM daily
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND((COUNT(*) * SUM(rx * ry) - SUM(rx) * SUM(ry))
+                 / (sqrt(COUNT(*) * SUM(rx * rx) - SUM(rx) * SUM(rx))
+                    * sqrt(COUNT(*) * SUM(ry * ry) - SUM(ry) * SUM(ry))), 6)
+             AS spearman_rho
+    FROM ranked GROUP BY event_type
+    """,
+    tags=("stats", "correlation", "rank"),
+)
+def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (Spearman 1904) per event type between
+    daily event count and daily mean value — the monotone-association,
+    outlier-robust sibling of Pearson `grouped_correlation` /
+    `rolling_correlation`. Ties get R's AVERAGE ranks, computed
+    explicitly (min-rank + (tie-count - 1)/2 — two window passes), then
+    rho is Pearson over the rank pairs; integer daily counts tie
+    frequently, so average-rank handling visibly changes the result and
+    is hash-checked.
+
+    Scale shape: one bounded daily rollup, two rank windows per series
+    (partitioned by event type — parallel across series), one closing
+    aggregation. Ranks are half-integers (exact in double), so the only
+    float rounding is the final 6dp rho."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count("*").cast("double").alias("x"), F.avg("value").alias("y"))
+    wx = Window.partitionBy("event_type").orderBy("x")
+    wy = Window.partitionBy("event_type").orderBy("y")
+    ranked = daily.select(
+        "event_type",
+        (F.rank().over(wx) + (F.count("*").over(Window.partitionBy("event_type", "x")) - 1) / 2.0).alias("rx"),
+        (F.rank().over(wy) + (F.count("*").over(Window.partitionBy("event_type", "y")) - 1) / 2.0).alias("ry"),
+    )
+    n = F.count("*")
+    num = n * F.sum(F.col("rx") * F.col("ry")) - F.sum("rx") * F.sum("ry")
+    dx = F.sqrt(n * F.sum(F.col("rx") * F.col("rx")) - F.sum("rx") * F.sum("rx"))
+    dy = F.sqrt(n * F.sum(F.col("ry") * F.col("ry")) - F.sum("ry") * F.sum("ry"))
+    return ranked.groupBy("event_type").agg(
+        n.cast("long").alias("n_days"),
+        F.round(num / (dx * dy), 6).alias("spearman_rho"),
+    )
+
+
+@register(
+    "chi_square_independence",
+    # Pearson chi-square test of independence (event_type x day-of-week;
+    # DuckDB dayofweek is 0-6 Sunday-first vs Spark's 1-7 — oracle adds 1
+    # contingency table): per-cell observed vs expected = row_tot *
+    # col_tot / N with the cell's chi2 contribution, plus the table
+    # statistic and degrees of freedom on every row (1-row broadcast
+    # scalar, the allow-listed pattern). The workhorse categorical
+    # association test beside the KS family's continuous ones.
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, dow, o,
+             SUM(o) OVER (PARTITION BY event_type) AS row_tot,
+             SUM(o) OVER (PARTITION BY dow) AS col_tot,
+             SUM(o) OVER () AS n
+      FROM obs
+    ),
+    cells AS (
+      SELECT event_type, dow, o,
+             CAST(row_tot AS DOUBLE) * col_tot / n AS expected,
+             (o - CAST(row_tot AS DOUBLE) * col_tot / n)
+               * (o - CAST(row_tot AS DOUBLE) * col_tot / n)
+               / (CAST(row_tot AS DOUBLE) * col_tot / n) AS contrib
+      FROM tot
+    ),
+    stat AS (
+      SELECT SUM(contrib) AS chi2,
+             (COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT dow) - 1) AS dof
+      FROM cells
+    )
+    SELECT c.event_type, CAST(c.dow AS INT) AS dow, c.o AS observed,
+           ROUND(c.expected, 4) AS expected, ROUND(c.contrib, 6) AS contrib,
+           ROUND(s.chi2, 4) AS chi2_total, CAST(s.dof AS INT) AS dof
+    FROM cells c CROSS JOIN stat s
+    """,
+    tags=("stats", "chi-square", "categorical"),
+)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence (Pearson 1900) on the
+    event_type x day-of-week contingency table: per-cell observed count,
+    expected count under independence (row x column marginals / N), the
+    cell's chi-square contribution — which cells drive the association,
+    the part a scalar test statistic hides — and the table-level
+    statistic with degrees of freedom. Completes the classical-test
+    family beside KS (continuous distributions), Benford (digit GOF) and
+    the ANOVA R-squared of `variance_explained`.
+
+    Scale shape: one contingency aggregation (bounded: types x 7), the
+    marginals via window sums over the bounded cell table, and a 1-row
+    scalar cross join (the allow-listed bounded pattern). All counts are
+    exact integers; expected/contrib round at 4/6dp."""
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy("event_type", F.dayofweek("ts").alias("dow")).agg(
+        F.count("*").cast("long").alias("o")
+    )
+    tot = obs.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("dow")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    expected = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    cells = tot.select(
+        "event_type",
+        "dow",
+        "o",
+        expected.alias("expected"),
+        ((F.col("o") - expected) * (F.col("o") - expected) / expected).alias("contrib"),
+    )
+    stat = cells.agg(
+        F.sum("contrib").alias("chi2"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
+        ).alias("dof"),
+    )
+    return cells.crossJoin(F.broadcast(stat)).select(
+        "event_type",
+        F.col("dow").cast("int").alias("dow"),
+        F.col("o").alias("observed"),
+        F.round("expected", 4).alias("expected"),
+        F.round("contrib", 6).alias("contrib"),
+        F.round("chi2", 4).alias("chi2_total"),
+        F.col("dof").cast("int").alias("dof"),
+    )
