@@ -48,6 +48,10 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = (
     # -- tier 0: NEW in round 7 — never driver-sampled, need first proof
     # (names appended here as they land this round; latest additions first)
+    "mann_whitney_u",  # r7: pairwise rank-sum U + tie-corrected z
+    "kruskal_wallis",  # r7: k-group H via two-level distributed prefix-sum ranks
+    "mann_kendall_trend",  # r7: S/z trend test pairing theil_sen_trend
+    "sorted_neighborhood_pairs",  # r7: SNM blocking candidates + levenshtein verify
     "spearman_rank_correlation",  # r7: average-rank Spearman rho
     "chi_square_independence",  # r7: chi-square independence + contributions
     "kcore_decomposition",  # r7: k-core peel trajectory, data-derived k

@@ -577,3 +577,315 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("chi2", 4).alias("chi2_total"),
         F.col("dof").cast("int").alias("dof"),
     )
+
+
+@register(
+    "mann_whitney_u",
+    # Mann-Whitney U / Wilcoxon rank-sum (Mann & Whitney 1947) for every
+    # event-type pair over `value` — the nonparametric two-sample location
+    # test beside the KS family's distribution tests. Joint AVERAGE ranks
+    # come from the per-(pair, value) count table (rank_avg = count below
+    # + (ties + 1)/2), so rank sums are exact half-integer sums; the
+    # normal approximation uses the tie-corrected variance
+    # n_a n_b / 12 * ((n + 1) - sum(t^3 - t) / (n (n - 1))).
+    oracle="""
+    WITH types AS (SELECT DISTINCT event_type AS t FROM events),
+    pairs AS (SELECT a.t AS ta, b.t AS tb FROM types a JOIN types b ON a.t < b.t),
+    tagged AS (
+      SELECT p.ta, p.tb, e.value AS v,
+             CASE WHEN e.event_type = p.ta THEN 1 ELSE 0 END AS a,
+             CASE WHEN e.event_type = p.tb THEN 1 ELSE 0 END AS b
+      FROM events e JOIN pairs p ON e.event_type IN (p.ta, p.tb)
+    ),
+    pervalue AS (SELECT ta, tb, v, SUM(a) AS ca, SUM(b) AS cb FROM tagged GROUP BY ta, tb, v),
+    ranked AS (
+      SELECT ta, tb, ca, cb,
+             COALESCE(SUM(ca + cb) OVER (PARTITION BY ta, tb ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (ca + cb + 1) / 2.0 AS rank_avg,
+             CAST((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb) AS DOUBLE) AS tie_term
+      FROM pervalue
+    ),
+    agg AS (
+      SELECT ta, tb, CAST(SUM(ca) AS DOUBLE) AS na, CAST(SUM(cb) AS DOUBLE) AS nb,
+             SUM(ca * rank_avg) AS ra, SUM(tie_term) AS ties
+      FROM ranked GROUP BY ta, tb
+    )
+    SELECT ta AS group_a, tb AS group_b,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(ra - na * (na + 1) / 2.0, 1) AS u_stat,
+           ROUND((ra - na * (na + 1) / 2.0 - na * nb / 2.0)
+                 / sqrt(na * nb / 12.0
+                        * ((na + nb + 1) - ties / ((na + nb) * (na + nb - 1)))), 6) AS z_stat
+    FROM agg
+    """,
+    tags=("stats", "rank", "nonparametric", "M16"),
+)
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test for every event-type pair: U statistic from the
+    joint average-rank sum and the tie-corrected normal z. Completes the
+    nonparametric two-sample family beside `pairwise_ks` (distribution
+    shape) and `start_vs_end_test` (Welch z on means) — rank-sum tests
+    location while being outlier-robust, and with 100k rows at sf0.1 the
+    value column has ~5x tie multiplicity, so the tie variance correction
+    is hash-load-bearing, not decorative.
+
+    Scale shape (the `pairwise_ks` pattern): corpus collapses once to the
+    per-(pair, value) count table, all windows partition by pair (parallel
+    across pairs), and rank sums are exact (half-integers x integer
+    counts sum below 2^53) so only the final z rounds."""
+    e = load_table(spark, sf_dir, "events")
+    types = e.select(F.col("event_type").alias("t")).distinct()
+    pairs = (
+        types.alias("x")
+        .join(F.broadcast(types.alias("y")), F.col("x.t") < F.col("y.t"))
+        .select(F.col("x.t").alias("ta"), F.col("y.t").alias("tb"))
+    )
+    tagged = e.join(
+        F.broadcast(pairs),
+        (F.col("event_type") == F.col("ta")) | (F.col("event_type") == F.col("tb")),
+    ).select(
+        "ta",
+        "tb",
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == F.col("ta"), 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type") == F.col("tb"), 1).otherwise(0).alias("b"),
+    )
+    pervalue = tagged.groupBy("ta", "tb", "v").agg(F.sum("a").alias("ca"), F.sum("b").alias("cb"))
+    w = Window.partitionBy("ta", "tb").orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    t = F.col("ca") + F.col("cb")
+    ranked = pervalue.select(
+        "ta",
+        "tb",
+        "ca",
+        "cb",
+        (F.coalesce(F.sum(t).over(w), F.lit(0)) + (t + 1) / 2.0).alias("rank_avg"),
+        (t * t * t - t).cast("double").alias("tie_term"),
+    )
+    agg = ranked.groupBy("ta", "tb").agg(
+        F.sum("ca").cast("double").alias("na"),
+        F.sum("cb").cast("double").alias("nb"),
+        F.sum(F.col("ca") * F.col("rank_avg")).alias("ra"),
+        F.sum("tie_term").alias("ties"),
+    )
+    na, nb, ra, ties = F.col("na"), F.col("nb"), F.col("ra"), F.col("ties")
+    n = na + nb
+    u = ra - na * (na + 1) / 2.0
+    var = na * nb / 12.0 * ((n + 1) - ties / (n * (n - 1)))
+    return agg.select(
+        F.col("ta").alias("group_a"),
+        F.col("tb").alias("group_b"),
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(u, 1).alias("u_stat"),
+        F.round((u - na * nb / 2.0) / F.sqrt(var), 6).alias("z_stat"),
+    )
+
+
+@register(
+    "kruskal_wallis",
+    # Kruskal-Wallis H (Kruskal & Wallis 1952) across ALL event types over
+    # `value`, with the tie-corrected denominator 1 - sum(t^3 - t)/(N^3 - N).
+    # Global average ranks are computed WITHOUT a single-task global sort:
+    # a two-level distributed prefix sum — per-value counts bucketed by
+    # floor(v/16), cumulative across the ~36 bucket totals (tiny), plus a
+    # within-bucket cumulative window partitioned by bucket (parallel).
+    oracle="""
+    WITH cnt_v AS (
+      SELECT value AS v, CAST(FLOOR(value / 16) AS INT) AS bucket,
+             COUNT(*) AS tc
+      FROM events GROUP BY 1, 2
+    ),
+    bucket_cum AS (
+      SELECT bucket,
+             COALESCE(SUM(SUM(tc)) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below_bucket
+      FROM cnt_v GROUP BY bucket
+    ),
+    ranked AS (
+      SELECT c.v, c.tc,
+             b.below_bucket
+               + COALESCE(SUM(c.tc) OVER (PARTITION BY c.bucket ORDER BY c.v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (c.tc + 1) / 2.0 AS rank_avg
+      FROM cnt_v c JOIN bucket_cum b ON c.bucket = b.bucket
+    ),
+    pg AS (SELECT value AS v, event_type, COUNT(*) AS gc FROM events GROUP BY 1, 2),
+    groups AS (
+      SELECT pg.event_type, CAST(SUM(pg.gc) AS DOUBLE) AS ng,
+             SUM(pg.gc * r.rank_avg) AS rg
+      FROM pg JOIN ranked r ON pg.v = r.v GROUP BY pg.event_type
+    ),
+    s1 AS (SELECT SUM(rg * rg / ng) AS s_rr, COUNT(*) AS k FROM groups),
+    s2 AS (
+      SELECT CAST(SUM(tc) AS DOUBLE) AS n,
+             SUM(CAST(tc * tc * tc - tc AS DOUBLE)) AS ties
+      FROM cnt_v
+    )
+    SELECT g.event_type, CAST(g.ng AS BIGINT) AS n,
+           ROUND(g.rg, 1) AS rank_sum, ROUND(g.rg / g.ng, 6) AS mean_rank,
+           ROUND((12.0 / (s2.n * (s2.n + 1)) * s1.s_rr - 3 * (s2.n + 1))
+                 / (1 - s2.ties / (s2.n * s2.n * s2.n - s2.n)), 6) AS h_stat,
+           CAST(s1.k - 1 AS INT) AS dof
+    FROM groups g CROSS JOIN s1 CROSS JOIN s2
+    """,
+    tags=("stats", "rank", "nonparametric"),
+)
+def kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test across event types — the k-group extension of
+    `mann_whitney_u` (one-way ANOVA on ranks), with per-group rank sums
+    and mean ranks exposed per row plus the tie-corrected table statistic
+    (the chi_square_independence scalar-broadcast pattern).
+
+    Scale shape: the corpus collapses once to per-value counts; GLOBAL
+    average ranks come from a two-level distributed prefix sum (cumulative
+    over ~max(v)/16 bucket totals, then a within-bucket cumulative window
+    partitioned by bucket) so no window ever sees more than one bucket's
+    values in a single task — the textbook parallel scan, exact to the
+    half-integer. Rank sums are exact (< 2^53); only z-scale outputs
+    round. The bucket-total cumulative IS a single task, but over a
+    bounded handful of rows (value_range/16)."""
+    e = load_table(spark, sf_dir, "events")
+    cnt_v = e.groupBy(
+        F.col("value").alias("v"),
+        F.floor(F.col("value") / 16).cast("int").alias("bucket"),
+    ).agg(F.count("*").alias("tc"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bucket_cum = (
+        cnt_v.groupBy("bucket")
+        .agg(F.sum("tc").alias("bc"))
+        .select("bucket", F.coalesce(F.sum("bc").over(wb), F.lit(0)).alias("below_bucket"))
+    )
+    wv = Window.partitionBy("bucket").orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = cnt_v.join(F.broadcast(bucket_cum), "bucket").select(
+        "v",
+        "tc",
+        (
+            F.col("below_bucket")
+            + F.coalesce(F.sum("tc").over(wv), F.lit(0))
+            + (F.col("tc") + 1) / 2.0
+        ).alias("rank_avg"),
+    )
+    pg = e.groupBy(F.col("value").alias("v"), "event_type").agg(F.count("*").alias("gc"))
+    groups = (
+        pg.join(ranked.select("v", "rank_avg"), "v")
+        .groupBy("event_type")
+        .agg(
+            F.sum("gc").cast("double").alias("ng"),
+            F.sum(F.col("gc") * F.col("rank_avg")).alias("rg"),
+        )
+    )
+    s1 = groups.agg(
+        F.sum(F.col("rg") * F.col("rg") / F.col("ng")).alias("s_rr"),
+        F.count("*").alias("k"),
+    )
+    tc = F.col("tc")
+    s2 = cnt_v.agg(
+        F.sum("tc").cast("double").alias("n"),
+        F.sum((tc * tc * tc - tc).cast("double")).alias("ties"),
+    )
+    n, s_rr, ties = F.col("n"), F.col("s_rr"), F.col("ties")
+    h = (12.0 / (n * (n + 1)) * s_rr - 3 * (n + 1)) / (1 - ties / (n * n * n - n))
+    return (
+        groups.crossJoin(F.broadcast(s1))
+        .crossJoin(F.broadcast(s2))
+        .select(
+            "event_type",
+            F.col("ng").cast("long").alias("n"),
+            F.round("rg", 1).alias("rank_sum"),
+            F.round(F.col("rg") / F.col("ng"), 6).alias("mean_rank"),
+            F.round(h, 6).alias("h_stat"),
+            (F.col("k") - 1).cast("int").alias("dof"),
+        )
+    )
+
+
+@register(
+    "mann_kendall_trend",
+    # Mann-Kendall monotone-trend test (Mann 1945, Kendall 1975) per
+    # event-type daily-count series: S = sum of sign(x_j - x_i) over all
+    # day pairs i < j, tie-corrected variance
+    # (n(n-1)(2n+5) - sum t(t-1)(2t+5))/18, and the continuity-corrected
+    # z. The hypothesis-test companion to `theil_sen_trend`'s slope
+    # estimate (the two are the classic published pairing).
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT a.event_type, SUM(SIGN(b.x - a.x)) AS s_stat
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day
+      GROUP BY a.event_type
+    ),
+    nn AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n FROM daily GROUP BY event_type),
+    ties AS (
+      SELECT event_type, SUM(t * (t - 1) * (2 * t + 5)) AS tie_sum
+      FROM (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS t FROM daily GROUP BY event_type, x)
+      GROUP BY event_type
+    ),
+    v AS (
+      SELECT nn.event_type, nn.n, s.s_stat,
+             (nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_sum) / 18.0 AS var_s
+      FROM nn JOIN s ON nn.event_type = s.event_type
+              JOIN ties ON nn.event_type = ties.event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(s_stat AS BIGINT) AS s_stat, ROUND(var_s, 4) AS var_s,
+           ROUND(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                      WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                      ELSE 0.0 END, 6) AS z_stat
+    FROM v
+    """,
+    tags=("stats", "temporal", "trend", "nonparametric"),
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per event-type daily-count series: exact
+    integer S from all within-series day pairs, tie-corrected variance,
+    continuity-corrected z — the significance test that pairs with
+    `theil_sen_trend`'s robust slope (both enumerate the same bounded
+    within-series pair set, never across series).
+
+    Scale shape: one bounded daily rollup (series x days), pair
+    enumeration via a self-join keyed on event_type (each series' pairs
+    stay in one shuffle partition's sort — days^2 per series, days ~ 30),
+    and three bounded aggregations joined on the series key. S and the
+    tie counts are exact integers; var_s/z round at 4/6dp."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count("*").cast("double").alias("x"))
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type")) & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(F.sum(F.signum(F.col("b.x") - F.col("a.x"))).alias("s_stat"))
+    )
+    nn = daily.groupBy("event_type").agg(F.count("*").cast("double").alias("n"))
+    t = F.col("t")
+    ties = (
+        daily.groupBy("event_type", "x")
+        .agg(F.count("*").cast("double").alias("t"))
+        .groupBy("event_type")
+        .agg(F.sum(t * (t - 1) * (2 * t + 5)).alias("tie_sum"))
+    )
+    v = nn.join(s, "event_type").join(ties, "event_type")
+    n, s_stat = F.col("n"), F.col("s_stat")
+    var_s = (n * (n - 1) * (2 * n + 5) - F.col("tie_sum")) / 18.0
+    z = (
+        F.when(s_stat > 0, (s_stat - 1) / F.sqrt(var_s))
+        .when(s_stat < 0, (s_stat + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return v.select(
+        "event_type",
+        n.cast("long").alias("n_days"),
+        s_stat.cast("long").alias("s_stat"),
+        F.round(var_s, 4).alias("var_s"),
+        F.round(z, 6).alias("z_stat"),
+    )
