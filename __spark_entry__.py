@@ -48,6 +48,13 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = (
     # -- tier 0: NEW in round 7 — never driver-sampled, need first proof
     # (names appended here as they land this round; latest additions first)
+    "bootstrap_ci",  # r7: deterministic Poisson-bootstrap percentile CI
+    "kaplan_meier_retention",  # r7: KM product-limit with right-censoring
+    "mutual_information_assoc",  # r7: MI/NMI/Cramér's V effect sizes
+    "proportions_ab_test",  # r7: two-proportion pooled z (A/B workhorse)
+    "hits_hub_authority",  # r7: HITS hub/authority, generated 3-round oracle
+    "naive_bayes_langid",  # r7: in-engine multinomial NB train+score
+    "jackknife_cv_se",  # r7: delete-1 jackknife SE/bias for per-series CV
     "mann_whitney_u",  # r7: pairwise rank-sum U + tie-corrected z
     "kruskal_wallis",  # r7: k-group H via two-level distributed prefix-sum ranks
     "mann_kendall_trend",  # r7: S/z trend test pairing theil_sen_trend

@@ -612,6 +612,65 @@ def pagerank(
     return r.select(F.col("n").alias(key_col), F.col("r").alias("rank"))
 
 
+def hits(edges: DataFrame, n_iter: int = 3) -> tuple[DataFrame, DataFrame]:
+    """HITS hub/authority scoring (Kleinberg 1999 JACM 46(5)) on a directed
+    edge list: per round, authority(v) = Σ_{u→v} hub(u) then L2-normalize,
+    hub(u) = Σ_{u→v} authority(v) then L2-normalize, from the all-ones hub
+    start. The mutual-reinforcement counterpart of ``pagerank`` — PageRank
+    ranks by stationary visiting mass, HITS separates "points at good
+    things" (hubs) from "is pointed at by good hubs" (authorities), the
+    natural decomposition for bipartite interaction graphs.
+
+    Scale shape (the ``pagerank`` iteration hygiene): each half-round is
+    one edge-keyed join + one bounded dst/src-keyed aggregation; the L2
+    norm is a 1-row scalar aggregate attached by broadcast cross join
+    (the allow-listed bounded pattern); lineage cut per round so the plan
+    stays round-local; shuffle parallelism sized from the measured edge
+    count. No intermediate rounding — FP noise stays at machine epsilon
+    relative (sums are normalized each round, so scale is stable), far
+    inside the caller's output rounding window.
+
+    Returns ``(hubs, authorities)`` as (node, score) DataFrames after
+    ``n_iter`` rounds."""
+    from utils_spark.plans import scaled_shuffle_partitions
+
+    spark = edges.sparkSession
+    e = cut_lineage(
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long")).distinct()
+    )
+    n_edges = e.count()
+    with scaled_shuffle_partitions(spark, n_edges, 100_000):
+        h = e.select("src").distinct().select("src", F.lit(1.0).alias("h"))
+        a = None
+        for _ in range(n_iter):
+            a_raw = (
+                e.join(h, "src")
+                .groupBy("dst")
+                .agg(F.sum("h").alias("a"))
+            )
+            a_norm = a_raw.agg(F.sqrt(F.sum(F.col("a") * F.col("a"))).alias("nrm"))
+            a = cut_lineage(
+                a_raw.crossJoin(F.broadcast(a_norm)).select(
+                    "dst", (F.col("a") / F.col("nrm")).alias("a")
+                )
+            )
+            h_raw = (
+                e.join(a, "dst")
+                .groupBy("src")
+                .agg(F.sum("a").alias("h"))
+            )
+            h_norm = h_raw.agg(F.sqrt(F.sum(F.col("h") * F.col("h"))).alias("nrm"))
+            h = cut_lineage(
+                h_raw.crossJoin(F.broadcast(h_norm)).select(
+                    "src", (F.col("h") / F.col("nrm")).alias("h")
+                )
+            )
+    return (
+        h.select(F.col("src").alias("node"), F.col("h").alias("score")),
+        a.select(F.col("dst").alias("node"), F.col("a").alias("score")),
+    )
+
+
 def cluster_transition_counts(df: DataFrame, label_a: str, label_b: str) -> DataFrame:
     """Cross-resolution cluster transition edges (reference M7:
     R/wrapper.R:350-359 clustree): count of entities per (label_a, label_b)."""

@@ -1964,3 +1964,95 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     for st in stats[1:]:
         out = out.unionByName(st)
     return out.select("round", "n_nodes", "n_edges", "node_checksum")
+
+
+def _hits_oracle(n_iter: int = 3) -> str:
+    """Generated N-round SQL twin of ``ml.hits`` on the directed
+    customer→supplier purchase graph: each round computes in-edge hub
+    sums (authorities) and out-edge authority sums (hubs), each
+    L2-normalized — the same N-step-CTE technique as _pagerank_oracle."""
+    head = """
+    WITH pair AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    h0 AS (SELECT DISTINCT src, 1.0 AS h FROM pair)"""
+    steps = []
+    for k in range(1, n_iter + 1):
+        steps.append(f"""
+    ar{k} AS (
+      SELECT p.dst, SUM(h.h) AS a FROM pair p JOIN h{k - 1} h ON p.src = h.src GROUP BY p.dst
+    ),
+    an{k} AS (SELECT dst, a / sqrt(SUM(a * a) OVER ()) AS a FROM ar{k}),
+    hr{k} AS (
+      SELECT p.src, SUM(a.a) AS h FROM pair p JOIN an{k} a ON p.dst = a.dst GROUP BY p.src
+    ),
+    h{k} AS (SELECT src, h / sqrt(SUM(h * h) OVER ()) AS h FROM hr{k})""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT * FROM (
+      SELECT 'supplier' AS node_type, dst AS node, ROUND(a, 8) AS score
+      FROM an{n_iter} ORDER BY ROUND(a, 8) DESC, dst ASC LIMIT 10)
+    UNION ALL
+    SELECT * FROM (
+      SELECT 'customer' AS node_type, src AS node, ROUND(h, 8) AS score
+      FROM h{n_iter} ORDER BY ROUND(h, 8) DESC, src ASC LIMIT 10)"""
+    )
+
+
+@register(
+    "hits_hub_authority",
+    # HITS (Kleinberg 1999) on the directed customer→supplier purchase
+    # graph, 3 rounds of L2-normalized mutual reinforcement; deterministic
+    # top-10 hubs + top-10 authorities by (8dp-rounded score desc, node
+    # asc). The oracle replays all rounds in generated SQL.
+    oracle=_hits_oracle(3),
+    tags=("composite", "graph", "iterative", "hits"),
+)
+def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hub/authority decomposition of the customer→supplier purchase
+    graph — customers that buy broadly from strong suppliers (hubs) vs
+    suppliers bought from by strong hubs (authorities). Completes the
+    spectral-centrality pair beside `pagerank_interactions`: PageRank's
+    random-surfer mass vs HITS' mutual-reinforcement eigenvectors (the
+    principal left/right singular vectors of the adjacency), which is the
+    published tool for BIPARTITE interaction graphs where a single
+    undirected centrality conflates the two roles.
+
+    Scale shape: see ``ml.hits`` — per half-round one edge-keyed join +
+    one bounded node-keyed aggregation; L2 norms are 1-row broadcast
+    scalars; lineage cut per round; parallelism sized from the measured
+    edge count. Output rounds at 8dp with a node-id tie-break so the
+    top-10 cutoffs are cross-engine deterministic."""
+    from utils_spark.operators.ml import hits
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pair = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+    )
+    hubs, auths = hits(pair, n_iter=3)
+    top_a = (
+        auths.select(
+            F.lit("supplier").alias("node_type"),
+            "node",
+            F.round("score", 8).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("node"))
+        .limit(10)
+    )
+    top_h = (
+        hubs.select(
+            F.lit("customer").alias("node_type"),
+            "node",
+            F.round("score", 8).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("node"))
+        .limit(10)
+    )
+    return top_a.unionByName(top_h)

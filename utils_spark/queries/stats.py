@@ -889,3 +889,517 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var_s, 4).alias("var_s"),
         F.round(z, 6).alias("z_stat"),
     )
+
+
+@register(
+    "jackknife_cv_se",
+    # Delete-1 jackknife (Quenouille 1956, Tukey 1958) for the coefficient
+    # of variation of each event type's daily-mean series — the CV is a
+    # nonlinear statistic whose naive plug-in SE is biased, which is
+    # exactly what the jackknife corrects. Each leave-one-out replicate is
+    # computed from sufficient statistics (n, Σx, Σx²) minus the held-out
+    # day, so the full replicate set costs O(n) per series, never an n²
+    # rescan.
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             AVG(value) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    suff AS (
+      SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(x) AS s1, SUM(x * x) AS s2
+      FROM daily GROUP BY event_type
+    ),
+    loo AS (
+      SELECT d.event_type, s.n,
+             sqrt(((s.s2 - d.x * d.x) - (s.s1 - d.x) * (s.s1 - d.x) / (s.n - 1)) / (s.n - 2))
+               / ((s.s1 - d.x) / (s.n - 1)) AS cv_i
+      FROM daily d JOIN suff s ON d.event_type = s.event_type
+    ),
+    full_cv AS (
+      SELECT event_type,
+             sqrt((s2 - s1 * s1 / n) / (n - 1)) / (s1 / n) AS cv_full
+      FROM suff
+    )
+    SELECT l.event_type, CAST(ANY_VALUE(l.n) AS BIGINT) AS n_days,
+           ROUND(ANY_VALUE(f.cv_full), 6) AS cv_full,
+           ROUND(sqrt((ANY_VALUE(l.n) - 1) / ANY_VALUE(l.n)
+                 * SUM((l.cv_i - sub.cv_bar) * (l.cv_i - sub.cv_bar))), 6) AS jack_se,
+           ROUND((ANY_VALUE(l.n) - 1) * (sub.cv_bar - ANY_VALUE(f.cv_full)), 6) AS jack_bias
+    FROM loo l
+    JOIN full_cv f ON l.event_type = f.event_type
+    JOIN (SELECT event_type, AVG(cv_i) AS cv_bar FROM loo GROUP BY event_type) sub
+      ON l.event_type = sub.event_type
+    GROUP BY l.event_type, sub.cv_bar
+    """,
+    tags=("stats", "resampling", "jackknife"),
+)
+def jackknife_cv_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-1 jackknife standard error and bias estimate for the CV of
+    each event type's daily-mean series — the resampling-inference
+    primitive beside the closed-form tests (`mann_whitney_u`, `ks_test`):
+    for statistics without tractable SEs the jackknife is the published
+    distributed recipe, and it composes entirely from sufficient
+    statistics so replicates never rescan the data.
+
+    Scale shape: one bounded daily rollup, one (n, Σx, Σx²) aggregate per
+    series broadcast back onto its days, every leave-one-out CV computed
+    row-locally from those sufficient statistics, then one bounded
+    closing aggregation — O(series × days) total, no pair join. All
+    inputs to the 6dp-rounded outputs are few-term double sums."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.avg("value").alias("x"))
+    suff = daily.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    n, s1, s2, x = F.col("n"), F.col("s1"), F.col("s2"), F.col("x")
+    loo = daily.join(F.broadcast(suff), "event_type").select(
+        "event_type",
+        "n",
+        (
+            F.sqrt(((s2 - x * x) - (s1 - x) * (s1 - x) / (n - 1)) / (n - 2))
+            / ((s1 - x) / (n - 1))
+        ).alias("cv_i"),
+    )
+    full_cv = suff.select(
+        "event_type",
+        (F.sqrt((s2 - s1 * s1 / n) / (n - 1)) / (s1 / n)).alias("cv_full"),
+    )
+    cv_bar = loo.groupBy("event_type").agg(F.avg("cv_i").alias("cv_bar"))
+    d = F.col("cv_i") - F.col("cv_bar")
+    return (
+        loo.join(F.broadcast(full_cv), "event_type")
+        .join(F.broadcast(cv_bar), "event_type")
+        .groupBy("event_type", "cv_bar")
+        .agg(
+            F.first("n").cast("long").alias("n_days"),
+            F.round(F.first("cv_full"), 6).alias("cv_full"),
+            F.round(F.sqrt((F.first("n") - 1) / F.first("n") * F.sum(d * d)), 6).alias("jack_se"),
+            F.round((F.first("n") - 1) * (F.first("cv_bar") - F.first("cv_full")), 6).alias("jack_bias"),
+        )
+        .drop("cv_bar")
+    )
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative probabilities for k=0..5);
+# weights above the last threshold get 6. Shared verbatim by both engines.
+_POIS1_CDF = (0.3678794412, 0.7357588823, 0.9196986029, 0.9810118431, 0.9963401532, 0.9994058151)
+
+
+def _pois1_case_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS1_CDF)
+    )
+    return f"CASE {cases} ELSE 6 END"
+
+
+@register(
+    "bootstrap_ci",
+    # Poisson bootstrap (the distributed-systems bootstrap: per-row
+    # Poisson(1) weights instead of multinomial resampling — Chamandy et
+    # al., Google 2012, "Estimating Uncertainty for Massive Data Streams")
+    # for the mean of each event type's daily means: B=100 deterministic
+    # replicates whose weights come from md5(series:day:b) inverse-CDF
+    # draws, nearest-rank 2.5%/97.5% percentile CI.
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             AVG(value) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    reps AS (SELECT UNNEST(range(0, 100)) AS b),
+    weighted AS (
+      SELECT d.event_type, r.b, d.x,
+             {_pois1_case_sql("(CAST(('0x' || substr(md5(d.event_type || ':' || CAST(d.day AS VARCHAR) || ':' || CAST(r.b AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000) / 1000000.0")} AS w
+      FROM daily d CROSS JOIN reps r
+    ),
+    repmean AS (
+      SELECT event_type, b, SUM(w * x) / SUM(w) AS m
+      FROM weighted GROUP BY event_type, b HAVING SUM(w) > 0
+    ),
+    ranked AS (
+      SELECT event_type, m,
+             row_number() OVER (PARTITION BY event_type ORDER BY m, b) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS nb
+      FROM repmean
+    ),
+    fullmean AS (SELECT event_type, AVG(x) AS mean_full FROM daily GROUP BY event_type)
+    SELECT f.event_type, CAST(ANY_VALUE(r.nb) AS BIGINT) AS n_reps,
+           ROUND(ANY_VALUE(f.mean_full), 6) AS mean_full,
+           ROUND(MAX(CASE WHEN r.rn = CAST(ceil(0.025 * r.nb) AS BIGINT) THEN r.m END), 6) AS ci_lo,
+           ROUND(MAX(CASE WHEN r.rn = CAST(ceil(0.975 * r.nb) AS BIGINT) THEN r.m END), 6) AS ci_hi
+    FROM ranked r JOIN fullmean f ON r.event_type = f.event_type
+    GROUP BY f.event_type
+    """,
+    tags=("stats", "resampling", "bootstrap"),
+)
+def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap percentile CI for each event type's mean of daily
+    means — the published scale-out bootstrap: instead of materializing B
+    resamples, every (row, replicate) pair draws a Poisson(1) weight, so
+    replicates are a bounded ×B fan-out over the (already bounded) daily
+    rollup and each replicate mean is one weighted aggregation. Weights
+    are DETERMINISTIC md5(series:day:replicate) inverse-CDF draws (the
+    `countmin_heavy_hitters` cross-engine hashing idiom), so both engines
+    build the byte-identical replicate set — no RNG in either engine.
+    Completes the resampling family beside `jackknife_cv_se` (delete-1
+    analytic) with the percentile-interval flavor.
+
+    Scale shape: corpus collapses once to series×days; the ×100 replicate
+    fan-out applies to that bounded table, never the corpus; one
+    aggregation per grain after that. Nearest-rank percentiles (ranks
+    ceil(0.025 B)/ceil(0.975 B), tie-broken by replicate id) avoid
+    interpolation-convention drift between engines."""
+    from utils_spark.functions import md5_long
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.avg("value").alias("x"))
+    reps = spark.range(0, 100).select(F.col("id").alias("b"))
+    u = (
+        md5_long(
+            F.concat(
+                F.col("event_type"), F.lit(":"), F.col("day").cast("string"),
+                F.lit(":"), F.col("b").cast("string"),
+            )
+        )
+        % 1000000
+    ) / 1000000.0
+    w = F.lit(6)
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(u < _POIS1_CDF[k], F.lit(k)).otherwise(w)
+    weighted = daily.crossJoin(F.broadcast(reps)).select(
+        "event_type", "b", "x", w.alias("w")
+    )
+    repmean = (
+        weighted.groupBy("event_type", "b")
+        .agg(F.sum(F.col("w") * F.col("x")).alias("sw"), F.sum("w").alias("tw"))
+        .filter(F.col("tw") > 0)
+        .select("event_type", "b", (F.col("sw") / F.col("tw")).alias("m"))
+    )
+    wr = Window.partitionBy("event_type").orderBy("m", "b")
+    wp = Window.partitionBy("event_type")
+    ranked = repmean.select(
+        "event_type", "m",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wp).alias("nb"),
+    )
+    fullmean = daily.groupBy("event_type").agg(F.avg("x").alias("mean_full"))
+    lo_rn = F.ceil(0.025 * F.col("nb")).cast("long")
+    hi_rn = F.ceil(0.975 * F.col("nb")).cast("long")
+    return (
+        ranked.join(F.broadcast(fullmean), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("nb").cast("long").alias("n_reps"),
+            F.round(F.first("mean_full"), 6).alias("mean_full"),
+            F.round(F.max(F.when(F.col("rn") == lo_rn, F.col("m"))), 6).alias("ci_lo"),
+            F.round(F.max(F.when(F.col("rn") == hi_rn, F.col("m"))), 6).alias("ci_hi"),
+        )
+    )
+
+
+@register(
+    "kaplan_meier_retention",
+    # Kaplan-Meier product-limit estimator (Kaplan & Meier 1958 JASA) on
+    # time-to-first-purchase: duration = WHOLE HOURS between a user's
+    # first event and their first purchase, with ADMINISTRATIVE
+    # right-censoring at the 48-hour horizon (users converting later are
+    # censored at t=48, the standard fixed-horizon design) — at every SF
+    # both the event and censor branches are heavily populated
+    # (10/5 at sf0.001, 111/39, 1002/498). Hours via
+    # floor(whole-second-delta/3600) in BOTH engines: DuckDB
+    # date_diff('second') counts second boundaries, which equals Spark's
+    # unix_timestamp difference (both truncate sub-second parts;
+    # DuckDB epoch() would keep the fraction and shift hour boundaries,
+    # and date_diff('hour') counts hour boundaries, not complete hours). S(t) multiplies (1 - d/n) over
+    # event times <= t — computed as exp(cumsum(ln ...)) in both engines
+    # so the product convention is identical.
+    oracle="""
+    WITH users AS (
+      SELECT user_id,
+             CAST(FLOOR(date_diff('second', MIN(CAST(ts AS TIMESTAMP)),
+                                  MIN(CASE WHEN event_type = 'purchase'
+                                           THEN CAST(ts AS TIMESTAMP) END)) / 3600.0)
+                  AS BIGINT) AS h
+      FROM events GROUP BY user_id
+    ),
+    dur AS (
+      SELECT user_id,
+             CASE WHEN h <= 48 THEN h ELSE 48 END AS t,
+             CASE WHEN h <= 48 THEN 1 ELSE 0 END AS ev
+      FROM users
+    ),
+    att AS (
+      SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(SUM(1 - ev) AS BIGINT) AS c, COUNT(*) AS tot
+      FROM dur GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d, c,
+             SUM(tot) OVER (ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+      FROM att
+    ),
+    surv AS (
+      SELECT t, d, c, n_risk,
+             EXP(SUM(LN(1 - CAST(d AS DOUBLE) / n_risk)) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_t
+      FROM risk
+    )
+    SELECT CAST(t AS INT) AS duration_hours, CAST(n_risk AS BIGINT) AS n_risk,
+           d AS d_events, c AS n_censored, ROUND(s_t, 6) AS s_t
+    FROM surv WHERE d > 0
+    """,
+    tags=("stats", "survival", "kaplan-meier", "temporal"),
+)
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase with
+    administrative right-censoring at a 48-hour horizon — the canonical
+    time-to-event estimator that a naive "mean hours to convert"
+    aggregation gets wrong in the presence of not-yet-converted users:
+    conversions later than the horizon are censored at t=48 and keep
+    contributing to risk sets without counting as events. Output is the
+    standard KM table (time, risk set, events, censored, S(t)) at event
+    times; the censor branch is heavily populated at every SF (5 of 15
+    users at sf0.001, 498 of 1500 at sf0.1), so the estimator is
+    non-vacuous — the first draft censored on last-event recency, which
+    the data never triggers (every user is active through the window's
+    end), yielding an empty curve; caught by the vanilla driver drive.
+
+    Scale shape: one user-grain aggregation (the only corpus-volume
+    shuffle), then everything lives on the bounded distinct-duration
+    table (<= 49 rows): the reverse-cumulative risk set and the
+    cumulative log-product are single-task windows over that bounded
+    table by construction. Durations are floor(whole-second-delta/3600)
+    in both engines (unix_timestamp and date_diff('second') both
+    truncate sub-second parts identically); the survival product is exp(Σ ln(1 - d/n)) in BOTH
+    engines, so product associativity can't drift."""
+    e = load_table(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.floor(
+            (
+                F.unix_timestamp(F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))))
+                - F.unix_timestamp(F.min("ts"))
+            )
+            / 3600.0
+        ).cast("long").alias("h")
+    )
+    dur = users.select(
+        "user_id",
+        F.when(F.col("h") <= 48, F.col("h")).otherwise(F.lit(48)).alias("t"),
+        F.when(F.col("h") <= 48, 1).otherwise(0).alias("ev"),
+    )
+    att = dur.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(1 - F.col("ev")).cast("long").alias("c"),
+        F.count("*").alias("tot"),
+    )
+    wdesc = Window.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    risk = att.select("t", "d", "c", F.sum("tot").over(wdesc).alias("n_risk"))
+    wasc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    surv = risk.select(
+        "t", "d", "c", "n_risk",
+        F.exp(F.sum(F.log(1 - F.col("d").cast("double") / F.col("n_risk"))).over(wasc)).alias("s_t"),
+    )
+    return surv.filter(F.col("d") > 0).select(
+        F.col("t").cast("int").alias("duration_hours"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").alias("d_events"),
+        F.col("c").alias("n_censored"),
+        F.round("s_t", 6).alias("s_t"),
+    )
+
+
+@register(
+    "mutual_information_assoc",
+    # Information-theoretic and normalized association measures on the
+    # event_type x day-of-week contingency table: mutual information in
+    # nats, normalized MI (arithmetic-mean normalization,
+    # MI / ((H_row + H_col)/2)), and Cramér's V from the chi-square
+    # statistic — the three standard strengths-of-association that
+    # `chi_square_independence` (a significance test) does not report.
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
+             CAST(COUNT(*) AS DOUBLE) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, dow, o,
+             SUM(o) OVER (PARTITION BY event_type) AS row_tot,
+             SUM(o) OVER (PARTITION BY dow) AS col_tot,
+             SUM(o) OVER () AS n
+      FROM obs
+    ),
+    parts AS (
+      SELECT n,
+             SUM((o / n) * LN(o * n / (row_tot * col_tot))) AS mi,
+             SUM((o - row_tot * col_tot / n) * (o - row_tot * col_tot / n)
+                 / (row_tot * col_tot / n)) AS chi2,
+             COUNT(DISTINCT event_type) AS r, COUNT(DISTINCT dow) AS c
+      FROM tot GROUP BY n
+    ),
+    ents AS (
+      SELECT
+        (SELECT -SUM(p * LN(p)) FROM (
+           SELECT SUM(o) / ANY_VALUE(n) AS p FROM tot GROUP BY event_type)) AS h_row,
+        (SELECT -SUM(p * LN(p)) FROM (
+           SELECT SUM(o) / ANY_VALUE(n) AS p FROM tot GROUP BY dow)) AS h_col
+    )
+    SELECT CAST(p.n AS BIGINT) AS n,
+           ROUND(p.mi, 6) AS mi_nats,
+           ROUND(p.mi / ((e.h_row + e.h_col) / 2), 6) AS nmi,
+           ROUND(sqrt(p.chi2 / (p.n * (LEAST(p.r, p.c) - 1))), 6) AS cramers_v
+    FROM parts p CROSS JOIN ents e
+    """,
+    tags=("stats", "information", "association"),
+)
+def mutual_information_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats), normalized MI and Cramér's V for the
+    event_type x day-of-week association — the effect-size companions to
+    `chi_square_independence`'s significance test, and the feature-
+    selection primitives (MI ranking) of a training-data pipeline.
+
+    Scale shape: identical to the chi-square query — one bounded
+    contingency aggregation, marginals via windows over the bounded cell
+    table, 1-row output. The entropy sums and MI are few-term double
+    aggregations rounding at 6dp.
+
+    Note the subtle window-vs-groupBy interplay: marginal entropies are
+    computed by re-aggregating the cell table per axis, not by windowing,
+    so each probability is summed exactly once."""
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy("event_type", F.dayofweek("ts").alias("dow")).agg(
+        F.count("*").cast("double").alias("o")
+    )
+    tot = obs.select(
+        "event_type", "dow", "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("dow")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    exp_ = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    parts = tot.groupBy("n").agg(
+        F.sum((F.col("o") / F.col("n")) * F.log(F.col("o") * F.col("n") / (F.col("row_tot") * F.col("col_tot")))).alias("mi"),
+        F.sum((F.col("o") - exp_) * (F.col("o") - exp_) / exp_).alias("chi2"),
+        F.countDistinct("event_type").alias("r"),
+        F.countDistinct("dow").alias("c"),
+    )
+    h_row = (
+        tot.groupBy("event_type")
+        .agg((F.sum("o") / F.first("n")).alias("p"))
+        .agg((-F.sum(F.col("p") * F.log("p"))).alias("h_row"))
+    )
+    h_col = (
+        tot.groupBy("dow")
+        .agg((F.sum("o") / F.first("n")).alias("p"))
+        .agg((-F.sum(F.col("p") * F.log("p"))).alias("h_col"))
+    )
+    return (
+        parts.crossJoin(F.broadcast(h_row))
+        .crossJoin(F.broadcast(h_col))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.round("mi", 6).alias("mi_nats"),
+            F.round(F.col("mi") / ((F.col("h_row") + F.col("h_col")) / 2), 6).alias("nmi"),
+            F.round(F.sqrt(F.col("chi2") / (F.col("n") * (F.least("r", "c") - 1))), 6).alias("cramers_v"),
+        )
+    )
+
+
+@register(
+    "proportions_ab_test",
+    # Two-proportion pooled z-test (the A/B-testing workhorse) on
+    # heavy-purchaser conversion (>= 15 purchases — interior rates at
+    # every SF; "any purchase" converts 100% of these users, which
+    # degenerates pp to 1 and the pooled variance to 0, a division the
+    # driver's ANSI session turns into a crash) between the
+    # user_id-parity arms: per-arm user counts, converters and rates,
+    # plus the pooled z and absolute rate difference on every row (1-row
+    # broadcast scalar pattern). The z denominator is NULL-guarded in
+    # both engines for the degenerate all-or-none pp.
+    oracle="""
+    WITH arms AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 15
+                  THEN 1 ELSE 0 END AS conv
+      FROM events GROUP BY user_id
+    ),
+    per AS (
+      SELECT arm, CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(conv) AS DOUBLE) AS k
+      FROM arms GROUP BY arm
+    ),
+    z AS (
+      SELECT (MAX(CASE WHEN arm = 1 THEN k / n END)
+              - MAX(CASE WHEN arm = 0 THEN k / n END)) AS diff,
+             SUM(k) / SUM(n) AS pp,
+             MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+             MAX(CASE WHEN arm = 1 THEN n END) AS n1
+      FROM per
+    )
+    SELECT p.arm, CAST(p.n AS BIGINT) AS n_users, CAST(p.k AS BIGINT) AS n_converted,
+           ROUND(p.k / p.n, 6) AS rate,
+           ROUND(z.diff, 6) AS rate_diff,
+           ROUND(CASE WHEN z.pp * (1 - z.pp) > 0
+                 THEN z.diff / sqrt(z.pp * (1 - z.pp) * (1 / z.n0 + 1 / z.n1)) END, 6) AS z_stat
+    FROM per p CROSS JOIN z
+    """,
+    tags=("stats", "ab-test", "proportions"),
+)
+def proportions_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion pooled z-test for heavy-purchaser conversion
+    (>= 15 purchases) between the two user_id-parity arms — the A/B
+    experimentation primitive beside the distributional (`pairwise_ks`),
+    rank (`mann_whitney_u`) and mean (`start_vs_end_test`) comparisons:
+    per-arm conversion rates with the pooled-variance z and the absolute
+    lift on each row. "Any purchase" is NOT the metric: it converts
+    every user in this data, making pp = 1 and the pooled variance 0 —
+    the driver's ANSI session crashes on that division (caught by the
+    vanilla driver drive), so the threshold keeps rates interior and
+    the z denominator is NULL-guarded anyway.
+
+    Scale shape: one user-grain conversion rollup (the only
+    corpus-volume shuffle — SUM over a CASE, map-side combinable), a
+    2-row arm aggregate, and a 1-row broadcast scalar. Counts are exact;
+    rates/z round at 6dp."""
+    e = load_table(spark, sf_dir, "events")
+    arms = e.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 15, 1
+        ).otherwise(0).alias("conv")
+    ).select((F.col("user_id") % 2).cast("int").alias("arm"), "conv")
+    per = arms.groupBy("arm").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("conv").cast("double").alias("k"),
+    )
+    z = per.agg(
+        (
+            F.max(F.when(F.col("arm") == 1, F.col("k") / F.col("n")))
+            - F.max(F.when(F.col("arm") == 0, F.col("k") / F.col("n")))
+        ).alias("diff"),
+        (F.sum("k") / F.sum("n")).alias("pp"),
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+    )
+    return per.crossJoin(F.broadcast(z)).select(
+        "arm",
+        F.col("n").cast("long").alias("n_users"),
+        F.col("k").cast("long").alias("n_converted"),
+        F.round(F.col("k") / F.col("n"), 6).alias("rate"),
+        F.round("diff", 6).alias("rate_diff"),
+        F.round(
+            F.when(
+                F.col("pp") * (1 - F.col("pp")) > 0,
+                F.col("diff")
+                / F.sqrt(F.col("pp") * (1 - F.col("pp")) * (1 / F.col("n0") + 1 / F.col("n1"))),
+            ),
+            6,
+        ).alias("z_stat"),
+    )

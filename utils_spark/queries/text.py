@@ -3917,3 +3917,135 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("edit_dist").cast("int").alias("edit_dist"),
         )
     )
+
+
+@register(
+    "naive_bayes_langid",
+    # Multinomial Naive Bayes (the classic generative text classifier;
+    # McCallum & Nigam AAAI-98 workshop formulation) trained IN-ENGINE on
+    # the even-doc_id half of the corpus and scored on the odd half:
+    # add-1-smoothed word likelihoods ln((c_wl + 1)/(tot_l + V)), class
+    # log-priors, argmax per test doc with scores rounded to 6dp before
+    # ranking (squashes sub-1e-13 FP sum-order noise far inside the
+    # window), tie-broken by lang. Output is the confusion matrix plus
+    # overall accuracy.
+    oracle="""
+    WITH train AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0),
+    test AS (SELECT doc_id, lang AS true_lang, text FROM documents WHERE doc_id % 2 = 1),
+    tw AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM train),
+    twc AS (SELECT lang, word, CAST(COUNT(*) AS DOUBLE) AS c
+            FROM tw WHERE word <> '' GROUP BY 1, 2),
+    tot AS (SELECT lang, SUM(c) AS tot FROM twc GROUP BY lang),
+    vocab AS (SELECT CAST(COUNT(DISTINCT word) AS DOUBLE) AS v FROM twc),
+    prior AS (
+      SELECT lang, ln(CAST(COUNT(*) AS DOUBLE)
+                      / (SELECT CAST(COUNT(*) AS DOUBLE) FROM train)) AS lp
+      FROM train GROUP BY lang
+    ),
+    qw AS (SELECT doc_id, true_lang, unnest(string_split(text, ' ')) AS word FROM test),
+    qwc AS (SELECT doc_id, true_lang, word, CAST(COUNT(*) AS DOUBLE) AS q
+            FROM qw WHERE word <> '' GROUP BY 1, 2, 3),
+    cand AS (
+      SELECT qwc.doc_id, qwc.true_lang, p.lang,
+             SUM(qwc.q * (ln(COALESCE(twc.c, 0) + 1) - ln(t.tot + vocab.v)))
+               + ANY_VALUE(p.lp) AS score
+      FROM qwc
+      CROSS JOIN prior p
+      JOIN tot t ON t.lang = p.lang
+      CROSS JOIN vocab
+      LEFT JOIN twc ON twc.lang = p.lang AND twc.word = qwc.word
+      GROUP BY qwc.doc_id, qwc.true_lang, p.lang
+    ),
+    pred AS (
+      SELECT doc_id, true_lang, lang AS pred_lang,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY ROUND(score, 6) DESC, lang ASC) AS rn
+      FROM cand
+    ),
+    conf AS (
+      SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred WHERE rn = 1 GROUP BY 1, 2
+    ),
+    acc AS (
+      SELECT SUM(CASE WHEN true_lang = pred_lang THEN n ELSE 0 END)
+               / CAST(SUM(n) AS DOUBLE) AS a
+      FROM conf
+    )
+    SELECT c.true_lang, c.pred_lang, c.n, ROUND(acc.a, 4) AS accuracy
+    FROM conf c CROSS JOIN acc
+    """,
+    tags=("text", "classifier", "naive-bayes", "langid"),
+)
+def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier trained and applied
+    entirely in-engine — the generative counterpart of the
+    discriminative `quality_classifier_filter` (pre-fitted coefficients)
+    and the heuristic `lang_id_ngram`: the model (word-class counts,
+    class totals, vocab size, priors) is learned from the even-doc half
+    with add-1 smoothing and scored over the odd half, ending in a
+    confusion matrix + overall accuracy.
+
+    Scale shape: training is one (word, lang)-keyed corpus aggregation to
+    a BOUNDED model table (vocab x langs) that is broadcast; scoring
+    explodes test docs to per-doc word counts once, joins the broadcast
+    model and the bounded lang list (a x|langs| fan-out, not a corpus
+    self-join), and closes with per-doc and confusion-grain aggregations.
+    Unseen words hit the smoothing floor via the left join's COALESCE.
+    Scores round to 6dp before the argmax window so cross-engine/run FP
+    sum-order noise (~1e-13) cannot flip ranks."""
+    d = load_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    test = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.col("lang").alias("true_lang"), "text"
+    )
+    tw = train.select(
+        "lang", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    twc = tw.groupBy("lang", "word").agg(F.count("*").cast("double").alias("c"))
+    tot = twc.groupBy("lang").agg(F.sum("c").alias("tot"))
+    vocab = twc.agg(F.countDistinct("word").cast("double").alias("v"))
+    n_train = train.count()
+    prior = train.groupBy("lang").agg(
+        F.log(F.count("*").cast("double") / F.lit(float(n_train))).alias("lp")
+    )
+    qwc = (
+        test.select("doc_id", "true_lang", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "true_lang", "word")
+        .agg(F.count("*").cast("double").alias("q"))
+    )
+    model = (
+        prior.join(tot, "lang")  # bounded: one row per lang
+    )
+    likelihood = twc.select(
+        F.col("lang").alias("mlang"), F.col("word").alias("mword"), "c"
+    )
+    cand = (
+        qwc.crossJoin(F.broadcast(model))
+        .crossJoin(F.broadcast(vocab))
+        .join(
+            F.broadcast(likelihood),
+            (F.col("mlang") == F.col("lang")) & (F.col("mword") == F.col("word")),
+            "left",
+        )
+        .groupBy("doc_id", "true_lang", "lang")
+        .agg(
+            (
+                F.sum(F.col("q") * (F.log(F.coalesce(F.col("c"), F.lit(0.0)) + 1) - F.log(F.col("tot") + F.col("v"))))
+                + F.first("lp")
+            ).alias("score")
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.round("score", 6).desc(), F.asc("lang"))
+    pred = cand.select("doc_id", "true_lang", F.col("lang").alias("pred_lang"),
+                       F.row_number().over(win).alias("rn")).filter(F.col("rn") == 1)
+    conf = pred.groupBy("true_lang", "pred_lang").agg(F.count("*").cast("long").alias("n"))
+    acc = conf.agg(
+        (
+            F.sum(F.when(F.col("true_lang") == F.col("pred_lang"), F.col("n")).otherwise(F.lit(0)))
+            / F.sum("n").cast("double")
+        ).alias("a")
+    )
+    return conf.crossJoin(F.broadcast(acc)).select(
+        "true_lang", "pred_lang", "n", F.round("a", 4).alias("accuracy")
+    )
