@@ -1403,3 +1403,127 @@ def proportions_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_stat"),
     )
+
+
+@register(
+    "permutation_test_daily",
+    # Monte-Carlo permutation test (Dwass 1957; cluster-permutation
+    # flavor — the resampling unit is the DAY, the natural exchangeable
+    # block for autocorrelated event data) for the difference in daily
+    # mean value between 'click' and 'view': B=200 deterministic
+    # relabelings assign each day to arm A with the observed day-count
+    # proportion via md5(day:b) draws; p = (1 + #{|diff_b| >=
+    # |diff_obs|}) / (B + 1), the standard add-one Monte-Carlo estimate.
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             AVG(value) AS x
+      FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2
+    ),
+    obs AS (
+      SELECT AVG(CASE WHEN event_type = 'click' THEN x END)
+             - AVG(CASE WHEN event_type = 'view' THEN x END) AS d_obs,
+             CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS DOUBLE)
+               / COUNT(*) AS p_a
+      FROM daily
+    ),
+    reps AS (SELECT UNNEST(range(0, 200)) AS b),
+    relabeled AS (
+      SELECT r.b, d.x,
+             CASE WHEN (CAST(('0x' || substr(md5(d.event_type || ':' || CAST(d.day AS VARCHAR)
+                        || ':' || CAST(r.b AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000)
+                       / 1000000.0 < o.p_a
+                  THEN 1 ELSE 0 END AS arm_a
+      FROM daily d CROSS JOIN reps r CROSS JOIN obs o
+    ),
+    perm AS (
+      SELECT b,
+             AVG(CASE WHEN arm_a = 1 THEN x END)
+             - AVG(CASE WHEN arm_a = 0 THEN x END) AS d_b
+      FROM relabeled GROUP BY b
+      HAVING COUNT(CASE WHEN arm_a = 1 THEN 1 END) > 0
+         AND COUNT(CASE WHEN arm_a = 0 THEN 1 END) > 0
+    )
+    SELECT ROUND(ANY_VALUE(o.d_obs), 6) AS obs_diff,
+           CAST(COUNT(*) AS BIGINT) AS n_perms,
+           CAST(SUM(CASE WHEN ABS(p.d_b) >= ABS(o.d_obs) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_extreme,
+           ROUND((1.0 + SUM(CASE WHEN ABS(p.d_b) >= ABS(o.d_obs) THEN 1 ELSE 0 END))
+                 / (COUNT(*) + 1.0), 6) AS p_value
+    FROM perm p CROSS JOIN obs o
+    """,
+    tags=("stats", "resampling", "permutation"),
+)
+def permutation_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte-Carlo permutation test for the click-vs-view difference in
+    daily mean value, permuting at the DAY grain — the third member of
+    the resampling family (`jackknife_cv_se` analytic, `bootstrap_ci`
+    percentile, permutation null-distribution), and the cluster-
+    permutation variant is the honest one for autocorrelated event
+    streams: relabeling individual events would break within-day
+    dependence and overstate significance. Relabelings are DETERMINISTIC
+    md5(series:day:replicate) Bernoulli draws at the observed arm
+    proportion (Monte-Carlo randomization test); degenerate one-arm
+    relabelings are excluded on both sides.
+
+    Scale shape: corpus collapses once to the (2 series x days) rollup;
+    the x200 replicate fan-out and every aggregation after it live on
+    that bounded table. The p-value uses the add-one Monte-Carlo
+    estimator, exact-integer counts over 6dp-stable comparisons."""
+    from utils_spark.functions import md5_long
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "view"))
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.avg("value").alias("x"))
+    obs = daily.agg(
+        (
+            F.avg(F.when(F.col("event_type") == "click", F.col("x")))
+            - F.avg(F.when(F.col("event_type") == "view", F.col("x")))
+        ).alias("d_obs"),
+        (
+            F.count(F.when(F.col("event_type") == "click", F.lit(1))).cast("double")
+            / F.count("*")
+        ).alias("p_a"),
+    )
+    reps = spark.range(0, 200).select(F.col("id").alias("b"))
+    u = (
+        md5_long(
+            F.concat(
+                F.col("event_type"), F.lit(":"), F.col("day").cast("string"),
+                F.lit(":"), F.col("b").cast("string"),
+            )
+        )
+        % 1000000
+    ) / 1000000.0
+    relabeled = (
+        daily.crossJoin(F.broadcast(reps))
+        .crossJoin(F.broadcast(obs))
+        .select(
+            "b", "x",
+            F.when(u < F.col("p_a"), 1).otherwise(0).alias("arm_a"),
+        )
+    )
+    perm = (
+        relabeled.groupBy("b")
+        .agg(
+            F.avg(F.when(F.col("arm_a") == 1, F.col("x"))).alias("ma"),
+            F.avg(F.when(F.col("arm_a") == 0, F.col("x"))).alias("mb"),
+            F.count(F.when(F.col("arm_a") == 1, F.lit(1))).alias("ca"),
+            F.count(F.when(F.col("arm_a") == 0, F.lit(1))).alias("cb"),
+        )
+        .filter((F.col("ca") > 0) & (F.col("cb") > 0))
+        .select("b", (F.col("ma") - F.col("mb")).alias("d_b"))
+    )
+    extreme = F.sum(
+        F.when(F.abs(F.col("d_b")) >= F.abs(F.col("d_obs")), 1).otherwise(0)
+    )
+    return (
+        perm.crossJoin(F.broadcast(obs))
+        .agg(
+            F.round(F.first("d_obs"), 6).alias("obs_diff"),
+            F.count("*").cast("long").alias("n_perms"),
+            extreme.cast("long").alias("n_extreme"),
+            F.round((1.0 + extreme) / (F.count("*") + 1.0), 6).alias("p_value"),
+        )
+    )

@@ -1157,3 +1157,148 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cusum_neg") > h).alias("shift_down"),
         )
     )
+
+
+def _durbin_levinson_pacf_exprs(max_lag: int = 5) -> dict[int, str]:
+    """Durbin-Levinson recursion unrolled to SQL expressions over columns
+    r1..r{max_lag} (sample ACF values): returns {lag: expr} where expr is
+    phi_{k,k}, the partial autocorrelation at lag k. ONE generator feeds
+    both engines (Spark via F.expr, DuckDB verbatim), so the recursion
+    cannot drift between them. Expression size grows ~3^k; max_lag=5
+    keeps fragments in the hundreds of characters (and the projection is
+    pure scalar arithmetic — no explode, so no InferFiltersFromGenerate
+    hazard)."""
+    phi: dict[int, dict[int, str]] = {1: {1: "r1"}}
+    out = {1: "r1"}
+    for k in range(2, max_lag + 1):
+        num = f"(r{k} - (" + " + ".join(
+            f"({phi[k - 1][j]}) * r{k - j}" for j in range(1, k)
+        ) + "))"
+        den = "(1 - (" + " + ".join(
+            f"({phi[k - 1][j]}) * r{j}" for j in range(1, k)
+        ) + "))"
+        pkk = f"({num} / {den})"
+        phi[k] = {k: pkk}
+        for j in range(1, k):
+            phi[k][j] = f"(({phi[k - 1][j]}) - ({pkk}) * ({phi[k - 1][k - j]}))"
+        out[k] = pkk
+    return out
+
+
+_PACF_EXPRS = _durbin_levinson_pacf_exprs(5)
+
+
+def _pacf_oracle() -> str:
+    selects = "\n    UNION ALL\n".join(
+        f"    SELECT event_type, {k} AS lag, {expr} AS phi FROM acfw"
+        for k, expr in _PACF_EXPRS.items()
+    )
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, AVG(n) AS mu,
+             SUM(n * n) - COUNT(*) * AVG(n) * AVG(n) AS ss
+      FROM daily GROUP BY event_type
+    ),
+    lagged AS (
+      SELECT event_type, n,
+             lag(n, 1) OVER w AS l1, lag(n, 2) OVER w AS l2,
+             lag(n, 3) OVER w AS l3, lag(n, 4) OVER w AS l4,
+             lag(n, 5) OVER w AS l5
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    acfw AS (
+      SELECT l.event_type,
+             SUM(CASE WHEN l1 IS NOT NULL THEN (n - mu) * (l1 - mu) END) / ANY_VALUE(ss) AS r1,
+             SUM(CASE WHEN l2 IS NOT NULL THEN (n - mu) * (l2 - mu) END) / ANY_VALUE(ss) AS r2,
+             SUM(CASE WHEN l3 IS NOT NULL THEN (n - mu) * (l3 - mu) END) / ANY_VALUE(ss) AS r3,
+             SUM(CASE WHEN l4 IS NOT NULL THEN (n - mu) * (l4 - mu) END) / ANY_VALUE(ss) AS r4,
+             SUM(CASE WHEN l5 IS NOT NULL THEN (n - mu) * (l5 - mu) END) / ANY_VALUE(ss) AS r5
+      FROM lagged l JOIN stats s ON s.event_type = l.event_type
+      GROUP BY l.event_type
+    )
+    SELECT event_type, CAST(lag AS INT) AS lag, ROUND(phi, 6) AS pacf
+    FROM (
+{selects}
+    )
+    """
+
+
+@register(
+    "pacf_durbin_levinson",
+    # Partial autocorrelation (Durbin 1960 / Levinson 1947 recursion on
+    # the Yule-Walker equations) of per-type daily counts at lags 1..5 —
+    # the AR-order identifier that pairs with `autocorrelation_lags` in
+    # the Box-Jenkins workflow (ACF tails off / PACF cuts at p for an
+    # AR(p)). The recursion is unrolled ONCE into SQL expressions shared
+    # verbatim by both engines.
+    oracle=_pacf_oracle(),
+    tags=("temporal", "timeseries", "pacf"),
+)
+def pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial ACF at lags 1..5 per event-type daily-count series via the
+    unrolled Durbin-Levinson recursion — phi_{k,k} answers "does lag k
+    add predictive power AFTER regressing out lags 1..k-1", which the
+    raw ACF (`autocorrelation_lags`) cannot: a pure AR(1) series shows
+    geometric ACF at ALL lags but PACF zero beyond lag 1. Both engines
+    evaluate the SAME generated expressions over the per-series ACF
+    columns (one generator, no transcription), and an independent
+    pure-Python Durbin-Levinson reference test guards the generator
+    itself.
+
+    Scale shape: one bounded daily rollup, one ordered window pass for
+    all 5 lag columns (per-series partitions), one bounded per-series
+    aggregation to the ACF row, then a PURE SCALAR projection per lag —
+    the recursion costs nothing at any scale. 6dp rounding on output
+    only."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count("*").cast("double").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("n").alias("mu"),
+        (F.sum(F.col("n") * F.col("n")) - F.count("*") * F.avg("n") * F.avg("n")).alias("ss"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "n",
+        *[F.lag("n", k).over(w).alias(f"l{k}") for k in range(1, 6)],
+    )
+    nm = F.col("n") - F.col("mu")
+    acfw = (
+        lagged.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            *[
+                (
+                    F.sum(
+                        F.when(
+                            F.col(f"l{k}").isNotNull(),
+                            nm * (F.col(f"l{k}") - F.col("mu")),
+                        )
+                    )
+                    / F.first("ss")
+                ).alias(f"r{k}")
+                for k in range(1, 6)
+            ]
+        )
+    )
+    parts = [
+        acfw.select(
+            "event_type",
+            F.lit(k).cast("int").alias("lag"),
+            F.round(F.expr(expr), 6).alias("pacf"),
+        )
+        for k, expr in _PACF_EXPRS.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
