@@ -46,7 +46,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # r3 (38, most-refactored ML/graph queries first), r4, r5; the round-6
 # block follows in registry order. Regenerate next round the same way.
 _PRIORITY = (
-    # -- tier 0: NEW in round 7 — never driver-sampled, need first proof
+    # -- tier 0: NEW in round 8 — never driver-sampled, need first proof
+    "welch_t_test",  # r8: pairwise Welch unequal-variance t + W-S dof
+    "brown_forsythe_levene",  # r8: median-centered Levene variance test
+    # -- tier 0b: NEW in round 7 — never driver-sampled, need first proof
     # (names appended here as they land this round; latest additions first)
     "bootstrap_ci",  # r7: deterministic Poisson-bootstrap percentile CI
     "kaplan_meier_retention",  # r7: KM product-limit with right-censoring

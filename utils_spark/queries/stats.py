@@ -1527,3 +1527,164 @@ def permutation_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((1.0 + extreme) / (F.count("*") + 1.0), 6).alias("p_value"),
         )
     )
+
+
+@register(
+    "welch_t_test",
+    # Welch's unequal-variance t-test (Welch 1947) for every pair of
+    # event types on `value`: per-pair mean difference, the Welch t
+    # statistic and the Welch-Satterthwaite degrees of freedom. The
+    # sample variance is spelled out as (sum_sq - n*mean^2)/(n-1) in
+    # BOTH engines so the float op order is identical; the pair table is
+    # bounded (types choose 2) and built by a broadcast self-join.
+    oracle="""
+    WITH per AS (
+      SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+             AVG(value) AS m, SUM(value * value) AS ss
+      FROM events GROUP BY event_type
+    ),
+    st AS (
+      SELECT event_type, n, m, (ss - n * m * m) / (n - 1) AS v FROM per
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           ROUND(a.m - b.m, 6) AS mean_diff,
+           ROUND((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6) AS t_stat,
+           ROUND(pow(a.v / a.n + b.v / b.n, 2)
+                 / (pow(a.v / a.n, 2) / (a.n - 1) + pow(b.v / b.n, 2) / (b.n - 1)),
+                 2) AS welch_dof
+    FROM st a JOIN st b ON a.event_type < b.event_type
+    """,
+    tags=("stats", "t-test", "welch"),
+)
+def welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test (Welch 1947) between
+    every pair of event types on `value` — the mean-comparison
+    counterpart of `mann_whitney_u` (ranks) and `pairwise_ks`
+    (distributions), and unlike the pooled-variance Student t it stays
+    valid when group variances differ (they do here: purchase values
+    are a different scale than views). Emits the mean difference, t
+    statistic, and the Welch-Satterthwaite effective dof per pair.
+
+    Scale shape: ONE corpus-volume aggregation (map-side combinable
+    count/avg/sum-of-squares per type), then all pair math on the
+    bounded per-type table via a broadcast self-join (types choose 2
+    rows). Variance uses the explicit (ss - n*m^2)/(n-1) form in both
+    engines so parity is float-exact before the 6dp round."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("value").alias("m"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    st = per.select(
+        "event_type", "n", "m",
+        ((F.col("ss") - F.col("n") * F.col("m") * F.col("m")) / (F.col("n") - 1)).alias("v"),
+    )
+    a, b = st.alias("a"), st.alias("b")
+    va_na = F.col("a.v") / F.col("a.n")
+    vb_nb = F.col("b.v") / F.col("b.n")
+    se2 = va_na + vb_nb
+    dof = F.pow(se2, 2) / (
+        F.pow(va_na, 2) / (F.col("a.n") - 1) + F.pow(vb_nb, 2) / (F.col("b.n") - 1)
+    )
+    return a.join(F.broadcast(b), F.col("a.event_type") < F.col("b.event_type")).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.n").cast("long").alias("n_a"),
+        F.col("b.n").cast("long").alias("n_b"),
+        F.round(F.col("a.m") - F.col("b.m"), 6).alias("mean_diff"),
+        F.round((F.col("a.m") - F.col("b.m")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(dof, 2).alias("welch_dof"),
+    )
+
+
+@register(
+    "brown_forsythe_levene",
+    # Brown-Forsythe robust variance-homogeneity test (Brown & Forsythe
+    # 1974 — Levene's test with the group MEDIAN center): per-group
+    # absolute deviation from the group median, then a one-way ANOVA F
+    # over those deviations. Group medians are exact interpolated
+    # percentiles in both engines; the F statistic and its dof ride on
+    # every row via the 1-row broadcast scalar pattern.
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+    ),
+    z AS (
+      SELECT e.event_type, ABS(e.value - m.med) AS z
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    per AS (
+      SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n, AVG(z) AS mz
+      FROM z GROUP BY event_type
+    ),
+    gl AS (
+      SELECT CAST(SUM(n) AS DOUBLE) AS big_n, CAST(COUNT(*) AS DOUBLE) AS k,
+             SUM(n * mz) / SUM(n) AS gm
+      FROM per
+    ),
+    ssb AS (
+      SELECT SUM(p.n * (p.mz - g.gm) * (p.mz - g.gm)) AS ssb
+      FROM per p CROSS JOIN gl g
+    ),
+    ssw AS (
+      SELECT SUM((z.z - p.mz) * (z.z - p.mz)) AS ssw
+      FROM z JOIN per p ON z.event_type = p.event_type
+    )
+    SELECT p.event_type, CAST(p.n AS BIGINT) AS n,
+           ROUND(p.mz, 6) AS mean_abs_dev,
+           ROUND((b.ssb / (g.k - 1)) / (w.ssw / (g.big_n - g.k)), 6) AS f_stat,
+           CAST(g.k - 1 AS INT) AS dof1, CAST(g.big_n - g.k AS BIGINT) AS dof2
+    FROM per p CROSS JOIN gl g CROSS JOIN ssb b CROSS JOIN ssw w
+    """,
+    tags=("stats", "levene", "variance"),
+)
+def brown_forsythe_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test of variance homogeneity across event types
+    (Brown & Forsythe 1974) — Levene's test with the group MEDIAN as the
+    center, the robust default (R car::leveneTest's center=median): the
+    gatekeeper assumption check for the pooled-variance tests beside
+    `welch_t_test` (which drops the assumption instead). Per group:
+    n and mean |value - group median|; on every row: the one-way ANOVA
+    F over those absolute deviations with its two dof.
+
+    Scale shape: one exact-percentile median per group (single shuffle,
+    same ObjectHashAgg trade as `grouped_quantiles`), a broadcast
+    median join back to the corpus, one deviation aggregation per
+    group, and bounded scalar math (k rows) with 1-row broadcast
+    cross joins — the corpus is scanned twice, shuffled by type twice,
+    never more."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    z = e.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("z")
+    )
+    per = z.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"), F.avg("z").alias("mz")
+    )
+    gl = per.agg(
+        F.sum("n").cast("double").alias("big_n"),
+        F.count("*").cast("double").alias("k"),
+        (F.sum(F.col("n") * F.col("mz")) / F.sum("n")).alias("gm"),
+    )
+    ssb = per.crossJoin(F.broadcast(gl)).agg(
+        F.sum(F.col("n") * (F.col("mz") - F.col("gm")) * (F.col("mz") - F.col("gm"))).alias("ssb")
+    )
+    ssw = z.join(F.broadcast(per), "event_type").agg(
+        F.sum((F.col("z") - F.col("mz")) * (F.col("z") - F.col("mz"))).alias("ssw")
+    )
+    f_stat = (F.col("ssb") / (F.col("k") - 1)) / (F.col("ssw") / (F.col("big_n") - F.col("k")))
+    return (
+        per.crossJoin(F.broadcast(gl)).crossJoin(F.broadcast(ssb)).crossJoin(F.broadcast(ssw))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.round("mz", 6).alias("mean_abs_dev"),
+            F.round(f_stat, 6).alias("f_stat"),
+            (F.col("k") - 1).cast("int").alias("dof1"),
+            (F.col("big_n") - F.col("k")).cast("long").alias("dof2"),
+        )
+    )
