@@ -47,6 +47,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # block follows in registry order. Regenerate next round the same way.
 _PRIORITY = (
     # -- tier 0: NEW in round 8 — never driver-sampled, need first proof
+    "fisher_exact_priority_late",  # r8: exact two-sided Fisher 2x2
+    "ljung_box_test",  # r8: portmanteau whiteness Q over ACF lags 1..7
     "welch_t_test",  # r8: pairwise Welch unequal-variance t + W-S dof
     "brown_forsythe_levene",  # r8: median-centered Levene variance test
     # -- tier 0b: NEW in round 7 — never driver-sampled, need first proof

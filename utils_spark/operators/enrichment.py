@@ -177,3 +177,28 @@ def reduce_term_clusters(
         .select(F.col("component"), F.col("term").alias("representative"))
     )
     return assigned.select("term", "component").join(reps, "component")
+
+
+def _fisher_two_sided(a: int, b: int, c: int, d: int) -> float:
+    """Two-sided Fisher exact p for a 2x2 table [[a, b], [c, d]] — the
+    sum of all hypergeometric point probabilities no larger than the
+    observed one (R fisher.test's default two-sided criterion, with its
+    1 + 1e-7 relative tolerance). Exact lgamma summation; the support is
+    min(row1, col1)-sized, bounded by the table's smaller margin."""
+    M, K, n = a + b + c + d, a + b, a + c
+    lo, hi = max(0, K + n - M), min(K, n)
+    lp_obs = _log_comb(K, a) + _log_comb(M - K, n - a) - _log_comb(M, n)
+    p_obs = math.exp(lp_obs)
+    total = 0.0
+    for x in range(lo, hi + 1):
+        px = math.exp(_log_comb(K, x) + _log_comb(M - K, n - x) - _log_comb(M, n))
+        if px <= p_obs * (1.0 + 1e-7):
+            total += px
+    return min(1.0, total)
+
+
+@F.pandas_udf(DoubleType())
+def _fisher_two_sided_udf(a: pd.Series, b: pd.Series, c: pd.Series, d: pd.Series) -> pd.Series:
+    return pd.Series(
+        [_fisher_two_sided(int(w), int(x), int(y), int(z)) for w, x, y, z in zip(a, b, c, d)]
+    )

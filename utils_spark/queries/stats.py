@@ -1688,3 +1688,109 @@ def brown_forsythe_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("big_n") - F.col("k")).cast("long").alias("dof2"),
         )
     )
+
+
+@register(
+    "fisher_exact_priority_late",
+    # Fisher's exact test (Fisher 1935) on the 2x2 table of order
+    # priority (urgent = 1-URGENT/2-HIGH) x slow fulfillment (any line
+    # shipped > 90 days after the order date): exact two-sided p, the sum of
+    # hypergeometric point probabilities <= the observed one (R
+    # fisher.test's criterion incl. its 1+1e-7 tolerance), via lgamma
+    # summation over the bounded support in BOTH engines (Spark: the
+    # Arrow-batched lgamma pandas_udf family of `ora_enrichment`;
+    # DuckDB: list_transform over the same support range).
+    oracle="""
+    WITH flags AS (
+      SELECT o.o_orderkey,
+             CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS urgent,
+             MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS late
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT CAST(SUM(urgent * late) AS BIGINT) AS a,
+             CAST(SUM(urgent * (1 - late)) AS BIGINT) AS b,
+             CAST(SUM((1 - urgent) * late) AS BIGINT) AS c,
+             CAST(SUM((1 - urgent) * (1 - late)) AS BIGINT) AS d
+      FROM flags
+    ),
+    marg AS (
+      SELECT a, b, c, d, a + b AS kk, a + c AS nn, a + b + c + d AS mm FROM cells
+    ),
+    pobs AS (
+      SELECT *,
+             exp(lgamma(kk + 1.0) - lgamma(a + 1.0) - lgamma(kk - a + 1.0)
+                 + lgamma(mm - kk + 1.0) - lgamma(nn - a + 1.0) - lgamma(mm - kk - nn + a + 1.0)
+                 - (lgamma(mm + 1.0) - lgamma(nn + 1.0) - lgamma(mm - nn + 1.0))) AS p_obs
+      FROM marg
+    )
+    SELECT a AS n_urgent_late, b AS n_urgent_ontime,
+           c AS n_other_late, d AS n_other_ontime,
+           ROUND(CASE WHEN b * c > 0 THEN CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c) END, 6)
+             AS odds_ratio,
+           ROUND(LEAST(1.0, list_sum(list_transform(
+             range(GREATEST(0, kk + nn - mm), LEAST(kk, nn) + 1),
+             x -> CASE WHEN exp(lgamma(kk + 1.0) - lgamma(x + 1.0) - lgamma(kk - x + 1.0)
+                            + lgamma(mm - kk + 1.0) - lgamma(nn - x + 1.0)
+                            - lgamma(mm - kk - nn + x + 1.0)
+                            - (lgamma(mm + 1.0) - lgamma(nn + 1.0) - lgamma(mm - nn + 1.0)))
+                        <= p_obs * (1.0 + 1e-7)
+                  THEN exp(lgamma(kk + 1.0) - lgamma(x + 1.0) - lgamma(kk - x + 1.0)
+                           + lgamma(mm - kk + 1.0) - lgamma(nn - x + 1.0)
+                           - lgamma(mm - kk - nn + x + 1.0)
+                           - (lgamma(mm + 1.0) - lgamma(nn + 1.0) - lgamma(mm - nn + 1.0)))
+                  ELSE 0.0 END))), 6) AS p_two_sided
+    FROM pobs
+    """,
+    tags=("stats", "fisher", "exact-test"),
+)
+def fisher_exact_priority_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's exact test (Fisher 1935) of association between order
+    priority (urgent vs other) and slow fulfillment (any line shipped
+    more than 90 days after the order date) — the small-margin-exact sibling of
+    `chi_square_independence` (whose chi-square approximation degrades
+    exactly when Fisher is needed) and the two-sided completion of the
+    one-sided hypergeometric machinery in `ora_enrichment`. Emits the
+    2x2 cells, the sample odds ratio (NULL-guarded when b*c = 0), and
+    the exact two-sided p via lgamma summation over the bounded
+    hypergeometric support — R fisher.test's "all tables at most as
+    probable" criterion with its 1e-7 relative tolerance.
+
+    Scale shape: one order-grain late-flag rollup (the only
+    corpus-volume shuffle, map-side combinable MAX), a single 4-cell
+    aggregate, then scalar math on ONE row — the pandas_udf evaluates
+    one lgamma sum over a support bounded by the smaller table margin,
+    identical in both engines."""
+    from utils_spark.operators.enrichment import _fisher_two_sided_udf
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    flags = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "o_orderkey",
+            F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0).alias("urgent"),
+        )
+        .agg(
+            F.max(
+                F.when(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90), 1).otherwise(0)
+            ).alias("late")
+        )
+    )
+    cells = flags.agg(
+        F.sum(F.col("urgent") * F.col("late")).cast("long").alias("a"),
+        F.sum(F.col("urgent") * (1 - F.col("late"))).cast("long").alias("b"),
+        F.sum((1 - F.col("urgent")) * F.col("late")).cast("long").alias("c"),
+        F.sum((1 - F.col("urgent")) * (1 - F.col("late"))).cast("long").alias("d"),
+    )
+    ad = F.col("a").cast("double") * F.col("d")
+    bc = F.col("b").cast("double") * F.col("c")
+    return cells.select(
+        F.col("a").alias("n_urgent_late"),
+        F.col("b").alias("n_urgent_ontime"),
+        F.col("c").alias("n_other_late"),
+        F.col("d").alias("n_other_ontime"),
+        F.round(F.when(bc > 0, ad / bc), 6).alias("odds_ratio"),
+        F.round(_fisher_two_sided_udf("a", "b", "c", "d"), 6).alias("p_two_sided"),
+    )

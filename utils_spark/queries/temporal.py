@@ -1302,3 +1302,112 @@ def pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "ljung_box_test",
+    # Ljung-Box portmanteau test (Ljung & Box 1978) per event type over
+    # the daily-count series: Q = T(T+2) * sum_{k=1..7} acf_k^2/(T-k),
+    # dof = 7 — the "is this series white noise at all" gate that the
+    # per-lag ACF band flags of `autocorrelation_lags` approximate one
+    # lag at a time. The ACF terms reuse the identical single-window
+    # 7-lag construction so float parity carries over.
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, AVG(n) AS mu, COUNT(*) AS cnt,
+             SUM(n * n) - COUNT(*) * AVG(n) * AVG(n) AS ss
+      FROM daily GROUP BY event_type
+    ),
+    lagged AS (
+      SELECT event_type, n,
+             lag(n, 1) OVER w AS l1, lag(n, 2) OVER w AS l2,
+             lag(n, 3) OVER w AS l3, lag(n, 4) OVER w AS l4,
+             lag(n, 5) OVER w AS l5, lag(n, 6) OVER w AS l6,
+             lag(n, 7) OVER w AS l7
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    terms AS (
+      SELECT l.event_type, k.lag, l.n,
+             CASE k.lag WHEN 1 THEN l1 WHEN 2 THEN l2 WHEN 3 THEN l3
+                        WHEN 4 THEN l4 WHEN 5 THEN l5 WHEN 6 THEN l6
+                        ELSE l7 END AS lv
+      FROM lagged l CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) k
+    ),
+    acf AS (
+      SELECT t.event_type, t.lag,
+             SUM((t.n - s.mu) * (t.lv - s.mu)) / ANY_VALUE(s.ss) AS rho,
+             ANY_VALUE(s.cnt) AS cnt
+      FROM terms t JOIN stats s ON s.event_type = t.event_type
+      WHERE t.lv IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    qterms AS (
+      SELECT event_type, cnt, rho * rho / (cnt - lag) AS term FROM acf
+    )
+    SELECT event_type, CAST(ANY_VALUE(cnt) AS BIGINT) AS n_days,
+           ROUND(ANY_VALUE(cnt) * (ANY_VALUE(cnt) + 2.0) * SUM(term), 6) AS ljung_box_q,
+           CAST(COUNT(*) AS INT) AS dof
+    FROM qterms GROUP BY event_type
+    """,
+    tags=("temporal", "timeseries", "acf", "portmanteau"),
+)
+def ljung_box_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau whiteness test (Ljung & Box 1978) per event
+    type on the daily-count series: Q = T(T+2) * sum_{k=1..7}
+    rho_k^2/(T-k) with 7 dof — the single-statistic "any
+    autocorrelation at all?" gate a monitoring pipeline runs before
+    fitting seasonal models, complementing `autocorrelation_lags`
+    (which tests each lag separately) and `pacf_durbin_levinson`
+    (which identifies the AR order once whiteness is rejected).
+
+    Scale shape: identical to the ACF query — one bounded daily rollup,
+    ONE ordered window pass producing all seven lag columns, a bounded
+    (type x lag) aggregation, then a k-row closing aggregate. The rho_k
+    terms are computed with the exact same expressions as
+    `autocorrelation_lags`, so cross-engine float parity is inherited
+    rather than re-derived."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count("*").cast("double").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("n").alias("mu"),
+        F.count("*").alias("cnt"),
+        (F.sum(F.col("n") * F.col("n")) - F.count("*") * F.avg("n") * F.avg("n")).alias("ss"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type", "n", *[F.lag("n", k).over(w).alias(f"l{k}") for k in range(1, 8)]
+    )
+    stacked = lagged.select(
+        "event_type",
+        "n",
+        F.expr(
+            "stack(7, " + ", ".join(f"{k}, l{k}" for k in range(1, 8)) + ") AS (lag, lv)"
+        ),
+    ).filter(F.col("lv").isNotNull())
+    acf = (
+        stacked.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "lag")
+        .agg(
+            (F.sum((F.col("n") - F.col("mu")) * (F.col("lv") - F.col("mu"))) / F.first("ss")).alias("rho"),
+            F.first("cnt").alias("cnt"),
+        )
+    )
+    terms = acf.select(
+        "event_type", "cnt",
+        (F.col("rho") * F.col("rho") / (F.col("cnt") - F.col("lag"))).alias("term"),
+    )
+    cnt = F.first("cnt")
+    return terms.groupBy("event_type").agg(
+        cnt.cast("long").alias("n_days"),
+        F.round(cnt * (cnt + F.lit(2.0)) * F.sum("term"), 6).alias("ljung_box_q"),
+        F.count("*").cast("int").alias("dof"),
+    )
