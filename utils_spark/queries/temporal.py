@@ -1411,3 +1411,100 @@ def ljung_box_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cnt * (cnt + F.lit(2.0)) * F.sum("term"), 6).alias("ljung_box_q"),
         F.count("*").cast("int").alias("dof"),
     )
+
+
+@register(
+    "holt_linear_forecast",
+    # Holt's linear-trend double exponential smoothing (Holt 1957,
+    # alpha=0.3, beta=0.2) per event type over the daily mean-value
+    # series: final level/trend, the 3-step-ahead forecast, and the
+    # one-step-ahead RMSE. Both engines run the IDENTICAL sequential
+    # left fold — Spark F.aggregate over the ordered per-series array,
+    # DuckDB list_reduce with the seed state packed as the first list
+    # element (list_reduce has no init parameter) — same expressions in
+    # the same order, so parity is float-exact before the 6dp round.
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             AVG(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type, list(v ORDER BY day) AS vals FROM daily GROUP BY event_type
+    ),
+    folded AS (
+      SELECT event_type, len(vals) AS n,
+             list_reduce(
+               list_concat(
+                 [[vals[1], vals[2] - vals[1], 0.0]],
+                 list_transform(vals[3:], v -> [v, 0.0, 0.0])
+               ),
+               (acc, x) -> [
+                 0.3 * x[1] + 0.7 * (acc[1] + acc[2]),
+                 0.2 * ((0.3 * x[1] + 0.7 * (acc[1] + acc[2])) - acc[1]) + 0.8 * acc[2],
+                 acc[3] + (x[1] - (acc[1] + acc[2])) * (x[1] - (acc[1] + acc[2]))
+               ]
+             ) AS st
+      FROM series
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           ROUND(st[1], 6) AS level, ROUND(st[2], 6) AS trend,
+           ROUND(st[1] + 3 * st[2], 6) AS forecast_3d,
+           ROUND(sqrt(st[3] / (n - 2)), 6) AS rmse_one_step
+    FROM folded
+    """,
+    tags=("temporal", "timeseries", "smoothing", "forecast"),
+)
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing (Holt 1957; alpha=0.3,
+    beta=0.2) per event type on the daily mean-value series — the
+    trend-aware forecaster between `daily_ewma_smoothing` (level only)
+    and `seasonal_decomposition` (level+trend+period): seeds level with
+    the first observation and trend with the first difference, folds
+    l_t = a*x_t + (1-a)(l+b); b_t = g(l_t - l) + (1-g)b over the rest,
+    and emits the final state, the 3-step forecast l + 3b, and the
+    one-step-ahead RMSE (the in-sample fit quality).
+
+    Scale shape: one bounded daily rollup, then ONE sequential fold per
+    series over a ~30-90 element array (collect_list bounded by days,
+    the coupled recursion is inherently sequential per series — series
+    fold in parallel across the cluster). The DuckDB oracle runs the
+    byte-identical fold via list_reduce, seed packed as element 0, so
+    the float op order matches exactly."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.avg("value").alias("v"))
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "v"))), lambda s: s["v"]
+        ).alias("vals")
+    )
+    folded = series.select(
+        "event_type",
+        F.size("vals").alias("n"),
+        F.aggregate(
+            F.slice("vals", F.lit(3), F.size("vals") - 2),
+            F.struct(
+                F.element_at("vals", 1).alias("l"),
+                (F.element_at("vals", 2) - F.element_at("vals", 1)).alias("b"),
+                F.lit(0.0).alias("s"),
+            ),
+            lambda acc, x: F.struct(
+                (0.3 * x + 0.7 * (acc["l"] + acc["b"])).alias("l"),
+                (
+                    0.2 * ((0.3 * x + 0.7 * (acc["l"] + acc["b"])) - acc["l"])
+                    + 0.8 * acc["b"]
+                ).alias("b"),
+                (acc["s"] + (x - (acc["l"] + acc["b"])) * (x - (acc["l"] + acc["b"]))).alias("s"),
+            ),
+        ).alias("st"),
+    )
+    return folded.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.col("st.l"), 6).alias("level"),
+        F.round(F.col("st.b"), 6).alias("trend"),
+        F.round(F.col("st.l") + 3 * F.col("st.b"), 6).alias("forecast_3d"),
+        F.round(F.sqrt(F.col("st.s") / (F.col("n") - 2)), 6).alias("rmse_one_step"),
+    )
