@@ -47,6 +47,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # block follows in registry order. Regenerate next round the same way.
 _PRIORITY = (
     # -- tier 0: NEW in round 8 — never driver-sampled, need first proof
+    "holt_winters_seasonal",  # r8: additive HW triple smoothing, weekly m=7
+    "periodogram_peak",  # r8: DFT periodogram dominant-frequency detector
+    "wilcoxon_signed_rank",  # r8: paired signed-rank z per event type
+    "friedman_test",  # r8: blocked k-treatment rank test (days as blocks)
+    "logrank_test",  # r8: Mantel-Cox two-cohort survival comparison
+    "cochran_armitage_trend",  # r8: ordered trend-in-proportions z
+    "holt_linear_forecast",  # r8: Holt double-exponential trend forecast
     "fisher_exact_priority_late",  # r8: exact two-sided Fisher 2x2
     "ljung_box_test",  # r8: portmanteau whiteness Q over ACF lags 1..7
     "welch_t_test",  # r8: pairwise Welch unequal-variance t + W-S dof

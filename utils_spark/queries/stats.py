@@ -1794,3 +1794,454 @@ def fisher_exact_priority_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.when(bc > 0, ad / bc), 6).alias("odds_ratio"),
         F.round(_fisher_two_sided_udf("a", "b", "c", "d"), 6).alias("p_two_sided"),
     )
+
+
+@register(
+    "wilcoxon_signed_rank",
+    # Wilcoxon signed-rank test (Wilcoxon 1945) per event type on
+    # matched day pairs: day i of the first half paired with day i of
+    # the second half (i-th by day order), d = second - first, zero
+    # diffs dropped, |d| ranked with AVERAGE ranks, W+ = sum of ranks
+    # of positive diffs, and the normal approximation
+    # z = (W+ - n(n+1)/4) / sqrt(n(n+1)(2n+1)/24 - sum(t^3 - t)/48)
+    # with the standard tie correction (computed per-row as
+    # (t^2 - 1)/48, which sums to (t^3 - t)/48 per tie group). The
+    # PAIRED complement of mann_whitney_u (independent samples).
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             AVG(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+             COUNT(*) OVER (PARTITION BY event_type) AS nn
+      FROM daily
+    ),
+    pairs AS (
+      SELECT a.event_type, b.v - a.v AS d
+      FROM idx a JOIN idx b
+        ON a.event_type = b.event_type AND b.i = a.i + a.nn // 2
+      WHERE a.i <= a.nn // 2
+    ),
+    nz AS (SELECT event_type, d, ABS(d) AS ad FROM pairs WHERE d <> 0),
+    rk AS (
+      SELECT event_type, d,
+             (2 * RANK() OVER (PARTITION BY event_type ORDER BY ad)
+              + COUNT(*) OVER (PARTITION BY event_type, ad) - 1) / 2.0 AS r,
+             (CAST(COUNT(*) OVER (PARTITION BY event_type, ad) AS DOUBLE)
+              * COUNT(*) OVER (PARTITION BY event_type, ad)
+              - 1) / 48.0 AS tie_term
+      FROM nz
+    ),
+    agg AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CASE WHEN d > 0 THEN r ELSE 0 END) AS w_plus,
+             SUM(tie_term) AS ties
+      FROM rk GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs, ROUND(w_plus, 6) AS w_plus,
+           ROUND((w_plus - n * (n + 1) / 4.0)
+                 / SQRT(n * (n + 1) * (2.0 * n + 1) / 24.0 - ties), 6) AS z
+    FROM agg
+    """,
+    tags=("stats", "hypothesis-test", "nonparametric", "paired"),
+)
+def wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test (Wilcoxon 1945) per event type: did
+    the daily mean value SHIFT between the first and second half of
+    the window? Days are paired positionally (i-th day of each half),
+    zero differences dropped, |d| average-ranked within series, W+ and
+    the tie-corrected normal z emitted. This is the PAIRED complement
+    of `mann_whitney_u` — same rank machinery, matched-pairs design.
+
+    Scale shape: one bounded daily rollup (the only corpus-volume
+    shuffle); pairing is a self-join of the bounded per-series index
+    table (n_series x n_days rows), ranking windows run per series on
+    <= n_days/2 rows. Rank sums are exact multiples of 0.5, so the
+    unordered SUM is float-exact across engines."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.avg("value").alias("v"))
+    idx = daily.select(
+        "event_type",
+        "v",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("day")).alias("i"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("nn"),
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.i") == F.col("a.i") + F.floor(F.col("a.nn") / 2)),
+        )
+        .filter(F.col("a.i") <= F.floor(F.col("a.nn") / 2))
+        .select(F.col("a.event_type").alias("event_type"), (F.col("b.v") - F.col("a.v")).alias("d"))
+    )
+    nz = pairs.filter(F.col("d") != 0).withColumn("ad", F.abs("d"))
+    wr = Window.partitionBy("event_type").orderBy("ad")
+    wt = Window.partitionBy("event_type", "ad")
+    rk = nz.select(
+        "event_type",
+        "d",
+        ((2 * F.rank().over(wr) + F.count("*").over(wt) - 1) / 2.0).alias("r"),
+        (
+            (F.count("*").over(wt).cast("double") * F.count("*").over(wt) - 1) / 48.0
+        ).alias("tie_term"),
+    )
+    agg = rk.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("d") > 0, F.col("r")).otherwise(0.0)).alias("w_plus"),
+        F.sum("tie_term").alias("ties"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round("w_plus", 6).alias("w_plus"),
+        F.round(
+            (F.col("w_plus") - F.col("n") * (F.col("n") + 1) / 4.0)
+            / F.sqrt(
+                F.col("n") * (F.col("n") + 1) * (2.0 * F.col("n") + 1) / 24.0
+                - F.col("ties")
+            ),
+            6,
+        ).alias("z"),
+    )
+
+
+@register(
+    "friedman_test",
+    # Friedman rank test (Friedman 1937) with the tie-corrected
+    # statistic: blocks = days, treatments = event types, observations
+    # = daily mean value; only COMPLETE blocks (all k treatments
+    # present) enter. Within each block treatments get average ranks;
+    # chi2_F = (k-1) * sum_j (R_j - n(k+1)/2)^2
+    #          / (sum_ij r_ij^2 - n k (k+1)^2 / 4)
+    # which reduces to the classic 12/(nk(k+1)) form when tie-free.
+    # The BLOCKED complement of kruskal_wallis (unblocked k-group).
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             AVG(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    kk AS (SELECT COUNT(DISTINCT event_type) AS k FROM daily),
+    complete AS (
+      SELECT day FROM daily GROUP BY day HAVING COUNT(*) = (SELECT k FROM kk)
+    ),
+    nb AS (SELECT COUNT(*) AS n FROM complete),
+    ranked AS (
+      SELECT d.event_type,
+             (2 * RANK() OVER (PARTITION BY d.day ORDER BY d.v)
+              + COUNT(*) OVER (PARTITION BY d.day, d.v) - 1) / 2.0 AS r
+      FROM daily d JOIN complete c ON d.day = c.day
+    ),
+    rj AS (
+      SELECT event_type, SUM(r) AS rsum, SUM(r * r) AS rsq
+      FROM ranked GROUP BY event_type
+    ),
+    tot AS (
+      SELECT SUM(rsq) AS s,
+             SUM((rsum - (SELECT n FROM nb) * ((SELECT k FROM kk) + 1) / 2.0)
+                 * (rsum - (SELECT n FROM nb) * ((SELECT k FROM kk) + 1) / 2.0)) AS ssq
+      FROM rj
+    )
+    SELECT CAST((SELECT n FROM nb) AS BIGINT) AS n_blocks,
+           CAST((SELECT k FROM kk) AS INT) AS k_treatments,
+           ROUND(((SELECT k FROM kk) - 1) * ssq
+                 / (s - (SELECT n FROM nb) * (SELECT k FROM kk)
+                        * ((SELECT k FROM kk) + 1.0) * ((SELECT k FROM kk) + 1.0) / 4.0),
+                 6) AS friedman_chi2,
+           CAST((SELECT k FROM kk) - 1 AS INT) AS dof
+    FROM tot
+    """,
+    tags=("stats", "hypothesis-test", "nonparametric", "blocked"),
+)
+def friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman two-way rank test (Friedman 1937): do event types
+    differ in daily mean value once the DAY is controlled for as a
+    block? Each complete day ranks its k event types (average ranks on
+    ties); the tie-corrected chi-square over rank-column sums is
+    emitted with dof = k-1. The blocked complement of
+    `kruskal_wallis` — same rank machinery, within-block design that
+    removes day-to-day level shifts the unblocked test absorbs as
+    noise.
+
+    Scale shape: one bounded daily rollup; everything after lives on
+    the (days x types) table — per-day ranking windows over k rows,
+    one k-row aggregate, one scalar row out. The two scalar counts
+    (k treatments, n complete blocks) attach via broadcast of 1-row
+    aggregates, never a corpus-side shuffle. Rank sums are exact
+    multiples of 0.5, so cross-engine sums are float-exact."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.avg("value").alias("v"))
+    kdf = daily.agg(F.countDistinct("event_type").alias("k"))
+    complete = (
+        daily.groupBy("day")
+        .agg(F.count("*").alias("cnt"))
+        .join(F.broadcast(kdf))
+        .filter(F.col("cnt") == F.col("k"))
+        .select("day")
+    )
+    nb = complete.agg(F.count("*").alias("n"))
+    wr = Window.partitionBy("day").orderBy("v")
+    wt = Window.partitionBy("day", "v")
+    ranked = (
+        daily.join(complete, "day")
+        .select(
+            "event_type",
+            ((2 * F.rank().over(wr) + F.count("*").over(wt) - 1) / 2.0).alias("r"),
+        )
+    )
+    rj = ranked.groupBy("event_type").agg(
+        F.sum("r").alias("rsum"), F.sum(F.col("r") * F.col("r")).alias("rsq")
+    )
+    tot = (
+        rj.join(F.broadcast(nb))
+        .join(F.broadcast(kdf))
+        .agg(
+            F.sum("rsq").alias("s"),
+            F.sum(
+                (F.col("rsum") - F.col("n") * (F.col("k") + 1) / 2.0)
+                * (F.col("rsum") - F.col("n") * (F.col("k") + 1) / 2.0)
+            ).alias("ssq"),
+            F.first("n").alias("n"),
+            F.first("k").alias("k"),
+        )
+    )
+    return tot.select(
+        F.col("n").cast("long").alias("n_blocks"),
+        F.col("k").cast("int").alias("k_treatments"),
+        F.round(
+            (F.col("k") - 1)
+            * F.col("ssq")
+            / (
+                F.col("s")
+                - F.col("n") * F.col("k") * (F.col("k") + 1.0) * (F.col("k") + 1.0) / 4.0
+            ),
+            6,
+        ).alias("friedman_chi2"),
+        (F.col("k") - 1).cast("int").alias("dof"),
+    )
+
+
+@register(
+    "logrank_test",
+    # Mantel-Cox log-rank test (Mantel 1966) comparing the
+    # time-to-first-purchase survival curves of two user cohorts
+    # (user_id parity — a deterministic A/B split), reusing the exact
+    # kaplan_meier_retention duration construction (whole hours to
+    # first purchase, administrative censoring at 48h). At each event
+    # time: expected group-0 events E = d * n0/n under H0 and
+    # hypergeometric variance V = d (n0/n)(1 - n0/n)(n-d)/(n-1);
+    # chi2 = (O - E)^2 / sum(V), z = (O - E)/sqrt(sum V). This is the
+    # INFERENTIAL companion to kaplan_meier_retention (an estimator).
+    oracle="""
+    WITH users AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS grp,
+             CAST(FLOOR(date_diff('second', MIN(CAST(ts AS TIMESTAMP)),
+                                  MIN(CASE WHEN event_type = 'purchase'
+                                           THEN CAST(ts AS TIMESTAMP) END)) / 3600.0)
+                  AS BIGINT) AS h
+      FROM events GROUP BY user_id
+    ),
+    dur AS (
+      SELECT grp, CASE WHEN h <= 48 THEN h ELSE 48 END AS t,
+             CASE WHEN h <= 48 THEN 1 ELSE 0 END AS ev
+      FROM users
+    ),
+    att AS (
+      SELECT t,
+             CAST(SUM(CASE WHEN grp = 0 THEN ev ELSE 0 END) AS DOUBLE) AS d0,
+             CAST(SUM(CASE WHEN grp = 1 THEN ev ELSE 0 END) AS DOUBLE) AS d1,
+             CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS tot0,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS tot1
+      FROM dur GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d0, d1,
+             SUM(tot0) OVER (ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n0,
+             SUM(tot1) OVER (ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n1
+      FROM att
+    ),
+    ev_times AS (
+      SELECT t, d0, d1, n0, n1, d0 + d1 AS d, n0 + n1 AS n
+      FROM risk WHERE d0 + d1 > 0
+    ),
+    agg AS (
+      SELECT SUM(d0) AS obs0, SUM(d * n0 / n) AS exp0,
+             SUM(CASE WHEN n > 1
+                      THEN d * (n0 / n) * (1 - n0 / n) * (n - d) / (n - 1)
+                      ELSE 0 END) AS var0
+      FROM ev_times
+    )
+    SELECT CAST((SELECT SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) FROM dur) AS BIGINT)
+             AS n_group0,
+           CAST((SELECT SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) FROM dur) AS BIGINT)
+             AS n_group1,
+           ROUND(obs0, 6) AS observed0, ROUND(exp0, 6) AS expected0,
+           ROUND((obs0 - exp0) * (obs0 - exp0) / var0, 6) AS logrank_chi2,
+           ROUND((obs0 - exp0) / SQRT(var0), 6) AS z
+    FROM agg
+    """,
+    tags=("stats", "survival", "hypothesis-test"),
+)
+def logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Cox log-rank test (Mantel 1966): do two user cohorts
+    (deterministic user_id-parity split) differ in time to first
+    purchase? Reuses kaplan_meier_retention's duration construction
+    verbatim (whole hours, 48h administrative censoring), then at each
+    distinct event time compares observed group-0 events with the
+    hypergeometric expectation/variance given the per-group risk sets,
+    emitting the chi-square and signed z. The inferential companion to
+    `kaplan_meier_retention` — KM draws the curves, log-rank says
+    whether they differ.
+
+    Scale shape: one user-grain aggregation (the only corpus-volume
+    shuffle); the risk-set machinery runs on the bounded
+    distinct-duration table (<= 49 rows) via two reverse-cumulative
+    windows, and the final statistic is one scalar aggregate with the
+    cohort sizes attached from a broadcast 1-row aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.floor(
+            (
+                F.unix_timestamp(F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))))
+                - F.unix_timestamp(F.min("ts"))
+            )
+            / 3600.0
+        ).cast("long").alias("h")
+    )
+    dur = users.select(
+        (F.col("user_id") % 2).cast("int").alias("grp"),
+        F.when(F.col("h") <= 48, F.col("h")).otherwise(F.lit(48)).alias("t"),
+        F.when(F.col("h") <= 48, 1).otherwise(0).alias("ev"),
+    )
+    att = dur.groupBy("t").agg(
+        F.sum(F.when(F.col("grp") == 0, F.col("ev")).otherwise(0)).cast("double").alias("d0"),
+        F.sum(F.when(F.col("grp") == 1, F.col("ev")).otherwise(0)).cast("double").alias("d1"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("double").alias("tot0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("double").alias("tot1"),
+    )
+    wdesc = Window.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    risk = att.select(
+        "t", "d0", "d1",
+        F.sum("tot0").over(wdesc).alias("n0"),
+        F.sum("tot1").over(wdesc).alias("n1"),
+    )
+    ev_times = risk.select(
+        "t", "d0", "d1", "n0", "n1",
+        (F.col("d0") + F.col("d1")).alias("d"),
+        (F.col("n0") + F.col("n1")).alias("n"),
+    ).filter(F.col("d0") + F.col("d1") > 0)
+    agg = ev_times.agg(
+        F.sum("d0").alias("obs0"),
+        F.sum(F.col("d") * F.col("n0") / F.col("n")).alias("exp0"),
+        F.sum(
+            F.when(
+                F.col("n") > 1,
+                F.col("d")
+                * (F.col("n0") / F.col("n"))
+                * (1 - F.col("n0") / F.col("n"))
+                * (F.col("n") - F.col("d"))
+                / (F.col("n") - 1),
+            ).otherwise(0.0)
+        ).alias("var0"),
+    )
+    gcnt = dur.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("n_group0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("n_group1"),
+    )
+    return agg.join(F.broadcast(gcnt)).select(
+        "n_group0",
+        "n_group1",
+        F.round("obs0", 6).alias("observed0"),
+        F.round("exp0", 6).alias("expected0"),
+        F.round(
+            (F.col("obs0") - F.col("exp0")) * (F.col("obs0") - F.col("exp0")) / F.col("var0"), 6
+        ).alias("logrank_chi2"),
+        F.round((F.col("obs0") - F.col("exp0")) / F.sqrt("var0"), 6).alias("z"),
+    )
+
+
+@register(
+    "cochran_armitage_trend",
+    # Cochran-Armitage trend-in-proportions test (Cochran 1954,
+    # Armitage 1955) across the ORDERED order-priority classes (scores
+    # 1..5 from the priority prefix digit) with success = order status
+    # 'F' (fulfilled): z = sum_i s_i (r_i - n_i pbar)
+    #   / sqrt(pbar (1-pbar) (sum s_i^2 n_i - (sum s_i n_i)^2 / N)),
+    # written as (sr - pbar*sn) over the same denominator (algebraic
+    # identity, used verbatim in both engines). The ORDERED complement
+    # of chi_square_independence / fisher_exact, which ignore class
+    # order entirely.
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS INT) AS s,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    g AS (
+      SELECT s, CAST(COUNT(*) AS DOUBLE) AS n_i, CAST(SUM(y) AS DOUBLE) AS r_i
+      FROM scored GROUP BY s
+    ),
+    tot AS (
+      SELECT SUM(n_i) AS nn, SUM(r_i) AS rr,
+             SUM(s * r_i) AS sr, SUM(s * n_i) AS sn, SUM(s * s * n_i) AS ssn
+      FROM g
+    )
+    SELECT CAST(nn AS BIGINT) AS n_orders, ROUND(rr / nn, 6) AS pbar,
+           ROUND((sr - rr / nn * sn)
+                 / SQRT(rr / nn * (1 - rr / nn) * (ssn - sn * sn / nn)), 6) AS ca_z,
+           ROUND(((sr - rr / nn * sn) * (sr - rr / nn * sn))
+                 / (rr / nn * (1 - rr / nn) * (ssn - sn * sn / nn)), 6) AS ca_chi2
+    FROM tot
+    """,
+    tags=("stats", "hypothesis-test", "trend", "categorical"),
+)
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage test for a monotone trend in proportions
+    (Cochran 1954, Armitage 1955): does the fulfilled-order rate drift
+    across the five ORDERED priority classes (scores 1=URGENT..5=LOW)?
+    Unlike `chi_square_independence`/`fisher_exact_priority_late`,
+    which treat priority as unordered categories, this spends its
+    single degree of freedom on the linear-trend alternative — the
+    standard dose-response test.
+
+    Scale shape: one map-side projection (score digit + success flag)
+    into a 5-group aggregate — the only corpus-volume shuffle is on 5
+    keys with map-side partial aggregation — then a 5-row scalar
+    reduction; the statistic is closed-form on those sums."""
+    o = load_table(spark, sf_dir, "orders")
+    scored = o.select(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("s"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    g = scored.groupBy("s").agg(
+        F.count("*").cast("double").alias("n_i"),
+        F.sum("y").cast("double").alias("r_i"),
+    )
+    tot = g.agg(
+        F.sum("n_i").alias("nn"),
+        F.sum("r_i").alias("rr"),
+        F.sum(F.col("s") * F.col("r_i")).alias("sr"),
+        F.sum(F.col("s") * F.col("n_i")).alias("sn"),
+        F.sum(F.col("s") * F.col("s") * F.col("n_i")).alias("ssn"),
+    )
+    pbar = F.col("rr") / F.col("nn")
+    denom = pbar * (1 - pbar) * (F.col("ssn") - F.col("sn") * F.col("sn") / F.col("nn"))
+    return tot.select(
+        F.col("nn").cast("long").alias("n_orders"),
+        F.round(pbar, 6).alias("pbar"),
+        F.round((F.col("sr") - pbar * F.col("sn")) / F.sqrt(denom), 6).alias("ca_z"),
+        F.round(
+            ((F.col("sr") - pbar * F.col("sn")) * (F.col("sr") - pbar * F.col("sn"))) / denom, 6
+        ).alias("ca_chi2"),
+    )

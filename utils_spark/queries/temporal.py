@@ -1508,3 +1508,274 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("st.l") + 3 * F.col("st.b"), 6).alias("forecast_3d"),
         F.round(F.sqrt(F.col("st.s") / (F.col("n") - 2)), 6).alias("rmse_one_step"),
     )
+
+
+@register(
+    "holt_winters_seasonal",
+    # Additive Holt-Winters triple exponential smoothing (Winters 1960;
+    # alpha=0.4, beta=0.1, gamma=0.3, period m=7) per event type over the
+    # daily mean-value series: the seasonal-aware forecaster completing
+    # the smoothing ladder (EWMA level -> Holt level+trend -> HW
+    # level+trend+season). Seeds: level = mean of week 1, trend = (mean
+    # of week 2 - mean of week 1)/7, seasonal_i = x_i - level for days
+    # 1..7; then folds t=8..n with the classic recursions, rotating the
+    # 7-slot seasonal register. Both engines run the IDENTICAL
+    # sequential left fold — Spark F.aggregate with a (l, b, sse,
+    # seasonal-array) struct, DuckDB list_reduce over flat 10-double
+    # state packed [l, b, sse, s1..s7] with the seed as element 0 — same
+    # expressions in the same order, so parity is float-exact before the
+    # 6dp round.
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             AVG(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type, list(v ORDER BY day) AS vals, len(list(v ORDER BY day)) AS n
+      FROM daily GROUP BY event_type
+    ),
+    seeded AS (
+      SELECT event_type, n, vals,
+             list_reduce(vals[1:7], (a,b) -> a + b) / 7 AS l0,
+             (list_reduce(vals[8:14], (a,b) -> a + b) / 7
+              - list_reduce(vals[1:7], (a,b) -> a + b) / 7) / 7 AS b0,
+             list_transform(vals[1:7],
+                            x -> x - list_reduce(vals[1:7], (a,b) -> a + b) / 7) AS s0
+      FROM series
+    ),
+    folded AS (
+      SELECT event_type, n,
+             list_reduce(
+               list_concat(
+                 [list_concat([l0, b0, 0.0], s0)],
+                 list_transform(vals[8:], x -> [x, 0,0,0,0,0,0,0,0,0])
+               ),
+               (acc, x) -> [
+                 0.4 * (x[1] - acc[4]) + 0.6 * (acc[1] + acc[2]),
+                 0.1 * ((0.4 * (x[1] - acc[4]) + 0.6 * (acc[1] + acc[2])) - acc[1])
+                   + 0.9 * acc[2],
+                 acc[3] + (x[1] - (acc[1] + acc[2] + acc[4]))
+                        * (x[1] - (acc[1] + acc[2] + acc[4])),
+                 acc[5], acc[6], acc[7], acc[8], acc[9], acc[10],
+                 0.3 * (x[1] - (0.4 * (x[1] - acc[4]) + 0.6 * (acc[1] + acc[2])))
+                   + 0.7 * acc[4]
+               ]
+             ) AS st
+      FROM seeded
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           ROUND(st[1], 6) AS level, ROUND(st[2], 6) AS trend,
+           ROUND(st[1] + st[2] + st[4], 6) AS forecast_1d,
+           ROUND(sqrt(st[3] / (n - 7)), 6) AS rmse_one_step
+    FROM folded
+    """,
+    tags=("temporal", "timeseries", "smoothing", "forecast", "seasonal"),
+)
+def holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (Winters 1960; alpha=0.4, beta=0.1,
+    gamma=0.3, weekly period m=7) per event type on the daily
+    mean-value series: level/trend seeds from the first two weeks,
+    seasonal register seeded as week-1 deviations from its mean, then
+    the classic three recursions folded over days 8..n with the 7-slot
+    seasonal register rotated each step (front slot = the seasonal
+    estimate applicable to the CURRENT step, so after processing day n
+    the front is the next-day seasonal). Emits final level/trend, the
+    one-step forecast l + b + s_front, and in-sample one-step RMSE.
+
+    Scale shape: one bounded daily rollup (the only corpus-volume
+    shuffle), then ONE sequential fold per series over a ~30-element
+    array — series fold in parallel across the cluster; the coupled
+    recursion is inherently sequential per series. The DuckDB oracle
+    runs the byte-identical fold via list_reduce with the state packed
+    as a flat 10-double list, so the float op order matches exactly."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.avg("value").alias("v"))
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "v"))), lambda s: s["v"]
+        ).alias("vals")
+    ).withColumn("n", F.size("vals"))
+
+    def week_mean(start: int):
+        return (
+            F.aggregate(F.slice("vals", start, 7), F.lit(0.0), lambda a, x: a + x) / 7
+        )
+
+    seeded = series.select(
+        "event_type",
+        "n",
+        "vals",
+        week_mean(1).alias("l0"),
+        ((week_mean(8) - week_mean(1)) / 7).alias("b0"),
+        F.transform(F.slice("vals", 1, 7), lambda x: x - week_mean(1)).alias("s0"),
+    )
+
+    def _step(acc, x):
+        shat = F.element_at(acc["s"], 1)
+        lnew = 0.4 * (x - shat) + 0.6 * (acc["l"] + acc["b"])
+        return F.struct(
+            lnew.alias("l"),
+            (0.1 * (lnew - acc["l"]) + 0.9 * acc["b"]).alias("b"),
+            (
+                acc["sse"]
+                + (x - (acc["l"] + acc["b"] + shat)) * (x - (acc["l"] + acc["b"] + shat))
+            ).alias("sse"),
+            F.concat(
+                F.slice(acc["s"], 2, 6),
+                F.array(0.3 * (x - lnew) + 0.7 * shat),
+            ).alias("s"),
+        )
+
+    folded = seeded.select(
+        "event_type",
+        "n",
+        F.aggregate(
+            F.slice("vals", 8, F.col("n") - 7),
+            F.struct(
+                F.col("l0").alias("l"),
+                F.col("b0").alias("b"),
+                F.lit(0.0).alias("sse"),
+                F.col("s0").alias("s"),
+            ),
+            _step,
+        ).alias("st"),
+    )
+    return folded.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.col("st.l"), 6).alias("level"),
+        F.round(F.col("st.b"), 6).alias("trend"),
+        F.round(F.col("st.l") + F.col("st.b") + F.element_at("st.s", 1), 6).alias(
+            "forecast_1d"
+        ),
+        F.round(F.sqrt(F.col("st.sse") / (F.col("n") - 7)), 6).alias("rmse_one_step"),
+    )
+
+
+@register(
+    "periodogram_peak",
+    # Discrete-Fourier periodogram peak detection (Schuster 1898; the
+    # classical hidden-periodicity detector) per event type over the
+    # mean-centered daily series: I(k) = (a_k^2 + b_k^2) * 2/n at
+    # Fourier frequencies k = 1..floor((n-1)/2), peak = argmax of the
+    # 6dp-rounded power with smallest-k tie-break. The trig sums are
+    # SEQUENTIAL left folds over t=1..n in both engines (not unordered
+    # SUM aggregates), so float op order is deterministic and identical.
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             AVG(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type, list(v ORDER BY day) AS vals, len(list(v ORDER BY day)) AS n
+      FROM daily GROUP BY event_type
+    ),
+    cent AS (
+      SELECT event_type, n,
+             list_transform(vals, x -> x - list_reduce(vals, (a,b) -> a + b) / n) AS c
+      FROM series
+    ),
+    powers AS (
+      SELECT event_type, n, k,
+             ROUND((
+               list_reduce(list_transform(generate_series(1, n),
+                 t -> c[t] * cos(2.0 * pi() * k * t / n)), (a,b) -> a + b)
+               * list_reduce(list_transform(generate_series(1, n),
+                 t -> c[t] * cos(2.0 * pi() * k * t / n)), (a,b) -> a + b)
+               + list_reduce(list_transform(generate_series(1, n),
+                 t -> c[t] * sin(2.0 * pi() * k * t / n)), (a,b) -> a + b)
+               * list_reduce(list_transform(generate_series(1, n),
+                 t -> c[t] * sin(2.0 * pi() * k * t / n)), (a,b) -> a + b)
+             ) * 2.0 / n, 6) AS power
+      FROM cent, UNNEST(generate_series(1, CAST(FLOOR((n - 1) / 2.0) AS INT))) AS u(k)
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days, CAST(k AS INT) AS peak_k,
+           ROUND(CAST(n AS DOUBLE) / k, 6) AS peak_period_days, power AS peak_power
+    FROM powers
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY power DESC, k ASC) = 1
+    """,
+    tags=("temporal", "timeseries", "spectral"),
+)
+def periodogram_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical DFT periodogram (Schuster 1898) per event type on the
+    mean-centered daily series, reporting the dominant Fourier
+    frequency: for k = 1..floor((n-1)/2), I(k) = (a_k^2 + b_k^2)*2/n
+    with a_k = sum_t c_t cos(2 pi k t / n), b_k the sine sum — the
+    spectral twin of `seasonal_decomposition` (which ASSUMES a weekly
+    period; this DETECTS the period). Peak = max 6dp-rounded power,
+    smallest-k tie-break; emits the implied period n/k in days.
+
+    Scale shape: one bounded daily rollup, then all O(n^2/2) trig work
+    (n = 30 days) runs as per-series array folds — k fans out to a
+    bounded explode (14 rows/series), each a_k/b_k is a SEQUENTIAL
+    F.aggregate fold over t (deterministic float order, mirrored by
+    DuckDB list_reduce), never an unordered SUM shuffle. Corpus volume
+    never re-enters after the rollup."""
+    import math
+
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.avg("value").alias("v"))
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "v"))), lambda s: s["v"]
+        ).alias("vals")
+    ).withColumn("n", F.size("vals"))
+    cent = series.select(
+        "event_type",
+        "n",
+        F.transform(
+            "vals",
+            lambda x: x
+            - F.aggregate("vals", F.lit(0.0), lambda a, b: a + b) / F.col("n"),
+        ).alias("c"),
+    )
+    ks = cent.select(
+        "event_type",
+        "n",
+        "c",
+        F.explode(
+            F.sequence(F.lit(1), F.floor((F.col("n") - 1) / 2.0).cast("int"))
+        ).alias("k"),
+    )
+    two_pi = 2.0 * math.pi
+
+    def trig_sum(fn):
+        return F.aggregate(
+            F.sequence(F.lit(1), F.col("n")),
+            F.lit(0.0),
+            lambda a, t: a
+            + F.element_at(F.col("c"), t)
+            * fn(F.lit(two_pi) * F.col("k") * t / F.col("n")),
+        )
+
+    powers = ks.select(
+        "event_type",
+        "n",
+        "k",
+        F.round(
+            (trig_sum(F.cos) * trig_sum(F.cos) + trig_sum(F.sin) * trig_sum(F.sin))
+            * 2.0
+            / F.col("n"),
+            6,
+        ).alias("power"),
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("power"), F.asc("k"))
+    return (
+        powers.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            F.col("k").cast("int").alias("peak_k"),
+            F.round(F.col("n").cast("double") / F.col("k"), 6).alias("peak_period_days"),
+            F.col("power").alias("peak_power"),
+        )
+    )
