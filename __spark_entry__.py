@@ -47,6 +47,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # block follows in registry order. Regenerate next round the same way.
 _PRIORITY = (
     # -- tier 0: NEW in round 8 — never driver-sampled, need first proof
+    "cdc_chunk_dedup",  # r8: content-defined chunking (Gear/FastCDC) dedup audit
     "holt_winters_seasonal",  # r8: additive HW triple smoothing, weekly m=7
     "periodogram_peak",  # r8: DFT periodogram dominant-frequency detector
     "wilcoxon_signed_rank",  # r8: paired signed-rank z per event type

@@ -4049,3 +4049,200 @@ def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conf.crossJoin(F.broadcast(acc)).select(
         "true_lang", "pred_lang", "n", F.round("a", 4).alias("accuracy")
     )
+
+
+@register(
+    "cdc_chunk_dedup",
+    # Content-defined chunking (Gear rolling hash — the FastCDC family,
+    # Xia et al. USENIX ATC 2016): h = (2h + ascii(c)*2654435761 mod 2^32)
+    # mod 2^32 per char (the multiplier is Knuth's; the 2h shift ages a
+    # char out of the hash after 32 steps, so boundaries depend only on a
+    # 32-char window and survive insertions — the property fixed-size
+    # blocking lacks). Boundary when chunk_len >= 16 and h % 64 == 0
+    # (target 64-char chunks), forced at 128 and at end-of-doc. Both
+    # engines fold the IDENTICAL integer recursion (Spark F.aggregate
+    # struct state, DuckDB list_reduce with [h, len, bounds...] packed
+    # as a flat BIGINT list), so chunk boundaries are byte-identical.
+    oracle="""
+    WITH folded AS (
+      SELECT doc_id, source, text, len(text) AS n,
+             list_reduce(
+               list_concat([[0, 0]], list_transform(generate_series(1, len(text)), i -> [i])),
+               (acc, x) -> CASE
+                 WHEN ((acc[2] + 1 >= 16
+                        AND ((acc[1] * 2 + ascii(substr(text, CAST(x[1] AS INT), 1)) * 2654435761 % 4294967296) % 4294967296) % 64 = 0)
+                       OR acc[2] + 1 >= 128)
+                 THEN list_concat(
+                        list_concat([(acc[1] * 2 + ascii(substr(text, CAST(x[1] AS INT), 1)) * 2654435761 % 4294967296) % 4294967296, 0], acc[3:]),
+                        [x[1]])
+                 ELSE list_concat(
+                        [(acc[1] * 2 + ascii(substr(text, CAST(x[1] AS INT), 1)) * 2654435761 % 4294967296) % 4294967296, acc[2] + 1],
+                        acc[3:])
+               END
+             ) AS st
+      FROM documents
+    ),
+    bounds AS (
+      SELECT doc_id, source, text, n,
+             CASE WHEN len(st) > 2 AND st[-1] = n THEN st[3:]
+                  ELSE list_concat(st[3:], [CAST(n AS BIGINT)]) END AS ends
+      FROM folded WHERE n > 0
+    ),
+    chunks AS (
+      SELECT doc_id, source,
+             unnest(list_transform(generate_series(1, len(ends)),
+               k -> struct_pack(
+                 h := md5(substr(text, CAST(CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END AS INT),
+                                 CAST(ends[k] - CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END + 1 AS INT))),
+                 ln := ends[k] - CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END + 1
+               ))) AS c
+      FROM bounds
+    ),
+    flat AS (SELECT doc_id, source, c.h AS h, c.ln AS ln FROM chunks),
+    perh AS (
+      SELECT source, h, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS nd
+      FROM flat GROUP BY source, h
+    ),
+    cross_src AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_doc_chunks
+      FROM perh GROUP BY source
+    ),
+    base AS (
+      SELECT source,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_chunks,
+             ROUND(1.0 - CAST(COUNT(DISTINCT h) AS DOUBLE) / COUNT(*), 6) AS dup_chunk_ratio,
+             ROUND(AVG(CAST(ln AS DOUBLE)), 6) AS mean_chunk_len
+      FROM flat GROUP BY source
+    )
+    SELECT b.source, b.n_docs, b.n_chunks, b.n_distinct_chunks,
+           c.n_cross_doc_chunks, b.dup_chunk_ratio, b.mean_chunk_len
+    FROM base b JOIN cross_src c ON b.source = c.source
+    """,
+    tags=("text", "dedup", "llm-pipeline", "chunking"),
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup audit (the FastCDC family, Xia et
+    al. 2016): a Gear rolling hash h = (2h + G(c)) mod 2^32 with
+    G(c) = ascii(c) * 2654435761 mod 2^32 cuts each document at
+    content-determined boundaries (chunk length >= 16, h % 64 == 0 →
+    ~64-char average chunks, hard cap 128, forced cut at end-of-doc).
+    Because 2h ages a character out after 32 steps, boundaries depend
+    only on a sliding 32-char window — an insertion shifts at most the
+    chunk it lands in, so shared text between near-duplicate documents
+    still yields byte-identical chunks (the storage-dedup analog of
+    shingling; this is how backup systems and binary-blob dedup find
+    redundancy without O(n^2) comparison). Emits per-source chunk
+    counts, distinct/duplicate chunk ratios, chunks shared across >= 2
+    docs, and mean chunk length.
+
+    Scale shape: the fold is map-only per document (one pass over its
+    chars, integer arithmetic only — no per-char md5); the only
+    corpus-volume shuffles are keyed on (source, chunk-hash) — chunk
+    grain, never doc x doc. The repartition guard spreads the
+    CPU-bound fold locally (single-row-group parquet) and provably
+    no-ops on a real multi-file cluster scan."""
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < max(2, par // 2):
+        d = d.repartition(par)
+
+    M32 = F.lit(4294967296)
+
+    def _step(acc, x):
+        g = F.ascii(F.col("text").substr(x.cast("int"), F.lit(1))).cast("long") * F.lit(
+            2654435761
+        ) % M32
+        h2 = (acc["h"] * 2 + g) % M32
+        ln2 = acc["ln"] + F.lit(1)
+        boundary = ((ln2 >= 16) & (h2 % 64 == F.lit(0))) | (ln2 >= 128)
+        return F.when(
+            boundary,
+            F.struct(
+                h2.alias("h"),
+                F.lit(0).alias("ln"),
+                F.concat(acc["b"], F.array(x)).alias("b"),
+            ),
+        ).otherwise(F.struct(h2.alias("h"), ln2.alias("ln"), acc["b"].alias("b")))
+
+    folded = d.filter(F.length("text") > 0).select(
+        "doc_id",
+        "source",
+        "text",
+        F.length("text").cast("long").alias("n"),
+        F.aggregate(
+            F.sequence(F.lit(1).cast("long"), F.length("text").cast("long")),
+            F.struct(
+                F.lit(0).cast("long").alias("h"),
+                F.lit(0).alias("ln"),
+                F.array().cast("array<long>").alias("b"),
+            ),
+            _step,
+        ).alias("st"),
+    )
+    bounds = folded.select(
+        "doc_id",
+        "source",
+        "text",
+        "n",
+        F.when(
+            (F.size("st.b") > 0) & (F.element_at("st.b", -1) == F.col("n")), F.col("st.b")
+        )
+        .otherwise(F.concat("st.b", F.array(F.col("n"))))
+        .alias("ends"),
+    )
+    ks = F.sequence(F.lit(1), F.size("ends"))
+    chunks = bounds.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                ks,
+                lambda k: F.struct(
+                    F.md5(
+                        F.col("text").substr(
+                            F.when(k == 1, F.lit(1).cast("long"))
+                            .otherwise(F.element_at("ends", (k - 1).cast("int")) + 1)
+                            .cast("int"),
+                            (
+                                F.element_at("ends", k.cast("int"))
+                                - F.when(k == 1, F.lit(1).cast("long")).otherwise(
+                                    F.element_at("ends", (k - 1).cast("int")) + 1
+                                )
+                                + 1
+                            ).cast("int"),
+                        )
+                    ).alias("h"),
+                    (
+                        F.element_at("ends", k.cast("int"))
+                        - F.when(k == 1, F.lit(1).cast("long")).otherwise(
+                            F.element_at("ends", (k - 1).cast("int")) + 1
+                        )
+                        + 1
+                    ).alias("ln"),
+                ),
+            )
+        ).alias("c"),
+    )
+    flat = chunks.select("doc_id", "source", F.col("c.h").alias("h"), F.col("c.ln").alias("ln"))
+    perh = flat.groupBy("source", "h").agg(
+        F.count("*").alias("cnt"), F.countDistinct("doc_id").alias("nd")
+    )
+    cross_src = perh.groupBy("source").agg(
+        F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast("long").alias("n_cross_doc_chunks")
+    )
+    base = flat.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_chunks"),
+        F.countDistinct("h").cast("long").alias("n_distinct_chunks"),
+        F.round(
+            1.0 - F.countDistinct("h").cast("double") / F.count("*"), 6
+        ).alias("dup_chunk_ratio"),
+        F.round(F.avg(F.col("ln").cast("double")), 6).alias("mean_chunk_len"),
+    )
+    return base.join(cross_src, "source").select(
+        "source", "n_docs", "n_chunks", "n_distinct_chunks",
+        "n_cross_doc_chunks", "dup_chunk_ratio", "mean_chunk_len",
+    )
