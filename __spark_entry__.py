@@ -47,6 +47,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # block follows in registry order. Regenerate next round the same way.
 _PRIORITY = (
     # -- tier 0: NEW in round 8 — never driver-sampled, need first proof
+    "embedding_int8_quantization",  # r8: SQ8 + half-step bound certificate
+    "roc_auc_quality_signal",  # r8: rank-based ROC-AUC of a quality signal
     "cdc_chunk_dedup",  # r8: content-defined chunking (Gear/FastCDC) dedup audit
     "holt_winters_seasonal",  # r8: additive HW triple smoothing, weekly m=7
     "periodogram_peak",  # r8: DFT periodogram dominant-frequency detector

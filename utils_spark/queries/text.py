@@ -4246,3 +4246,73 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "n_docs", "n_chunks", "n_distinct_chunks",
         "n_cross_doc_chunks", "dup_chunk_ratio", "mean_chunk_len",
     )
+
+
+@register(
+    "roc_auc_quality_signal",
+    # Rank-based ROC-AUC (Hanley & McNeil 1982; the Mann-Whitney U
+    # identity AUC = (sum of positive ranks - n1(n1+1)/2) / (n1 n0))
+    # evaluating document length as a classifier for lang='en', per
+    # source — the standard evaluation statistic for any quality /
+    # filter signal (FineWeb-Edu-style classifiers are tuned on exactly
+    # this). Average ranks on ties (n_chars collides often), so the AUC
+    # equals the probability a random positive outranks a random
+    # negative with ties counted half — the proper trapezoidal ROC area.
+    oracle="""
+    WITH ranked AS (
+      SELECT source, lang,
+             (2 * RANK() OVER (PARTITION BY source ORDER BY n_chars)
+              + COUNT(*) OVER (PARTITION BY source, n_chars) - 1) / 2.0 AS r
+      FROM documents
+    ),
+    agg AS (
+      SELECT source,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS n0,
+             SUM(CASE WHEN lang = 'en' THEN r ELSE 0 END) AS sr
+      FROM ranked GROUP BY source
+    )
+    SELECT source, CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+           ROUND((sr - n1 * (n1 + 1) / 2.0) / (n1 * 1.0 * n0), 6) AS auc
+    FROM agg
+    """,
+    tags=("text", "evaluation", "llm-pipeline", "classifier"),
+)
+def roc_auc_quality_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based ROC-AUC (Hanley & McNeil 1982) of a quality signal:
+    how well does raw document length separate English docs from the
+    rest, per source? Computed via the Mann-Whitney identity on
+    average ranks (ties counted half), i.e. the exact trapezoidal ROC
+    area without materializing the curve — the one-pass,
+    shuffle-bounded way to evaluate ANY per-doc score (perplexity,
+    classifier logit, heuristic) against a binary label at corpus
+    scale. Degenerate sources (no positives or no negatives) would
+    emit NULL rather than a fake 0.5.
+
+    Scale shape: one window rank per source partition (the score sort
+    is per-source, parallel across sources), one bounded per-source
+    aggregate. Rank sums are exact multiples of 0.5 so the unordered
+    SUM is float-exact across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    wr = Window.partitionBy("source").orderBy("n_chars")
+    wt = Window.partitionBy("source", "n_chars")
+    ranked = d.select(
+        "source",
+        "lang",
+        ((2 * F.rank().over(wr) + F.count("*").over(wt) - 1) / 2.0).alias("r"),
+    )
+    agg = ranked.groupBy("source").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("lang") == "en", 0).otherwise(1)).alias("n0"),
+        F.sum(F.when(F.col("lang") == "en", F.col("r")).otherwise(0)).alias("sr"),
+    )
+    return agg.select(
+        "source",
+        F.col("n1").cast("long").alias("n_pos"),
+        F.col("n0").cast("long").alias("n_neg"),
+        F.round(
+            (F.col("sr") - F.col("n1") * (F.col("n1") + 1) / 2.0)
+            / (F.col("n1") * 1.0 * F.col("n0")),
+            6,
+        ).alias("auc"),
+    )

@@ -882,3 +882,84 @@ def ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket_topk = scored.withColumn("rn", F.row_number().over(w1)).filter(F.col("rn") <= 5).drop("rn")
     w = Window.partitionBy("query_id").orderBy(*order)
     return bucket_topk.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
+
+
+@register(
+    "embedding_int8_quantization",
+    # Per-dimension scalar int8 quantization of the embedding table —
+    # the standard memory shape for billion-vector ANN serving (4x
+    # smaller than float32; the scalar-quantizer baseline every vector
+    # DB ships alongside PQ): per-dim [min, max] over the corpus, 255
+    # uniform steps, code = round((x - min)/scale), reconstruction
+    # x_hat = code*scale + min. Emits per-dim scale, reconstruction
+    # MSE (x1e9) and max |error| (x1e6), plus the half-step bound
+    # certificate max|err| <= scale/2 — quantization's defining
+    # guarantee, checked per dimension in-query.
+    oracle="""
+    WITH flat AS (
+      SELECT vec_id, d.i AS dim, CAST(embedding[d.i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS d(i)
+    ),
+    rng AS (
+      SELECT dim, MIN(x) AS mn, MAX(x) AS mx, (MAX(x) - MIN(x)) / 255.0 AS scale
+      FROM flat GROUP BY dim
+    ),
+    err AS (
+      SELECT f.dim, r.scale,
+             f.x - (ROUND((f.x - r.mn) / r.scale) * r.scale + r.mn) AS e
+      FROM flat f JOIN rng r ON f.dim = r.dim
+    )
+    SELECT CAST(dim AS INT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(scale * 1e6, 6) AS scale_e6,
+           ROUND(AVG(e * e) * 1e9, 4) AS mse_e9,
+           ROUND(MAX(ABS(e)) * 1e6, 6) AS max_abs_err_e6,
+           CASE WHEN MAX(ABS(e)) <= scale / 2 * (1 + 1e-9) THEN 1 ELSE 0 END
+             AS within_half_step
+    FROM err GROUP BY dim, scale
+    """,
+    tags=("vector", "quantization", "llm-pipeline"),
+)
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization audit over the embedding corpus: each
+    of the 64 dimensions gets a per-dim uniform quantizer (255 steps
+    across the corpus [min, max]), and the query emits the
+    reconstruction error profile — MSE (x1e9), max |error| (x1e6) —
+    together with the in-query CERTIFICATE that every error respects
+    the half-step bound max|err| <= scale/2, the defining guarantee of
+    round-to-nearest scalar quantization. This is the memory-shape
+    companion to `ann_ivf_pq`/`ann_ivfadc`: SQ8 is the baseline
+    compressed representation (4x smaller, near-lossless recall) that
+    large-scale serving uses when PQ's 64x compression is overkill.
+
+    Scale shape: posexplode is map-only; the per-dim range table is 64
+    rows (broadcast back to the flat stream — dimension-side build);
+    the only corpus-volume shuffle keys on the 64 dim values with
+    map-side partial min/max. Error metrics are scaled (x1e9 / x1e6)
+    BEFORE the 4-6dp round so cross-engine float-sum drift (~1e-17)
+    stays ~10 orders below the rounding grain."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select("vec_id", (F.col("pos") + 1).alias("dim"), F.col("xf").cast("double").alias("x"))
+    rng = flat.groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    rng = rng.select("dim", "mn", "mx", ((F.col("mx") - F.col("mn")) / 255.0).alias("scale"))
+    err = flat.join(F.broadcast(rng), "dim").select(
+        "dim",
+        "scale",
+        (
+            F.col("x")
+            - (F.round((F.col("x") - F.col("mn")) / F.col("scale"), 0) * F.col("scale") + F.col("mn"))
+        ).alias("e"),
+    )
+    return err.groupBy("dim", "scale").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.col("scale") * 1e6, 6).alias("scale_e6"),
+        F.round(F.avg(F.col("e") * F.col("e")) * 1e9, 4).alias("mse_e9"),
+        F.round(F.max(F.abs("e")) * 1e6, 6).alias("max_abs_err_e6"),
+        F.when(F.max(F.abs("e")) <= F.col("scale") / 2 * (1 + 1e-9), 1)
+        .otherwise(0)
+        .alias("within_half_step"),
+    ).select(
+        F.col("dim").cast("int").alias("dim"),
+        "n", "scale_e6", "mse_e9", "max_abs_err_e6", "within_half_step",
+    )
