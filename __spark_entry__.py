@@ -47,6 +47,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # block follows in registry order. Regenerate next round the same way.
 _PRIORITY = (
     # -- tier 0: NEW in round 8 — never driver-sampled, need first proof
+    "dtw_pairwise_distance",  # r8: two-level-fold DTW + dtw<=euclid certificate
     "embedding_int8_quantization",  # r8: SQ8 + half-step bound certificate
     "roc_auc_quality_signal",  # r8: rank-based ROC-AUC of a quality signal
     "cdc_chunk_dedup",  # r8: content-defined chunking (Gear/FastCDC) dedup audit

@@ -1779,3 +1779,167 @@ def periodogram_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("power").alias("peak_power"),
         )
     )
+
+
+@register(
+    "dtw_pairwise_distance",
+    # Dynamic time warping (Sakoe & Chiba 1978) between every pair of
+    # event-type daily mean series: full n x m squared-cost DP,
+    # D[i][j] = (a_i - b_j)^2 + min(D[i-1][j], D[i][j-1], D[i-1][j-1]),
+    # run as a TWO-LEVEL sequential fold (outer over rows carrying the
+    # previous DP row as an array, inner over columns building the new
+    # row left-to-right — the in-row dependency makes this
+    # fold-in-fold, not a window). The Euclidean (diagonal-path) cost
+    # rides along, certifying DTW's defining property dtw <= euclid
+    # in-query (the diagonal is one admissible warp, DTW minimizes
+    # over all). Both engines run byte-identical fold order: Spark
+    # nested F.aggregate, DuckDB nested list_reduce with scalars
+    # packed as 1-element lists.
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             AVG(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type, list(v ORDER BY day) AS vals, len(list(v ORDER BY day)) AS n
+      FROM daily GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.vals AS av, b.vals AS bv, a.n AS n, b.n AS m
+      FROM series a JOIN series b ON a.event_type < b.event_type
+    ),
+    dp AS (
+      SELECT type_a, type_b, n, m,
+             list_reduce(
+               list_concat(
+                 [list_transform(generate_series(1, m), j -> 1e300)],
+                 list_transform(generate_series(1, n), i -> [CAST(i AS DOUBLE)])
+               ),
+               (prev, x) -> list_reduce(
+                 list_concat(
+                   [CAST([] AS DOUBLE[])],
+                   list_transform(generate_series(1, m), j -> [CAST(j AS DOUBLE)])
+                 ),
+                 (acc, y) -> list_concat(acc, [
+                   (av[CAST(x[1] AS INT)] - bv[CAST(y[1] AS INT)])
+                   * (av[CAST(x[1] AS INT)] - bv[CAST(y[1] AS INT)])
+                   + LEAST(
+                       prev[CAST(y[1] AS INT)],
+                       CASE WHEN len(acc) = 0 THEN 1e300 ELSE acc[-1] END,
+                       CASE WHEN y[1] = 1
+                            THEN (CASE WHEN x[1] = 1 THEN 0.0 ELSE 1e300 END)
+                            ELSE prev[CAST(y[1] AS INT) - 1] END
+                     )
+                 ])
+               )
+             ) AS lastrow,
+             list_reduce(
+               list_concat([0.0], list_transform(generate_series(1, LEAST(n, m)),
+                                                 t -> CAST(t AS DOUBLE))),
+               (a2, t) -> a2 + (av[CAST(t AS INT)] - bv[CAST(t AS INT)])
+                             * (av[CAST(t AS INT)] - bv[CAST(t AS INT)])
+             ) AS euclid
+      FROM pairs
+    )
+    SELECT type_a, type_b, CAST(n AS BIGINT) AS n_days,
+           ROUND(lastrow[-1], 6) AS dtw_sumsq,
+           ROUND(lastrow[-1] / (n + m), 6) AS dtw_per_step,
+           ROUND(euclid, 6) AS euclid_sumsq,
+           CASE WHEN lastrow[-1] <= euclid * (1 + 1e-12) THEN 1 ELSE 0 END AS dtw_le_euclid
+    FROM dp
+    """,
+    tags=("temporal", "timeseries", "similarity", "dtw"),
+)
+def dtw_pairwise_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic time warping distance (Sakoe & Chiba 1978) between every
+    pair of event-type daily series — the alignment-invariant series
+    similarity that Euclidean distance gets wrong when one series lags
+    the other: the full squared-cost DP matrix is evaluated as a
+    two-level sequential fold (outer F.aggregate carries the previous
+    DP row as an array; inner F.aggregate builds each new row
+    left-to-right, because D[i][j] needs D[i][j-1] — a dependency no
+    window frame expresses). The diagonal-path (Euclidean) cost rides
+    along and the query certifies dtw_sumsq <= euclid_sumsq per pair:
+    the diagonal is one admissible warping path and DTW minimizes over
+    all of them — a property check that would catch any DP indexing
+    bug instantly.
+
+    Scale shape: one bounded daily rollup, then a 10-row bounded pair
+    self-join; all O(n*m) DP work (900 cells/pair) is per-row array
+    math, series pairs parallelize across the cluster, corpus volume
+    never re-enters. Boundary conditions use a 1e300 sentinel exactly
+    as the oracle does, so fold order and tie resolution are
+    byte-identical across engines."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.avg("value").alias("v"))
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "v"))), lambda s: s["v"]
+        ).alias("vals")
+    ).withColumn("n", F.size("vals"))
+    a, b = series.alias("a"), series.alias("b")
+    pairs = a.join(b, F.col("a.event_type") < F.col("b.event_type")).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.vals").alias("av"),
+        F.col("b.vals").alias("bv"),
+        F.col("a.n").alias("n"),
+        F.col("b.n").alias("m"),
+    )
+    INF = F.lit(1e300)
+
+    def _inner(prev, i):
+        def _cell(acc, j):
+            cost = (
+                F.element_at(F.col("av"), i) - F.element_at(F.col("bv"), j)
+            ) * (F.element_at(F.col("av"), i) - F.element_at(F.col("bv"), j))
+            up = F.element_at(prev, j)
+            left = F.when(F.size(acc) == 0, INF).otherwise(F.element_at(acc, -1))
+            diag = F.when(
+                j == 1, F.when(i == 1, F.lit(0.0)).otherwise(INF)
+            ).otherwise(F.element_at(prev, j - 1))
+            return F.concat(acc, F.array(cost + F.least(up, left, diag)))
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.col("m")),
+            F.array().cast("array<double>"),
+            _cell,
+        )
+
+    dp = pairs.select(
+        "type_a",
+        "type_b",
+        "n",
+        "m",
+        F.aggregate(
+            F.sequence(F.lit(1), F.col("n")),
+            F.array_repeat(INF, F.col("m").cast("int")),
+            _inner,
+        ).alias("lastrow"),
+        F.aggregate(
+            F.sequence(F.lit(1), F.least(F.col("n"), F.col("m"))),
+            F.lit(0.0),
+            lambda a2, t: a2
+            + (F.element_at(F.col("av"), t) - F.element_at(F.col("bv"), t))
+            * (F.element_at(F.col("av"), t) - F.element_at(F.col("bv"), t)),
+        ).alias("euclid"),
+    )
+    return dp.select(
+        "type_a",
+        "type_b",
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.element_at("lastrow", -1), 6).alias("dtw_sumsq"),
+        F.round(F.element_at("lastrow", -1) / (F.col("n") + F.col("m")), 6).alias(
+            "dtw_per_step"
+        ),
+        F.round("euclid", 6).alias("euclid_sumsq"),
+        F.when(
+            F.element_at("lastrow", -1) <= F.col("euclid") * (1 + 1e-12), 1
+        )
+        .otherwise(0)
+        .alias("dtw_le_euclid"),
+    )
