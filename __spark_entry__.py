@@ -47,6 +47,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # block follows in registry order. Regenerate next round the same way.
 _PRIORITY = (
     # -- tier 0: NEW in round 8 — never driver-sampled, need first proof
+    "cross_source_ngram_overlap",  # r8: source-level contamination matrix
+    "g_test_independence",  # r8: log-likelihood-ratio independence test
+    "isotonic_daily_fit",  # r8: minimax isotonic regression + certificate
     "dtw_pairwise_distance",  # r8: two-level-fold DTW + dtw<=euclid certificate
     "embedding_int8_quantization",  # r8: SQ8 + half-step bound certificate
     "roc_auc_quality_signal",  # r8: rank-based ROC-AUC of a quality signal

@@ -2245,3 +2245,97 @@ def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("sr") - pbar * F.col("sn")) * (F.col("sr") - pbar * F.col("sn"))) / denom, 6
         ).alias("ca_chi2"),
     )
+
+
+@register(
+    "g_test_independence",
+    # G-test (log-likelihood-ratio) of independence on the same
+    # event_type x day-of-week table as chi_square_independence:
+    # G = 2 sum O ln(O/E). Observed-zero cells contribute exactly 0
+    # (lim x->0 of x ln x), so building the table from observed
+    # combinations only is EXACT for G — unlike Pearson's X^2, where
+    # empty cells still carry E. The two statistics converge for large
+    # E but diverge on sparse tables; emitting both lets users see the
+    # sparse-table disagreement directly.
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, dow, o,
+             SUM(o) OVER (PARTITION BY event_type) AS row_tot,
+             SUM(o) OVER (PARTITION BY dow) AS col_tot,
+             SUM(o) OVER () AS n
+      FROM obs
+    ),
+    cells AS (
+      SELECT event_type, dow, o,
+             CAST(row_tot AS DOUBLE) * col_tot / n AS expected,
+             2 * o * LN(o / (CAST(row_tot AS DOUBLE) * col_tot / n)) AS g_contrib
+      FROM tot
+    ),
+    stat AS (
+      SELECT SUM(g_contrib) AS g,
+             (COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT dow) - 1) AS dof
+      FROM cells
+    )
+    SELECT c.event_type, CAST(c.dow AS INT) AS dow, c.o AS observed,
+           ROUND(c.expected, 4) AS expected, ROUND(c.g_contrib, 6) AS g_contrib,
+           ROUND(s.g, 4) AS g_total, CAST(s.dof AS INT) AS dof
+    FROM cells c CROSS JOIN stat s
+    """,
+    tags=("stats", "hypothesis-test", "categorical"),
+)
+def g_test_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test of independence (Sokal & Rohlf's log-likelihood-ratio
+    form, Wilks 1938) on the event_type x day-of-week contingency
+    table — the information-theoretic twin of
+    `chi_square_independence`: G = 2 sum O ln(O/E) is additive across
+    table partitions (chi-square is not) and equals 2N x the mutual
+    information in nats, tying this test to
+    `mutual_information_assoc`'s effect size. Per-cell signed
+    contributions show WHICH cells carry the association; zero
+    observed cells contribute exactly 0, so the observed-combination
+    table is exact for G.
+
+    Scale shape: identical to the chi-square query — one corpus-volume
+    aggregation onto the bounded type x dow cell table, marginals via
+    window sums over that bounded table, the scalar statistic attached
+    to every row via the allow-listed 1-row broadcast cross join."""
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count("*").alias("o"))
+    tot = obs.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("dow")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    expected = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    cells = tot.select(
+        "event_type",
+        "dow",
+        "o",
+        expected.alias("expected"),
+        (2 * F.col("o") * F.log(F.col("o") / expected)).alias("g_contrib"),
+    )
+    stat = cells.agg(
+        F.sum("g_contrib").alias("g"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
+        ).alias("dof"),
+    )
+    return cells.crossJoin(F.broadcast(stat)).select(
+        "event_type",
+        F.col("dow").cast("int").alias("dow"),
+        F.col("o").cast("long").alias("observed"),
+        F.round("expected", 4).alias("expected"),
+        F.round("g_contrib", 6).alias("g_contrib"),
+        F.round("g", 4).alias("g_total"),
+        F.col("dof").cast("int").alias("dof"),
+    )

@@ -1943,3 +1943,120 @@ def dtw_pairwise_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("dtw_le_euclid"),
     )
+
+
+@register(
+    "isotonic_daily_fit",
+    # Isotonic (monotone nondecreasing) least-squares regression of the
+    # daily mean-value series per event type, via the MINIMAX closed
+    # form g(k) = max_{i<=k} min_{j>=k} mean(y[i..j]) (Robertson,
+    # Wright & Dykstra 1988, Thm 1.4.4) — exactly the PAVA solution
+    # without PAVA's sequential pool-merging state machine: every
+    # fitted value is a pure array expression, O(n^3) per series with
+    # n = 30 days. min/max are associative-commutative, so fold order
+    # can't drift between engines; interval means are identical left
+    # folds. The nondecreasing certificate rides along per row — the
+    # defining constraint of the fit, checked in-query.
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             AVG(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type, list(v ORDER BY day) AS vals, len(list(v ORDER BY day)) AS n
+      FROM daily GROUP BY event_type
+    ),
+    fit AS (
+      SELECT event_type, n, vals,
+             list_transform(generate_series(1, n), k ->
+               list_max(
+                 list_transform(generate_series(1, k), i ->
+                   list_min(
+                     list_transform(generate_series(k, n), j ->
+                       list_reduce(vals[i:j], (a,b) -> a + b) / (j - i + 1)
+                     )
+                   )
+                 )
+               )
+             ) AS g
+      FROM series
+    )
+    SELECT event_type, CAST(u.k AS INT) AS k,
+           ROUND(vals[u.k], 6) AS observed,
+           ROUND(g[u.k], 6) AS fitted,
+           CASE WHEN u.k = 1 OR g[u.k] >= g[u.k - 1] THEN 1 ELSE 0 END AS nondecreasing
+    FROM fit, UNNEST(generate_series(1, CAST(n AS INT))) AS u(k)
+    """,
+    tags=("temporal", "timeseries", "regression", "isotonic"),
+)
+def isotonic_daily_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic least-squares fit (the monotone regression behind
+    calibration curves and dose-response smoothing) of each event
+    type's daily mean series, computed via the minimax identity
+    g(k) = max_{i<=k} min_{j>=k} mean(y[i..j]) — provably equal to the
+    PAVA solution (Robertson et al. 1988) but expressible as pure
+    nested array math instead of PAVA's sequential pool-merge loop,
+    which would need an order-dependent fold with dynamic state. Emits
+    (day index, observed, fitted) per series plus the per-row
+    nondecreasing certificate — the constraint that DEFINES the
+    estimator, so any indexing bug fails the query visibly.
+
+    Scale shape: one bounded daily rollup, then O(n^3) = 27k interval
+    means per series as per-row array expressions (series parallelize
+    across the cluster; corpus volume never re-enters). min/max are
+    order-insensitive and interval means are identical left folds, so
+    cross-engine parity is float-exact before the 6dp round."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.avg("value").alias("v"))
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "v"))), lambda s: s["v"]
+        ).alias("vals")
+    ).withColumn("n", F.size("vals"))
+
+    def interval_mean(i, j):
+        return F.aggregate(
+            F.slice(F.col("vals"), i, j - i + 1), F.lit(0.0), lambda a, b: a + b
+        ) / (j - i + 1)
+
+    fit = series.select(
+        "event_type",
+        "n",
+        "vals",
+        F.transform(
+            F.sequence(F.lit(1), F.col("n")),
+            lambda k: F.array_max(
+                F.transform(
+                    F.sequence(F.lit(1), k),
+                    lambda i: F.array_min(
+                        F.transform(
+                            F.sequence(k, F.col("n")),
+                            lambda j: interval_mean(i, j),
+                        )
+                    ),
+                )
+            ),
+        ).alias("g"),
+    )
+    rows = fit.select(
+        "event_type",
+        "vals",
+        "g",
+        F.explode(F.sequence(F.lit(1), F.col("n"))).alias("k"),
+    )
+    return rows.select(
+        "event_type",
+        F.col("k").cast("int").alias("k"),
+        F.round(F.element_at("vals", F.col("k")), 6).alias("observed"),
+        F.round(F.element_at("g", F.col("k")), 6).alias("fitted"),
+        F.when(
+            (F.col("k") == 1)
+            | (F.element_at("g", F.col("k")) >= F.element_at("g", F.col("k") - 1)),
+            1,
+        )
+        .otherwise(0)
+        .alias("nondecreasing"),
+    )

@@ -4316,3 +4316,106 @@ def roc_auc_quality_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+@register(
+    "cross_source_ngram_overlap",
+    # Pairwise word-3-gram Jaccard overlap between SOURCES — the
+    # corpus-level contamination matrix (which feeds overlap with
+    # which?) that per-doc dedup queries don't see: distinct
+    # (source, gram) sets, gram-keyed intersection self-join, Jaccard
+    # from the inclusion-exclusion identity |A∪B| = |A|+|B|-|A∩B|.
+    # Every join is keyed on the gram; a gram's fanout is bounded by
+    # n_sources^2 pairs regardless of corpus size, so there is no
+    # doc x doc or row^2 stage anywhere.
+    oracle="""
+    WITH toks AS (
+      SELECT source, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 x -> x <> '') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT source, u.g AS g
+      FROM toks, UNNEST(list_transform(generate_series(1, len(w) - 2),
+                                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS u(g)
+    ),
+    sizes AS (SELECT source, COUNT(*) AS sz FROM grams GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS ix
+      FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b,
+           CAST(sa.sz AS BIGINT) AS grams_a, CAST(sb.sz AS BIGINT) AS grams_b,
+           CAST(i.ix AS BIGINT) AS intersection,
+           ROUND(CAST(i.ix AS DOUBLE) / (sa.sz + sb.sz - i.ix), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.source_a = sa.source
+    JOIN sizes sb ON i.source_b = sb.source
+    """,
+    tags=("text", "llm-pipeline", "contamination", "corpus-analysis"),
+)
+def cross_source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level contamination matrix: exact word-3-gram Jaccard
+    between every pair of corpus sources. Per-doc decontamination
+    (`benchmark_decontamination`, `fuzzy_decontamination`) asks "is
+    this doc leaked?"; this asks the corpus-curation question "which
+    SOURCES share content?" — the signal behind mixture reweighting and
+    source-level dedup decisions. Sets are distinct (source, gram)
+    pairs; intersections come from a gram-keyed self-join and the
+    union size from inclusion-exclusion, so the full n_sources^2/2
+    matrix costs one distinct + one keyed join.
+
+    Scale shape: the only corpus-volume shuffles are keyed on
+    (source, gram) [the distinct] and gram [the intersection join];
+    each gram fans out to at most n_sources^2 pairs no matter how big
+    the corpus — there is no doc x doc stage. The per-source set sizes
+    are a bounded table joined back at pair grain."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""
+        ).alias("w"),
+    )
+    grams = toks.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("w"), i),
+                    F.element_at(F.col("w"), i + 1),
+                    F.element_at(F.col("w"), i + 2),
+                ),
+            )
+        ).alias("g"),
+    ).distinct()
+    sizes = grams.groupBy("source").agg(F.count("*").alias("sz"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").alias("ix"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(F.broadcast(sa), F.col("source_a") == F.col("sa.source"))
+        .join(F.broadcast(sb), F.col("source_b") == F.col("sb.source"))
+        .select(
+            "source_a",
+            "source_b",
+            F.col("sa.sz").cast("long").alias("grams_a"),
+            F.col("sb.sz").cast("long").alias("grams_b"),
+            F.col("ix").cast("long").alias("intersection"),
+            F.round(
+                F.col("ix").cast("double")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("ix")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
