@@ -47,6 +47,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # block follows in registry order. Regenerate next round the same way.
 _PRIORITY = (
     # -- tier 0: NEW in round 8 — never driver-sampled, need first proof
+    "harmonic_closeness_seeds",  # r8: 3-hop multi-source BFS harmonic closeness
+    "by_adjust_dependent",  # r8: Benjamini-Yekutieli FDR + BH certificate
+    "gini_source_inequality",  # r8: exact Gini of doc length per source
     "cross_source_ngram_overlap",  # r8: source-level contamination matrix
     "g_test_independence",  # r8: log-likelihood-ratio independence test
     "isotonic_daily_fit",  # r8: minimax isotonic regression + certificate

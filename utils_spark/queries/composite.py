@@ -2056,3 +2056,134 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
     )
     return top_a.unionByName(top_h)
+
+
+@register(
+    "harmonic_closeness_seeds",
+    # Harmonic closeness centrality (Marchiori & Latora 2000; the
+    # disconnected-safe closeness variant) for a deterministic 5-seed
+    # supplier set on the undirected customer-supplier purchase graph,
+    # truncated at 3 hops: H(s) = n1/1 + n2/2 + n3/3 over the nodes at
+    # exact BFS distance k. Multi-source labeled BFS — each round is
+    # one edge-keyed join + distinct + anti-joins against the previous
+    # frontiers (never re-expanding settled nodes), the textbook
+    # distributed BFS. Node ids are role-prefixed ('c'/'s') because
+    # customer and supplier keys share the same integer space.
+    oracle="""
+    WITH edge AS (
+      SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    sym AS (SELECT a, b FROM edge UNION ALL SELECT b AS a, a AS b FROM edge),
+    seeds AS (SELECT 's' || s_suppkey AS seed FROM supplier ORDER BY s_suppkey LIMIT 5),
+    d1 AS (
+      SELECT DISTINCT s.seed, e.b AS v
+      FROM seeds s JOIN sym e ON e.a = s.seed
+      WHERE e.b <> s.seed
+    ),
+    d2 AS (
+      SELECT DISTINCT d.seed, e.b AS v
+      FROM d1 d JOIN sym e ON e.a = d.v
+      WHERE e.b <> d.seed
+        AND NOT EXISTS (SELECT 1 FROM d1 x WHERE x.seed = d.seed AND x.v = e.b)
+    ),
+    d3 AS (
+      SELECT DISTINCT d.seed, e.b AS v
+      FROM d2 d JOIN sym e ON e.a = d.v
+      WHERE e.b <> d.seed
+        AND NOT EXISTS (SELECT 1 FROM d1 x WHERE x.seed = d.seed AND x.v = e.b)
+        AND NOT EXISTS (SELECT 1 FROM d2 x WHERE x.seed = d.seed AND x.v = e.b)
+    ),
+    cnt AS (
+      SELECT s.seed,
+             (SELECT COUNT(*) FROM d1 WHERE d1.seed = s.seed) AS n1,
+             (SELECT COUNT(*) FROM d2 WHERE d2.seed = s.seed) AS n2,
+             (SELECT COUNT(*) FROM d3 WHERE d3.seed = s.seed) AS n3
+      FROM seeds s
+    )
+    SELECT seed, CAST(n1 AS BIGINT) AS n_dist1, CAST(n2 AS BIGINT) AS n_dist2,
+           CAST(n3 AS BIGINT) AS n_dist3,
+           ROUND(n1 + n2 / 2.0 + n3 / 3.0, 6) AS harmonic_centrality
+    FROM cnt
+    """,
+    tags=("graph", "centrality", "bfs"),
+)
+def harmonic_closeness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic closeness centrality (Marchiori & Latora 2000) of the
+    five lowest-id suppliers on the undirected customer-supplier
+    purchase graph, truncated at 3 BFS hops: H = sum over reached
+    nodes of 1/distance — the closeness variant that stays finite on
+    disconnected graphs, which classic closeness (1/sum d) does not.
+    Completes the centrality family beside `pagerank_interactions`
+    (flow), `hits_hub_authority` (mutual reinforcement) and
+    `kcore_decomposition` (cohesion): this one measures REACH.
+
+    Scale shape: multi-source labeled BFS — the frontier carries
+    (seed, node) labels so all 5 sources expand in the same 3 rounds;
+    each round is one edge-keyed join (the only corpus-volume
+    shuffles), a distinct, and anti-joins against prior frontiers so
+    settled nodes are never re-expanded. Frontier size is bounded by
+    5 x nodes; the seed list is a TakeOrdered-5, not a global sort."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edge = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
+        )
+        .distinct()
+    )
+    sym = edge.union(edge.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    seeds = (
+        load_table(spark, sf_dir, "supplier")
+        .select(F.concat(F.lit("s"), F.col("s_suppkey")).alias("seed"), "s_suppkey")
+        .orderBy("s_suppkey")
+        .limit(5)
+        .select("seed")
+    )
+    d1 = (
+        F.broadcast(seeds)
+        .join(sym, seeds.seed == sym.a)
+        .filter(F.col("b") != F.col("seed"))
+        .select("seed", F.col("b").alias("v"))
+        .distinct()
+    )
+    d2 = (
+        d1.join(sym, d1.v == sym.a)
+        .filter(F.col("b") != F.col("seed"))
+        .select("seed", F.col("b").alias("v"))
+        .distinct()
+        .join(d1, ["seed", "v"], "left_anti")
+    )
+    d3 = (
+        d2.join(sym, d2.v == sym.a)
+        .filter(F.col("b") != F.col("seed"))
+        .select("seed", F.col("b").alias("v"))
+        .distinct()
+        .join(d1, ["seed", "v"], "left_anti")
+        .join(d2, ["seed", "v"], "left_anti")
+    )
+    c1 = d1.groupBy("seed").agg(F.count("*").alias("n1"))
+    c2 = d2.groupBy("seed").agg(F.count("*").alias("n2"))
+    c3 = d3.groupBy("seed").agg(F.count("*").alias("n3"))
+    cnt = (
+        seeds.join(c1, "seed", "left")
+        .join(c2, "seed", "left")
+        .join(c3, "seed", "left")
+        .select(
+            "seed",
+            F.coalesce("n1", F.lit(0)).alias("n1"),
+            F.coalesce("n2", F.lit(0)).alias("n2"),
+            F.coalesce("n3", F.lit(0)).alias("n3"),
+        )
+    )
+    return cnt.select(
+        "seed",
+        F.col("n1").cast("long").alias("n_dist1"),
+        F.col("n2").cast("long").alias("n_dist2"),
+        F.col("n3").cast("long").alias("n_dist3"),
+        F.round(F.col("n1") + F.col("n2") / 2.0 + F.col("n3") / 3.0, 6).alias(
+            "harmonic_centrality"
+        ),
+    )

@@ -4419,3 +4419,66 @@ def cross_source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "gini_source_inequality",
+    # Gini coefficient of document length per source (the corpus
+    # contribution-inequality audit: is a source's volume spread
+    # across docs or concentrated in a few giants?) via the exact
+    # sorted-rank identity G = sum_i (2i - n - 1) x_(i) / (n sum x).
+    # With integer n_chars the numerator and denominator are EXACT
+    # integers in both engines, and rank ties don't matter: within a
+    # tied group sum((2i-n-1)*x) depends only on which rank slots the
+    # group occupies, not on the tie-break — so the statistic is
+    # deterministic even though row_number is not.
+    oracle="""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS i,
+             COUNT(*) OVER (PARTITION BY source) AS n,
+             SUM(n_chars) OVER (PARTITION BY source) AS tot
+      FROM documents
+    )
+    SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+           ROUND(CAST(MAX(tot) AS DOUBLE) / MAX(n), 6) AS mean_chars,
+           ROUND(CAST(SUM((2 * i - n - 1) * n_chars) AS DOUBLE)
+                 / (MAX(n) * MAX(tot)), 6) AS gini
+    FROM ranked GROUP BY source
+    """,
+    tags=("text", "corpus-analysis", "llm-pipeline"),
+)
+def gini_source_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-document length within each source —
+    the inequality audit a mixture designer reads before weighting
+    sources: G ~ 0 means volume is spread evenly across documents,
+    G -> 1 means a few giant docs carry the source (and a naive
+    doc-count mixture weight misstates its token share, see
+    `mixture_temperature_weights`). Uses the exact sorted-rank
+    identity G = sum (2i-n-1) x_(i) / (n sum x); the rank-weighted sum
+    is integer-exact in both engines, and tie-break order provably
+    cannot change the statistic (tied values occupy a fixed set of
+    rank slots whose weight sum is tie-break-invariant).
+
+    Scale shape: one per-source sort window (parallel across sources
+    — the partition key is the source), then a bounded per-source
+    aggregate; no joins, no corpus re-entry."""
+    d = load_table(spark, sf_dir, "documents")
+    wo = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("source")
+    ranked = d.select(
+        "source",
+        "n_chars",
+        F.row_number().over(wo).alias("i"),
+        F.count("*").over(wn).alias("n"),
+        F.sum("n_chars").over(wn).alias("tot"),
+    )
+    return ranked.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.round(F.max("tot").cast("double") / F.max("n"), 6).alias("mean_chars"),
+        F.round(
+            F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("n_chars")).cast("double")
+            / (F.max("n") * F.max("tot")),
+            6,
+        ).alias("gini"),
+    )

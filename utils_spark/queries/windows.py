@@ -369,3 +369,102 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 4).alias("hi"),
         )
     )
+
+
+@register(
+    "by_adjust_dependent",
+    # Benjamini-Yekutieli p-value adjustment (Benjamini & Yekutieli
+    # 2001) — FDR control valid under ARBITRARY dependence, the
+    # conservative sibling of BH: padj_i = min_{j>=i}(p_(j) * n * c(n)
+    # / j) clamped to 1, with c(n) = sum_{i=1..n} 1/i (BH has c = 1).
+    # c(n) is computed as SUM(1/rank) over the already-ranked family —
+    # the same harmonic number without a second pass. BH rides along
+    # and the in-query certificate p_by >= p_bh (c(n) >= 1) is checked
+    # per row. Same p-value construction as `bh_adjust` (fractional
+    # parts of events.value) so the two queries are directly
+    # comparable.
+    oracle="""
+    WITH p AS (
+      SELECT event_id, event_type, value - FLOOR(value) AS pvalue
+      FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT event_id, event_type, pvalue,
+             row_number() OVER (PARTITION BY event_type ORDER BY pvalue, event_id) AS r,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM p
+    ),
+    cn AS (
+      SELECT event_type, SUM(1.0 / r) AS c FROM ranked GROUP BY event_type
+    )
+    SELECT k.event_id, k.event_type, ROUND(k.pvalue, 6) AS pvalue,
+           ROUND(LEAST(1.0,
+             MIN(k.pvalue * k.n / k.r) OVER (PARTITION BY k.event_type
+               ORDER BY k.pvalue, k.event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), 6) AS p_bh,
+           ROUND(LEAST(1.0,
+             MIN(k.pvalue * k.n * c.c / k.r) OVER (PARTITION BY k.event_type
+               ORDER BY k.pvalue, k.event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), 6) AS p_by,
+           CASE WHEN
+             LEAST(1.0, MIN(k.pvalue * k.n * c.c / k.r) OVER (PARTITION BY k.event_type
+               ORDER BY k.pvalue, k.event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             >= LEAST(1.0, MIN(k.pvalue * k.n / k.r) OVER (PARTITION BY k.event_type
+               ORDER BY k.pvalue, k.event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) * (1 - 1e-12)
+           THEN 1 ELSE 0 END AS by_ge_bh
+    FROM ranked k JOIN cn c ON k.event_type = c.event_type
+    """,
+    tags=("windows", "stats", "multiple-testing"),
+)
+def by_adjust_dependent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Yekutieli FDR adjustment (Benjamini & Yekutieli 2001)
+    — the multiple-testing correction that stays valid when the tests
+    are DEPENDENT (correlated genes, overlapping windows), which is
+    the regime where plain BH's guarantee silently lapses: the BH
+    threshold is inflated by the harmonic number c(n) = sum 1/i. Both
+    BH and BY are emitted side by side with the per-row certificate
+    p_by >= p_bh (c(n) >= 1 always — any violation means a broken
+    harmonic factor).
+
+    Scale shape: identical to `bh_adjust` — one family-key shuffle,
+    one per-family sort, the reverse-order running-min window is a
+    streaming frame (the naive forward frame is O(n^2) per
+    partition); c(n) is one bounded per-family aggregate over 1/rank
+    joined back by family key (5 rows, broadcast)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    p = e.select(
+        "event_id", "event_type", (F.col("value") - F.floor(F.col("value"))).alias("pvalue")
+    )
+    wo = Window.partitionBy("event_type").orderBy("pvalue", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = p.withColumn("r", F.row_number().over(wo)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    cn = ranked.groupBy("event_type").agg(F.sum(1.0 / F.col("r")).alias("c"))
+    wmin = (
+        Window.partitionBy("event_type")
+        .orderBy(F.desc("pvalue"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bh = F.least(F.lit(1.0), F.min(F.col("pvalue") * F.col("n") / F.col("r")).over(wmin))
+    by = F.least(
+        F.lit(1.0), F.min(F.col("pvalue") * F.col("n") * F.col("c") / F.col("r")).over(wmin)
+    )
+    return (
+        ranked.join(F.broadcast(cn), "event_type")
+        .withColumn("p_bh", F.round(bh, 6))
+        .withColumn("p_by", F.round(by, 6))
+        .withColumn(
+            "by_ge_bh", F.when(by >= bh * (1 - 1e-12), 1).otherwise(0)
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.round("pvalue", 6).alias("pvalue"),
+            "p_bh",
+            "p_by",
+            "by_ge_bh",
+        )
+    )
