@@ -593,3 +593,108 @@ def asof_join_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("next_purchase_ts"),
         )
     )
+
+
+@register(
+    "pairwise_cvm",
+    # Two-sample Cramér-von Mises statistic (Anderson 1962) for every
+    # event-type pair, in the ties-safe EDF-integral form
+    # T = nm/(n+m)^2 * sum over pooled points of (F_a - F_b)^2 (each
+    # distinct value weighted by its pooled multiplicity) — the
+    # WHOLE-DISTRIBUTION companion to `pairwise_ks`: KS sees only the
+    # single largest ECDF gap, CvM integrates every gap, so it detects
+    # spread/shape differences a one-point statistic misses. Same
+    # one-plan scaffold as pairwise_ks: broadcast pair table, per-pair
+    # distinct-value rollup, cumulative ECDF windows.
+    oracle="""
+    WITH types AS (SELECT DISTINCT event_type AS t FROM events),
+    pairs AS (SELECT a.t AS ta, b.t AS tb FROM types a JOIN types b ON a.t < b.t),
+    tagged AS (
+      SELECT p.ta, p.tb, e.value AS v,
+             CASE WHEN e.event_type = p.ta THEN 1 ELSE 0 END AS a,
+             CASE WHEN e.event_type = p.tb THEN 1 ELSE 0 END AS b
+      FROM events e JOIN pairs p ON e.event_type IN (p.ta, p.tb)
+      WHERE e.value IS NOT NULL
+    ),
+    pervalue AS (
+      SELECT ta, tb, v, SUM(a) AS ca, SUM(b) AS cb FROM tagged GROUP BY ta, tb, v
+    ),
+    ecdf AS (
+      SELECT ta, tb, ca + cb AS w,
+             SUM(ca) OVER win / SUM(ca) OVER wp AS fa,
+             SUM(cb) OVER win / SUM(cb) OVER wp AS fb,
+             SUM(ca) OVER wp AS na, SUM(cb) OVER wp AS nb
+      FROM pervalue
+      WINDOW win AS (PARTITION BY ta, tb ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wp AS (PARTITION BY ta, tb)
+    )
+    SELECT ta, tb,
+           CAST(ANY_VALUE(na) AS BIGINT) AS n_a, CAST(ANY_VALUE(nb) AS BIGINT) AS n_b,
+           ROUND(ANY_VALUE(na) * ANY_VALUE(nb)
+                 / ((ANY_VALUE(na) + ANY_VALUE(nb)) * (ANY_VALUE(na) + ANY_VALUE(nb)))
+                 * SUM(w * (fa - fb) * (fa - fb)), 6) AS cvm_stat
+    FROM ecdf GROUP BY ta, tb
+    """,
+    tags=("advanced", "stats", "hypothesis-test", "edf"),
+)
+def pairwise_cvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL-pairs two-sample Cramér-von Mises statistic — the
+    integrated-squared-ECDF-gap companion to `pairwise_ks`: where KS
+    reports only the supremum gap (and so is blind to distributions
+    that differ modestly EVERYWHERE), CvM sums (F_a - F_b)^2 over the
+    whole pooled sample, weighting each distinct value by its pooled
+    multiplicity — the ties-safe EDF-integral form of Anderson (1962).
+    The statistic is reported without an asymptotic p (its limiting
+    distribution is non-elementary); users rank pairs by T directly.
+
+    Scale shape: identical to pairwise_ks — tiny pair table broadcast
+    against the corpus, one (pair, value) rollup (the only
+    corpus-volume shuffle), per-pair cumulative windows over distinct
+    values, one bounded aggregate. O(pairs x distinct values) with
+    per-pair parallelism; no driver loop."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    types = e.select(F.col("event_type").alias("t")).distinct()
+    x, y = types.alias("x"), types.alias("y")
+    pairs = x.join(y, F.col("x.t") < F.col("y.t")).select(
+        F.col("x.t").alias("ta"), F.col("y.t").alias("tb")
+    )
+    tagged = e.join(
+        F.broadcast(pairs),
+        (F.col("event_type") == F.col("ta")) | (F.col("event_type") == F.col("tb")),
+    ).select(
+        "ta",
+        "tb",
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == F.col("ta"), 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type") == F.col("tb"), 1).otherwise(0).alias("b"),
+    )
+    pervalue = tagged.groupBy("ta", "tb", "v").agg(
+        F.sum("a").alias("ca"), F.sum("b").alias("cb")
+    )
+    win = (
+        Window.partitionBy("ta", "tb")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("ta", "tb")
+    ecdf = pervalue.select(
+        "ta",
+        "tb",
+        (F.col("ca") + F.col("cb")).alias("w"),
+        (F.sum("ca").over(win) / F.sum("ca").over(wp)).alias("fa"),
+        (F.sum("cb").over(win) / F.sum("cb").over(wp)).alias("fb"),
+        F.sum("ca").over(wp).alias("na"),
+        F.sum("cb").over(wp).alias("nb"),
+    )
+    return ecdf.groupBy("ta", "tb").agg(
+        F.first("na").cast("long").alias("n_a"),
+        F.first("nb").cast("long").alias("n_b"),
+        F.round(
+            F.first("na")
+            * F.first("nb")
+            / ((F.first("na") + F.first("nb")) * (F.first("na") + F.first("nb")))
+            * F.sum(F.col("w") * (F.col("fa") - F.col("fb")) * (F.col("fa") - F.col("fb"))),
+            6,
+        ).alias("cvm_stat"),
+    )

@@ -2060,3 +2060,146 @@ def isotonic_daily_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("nondecreasing"),
     )
+
+
+@register(
+    "kendall_tau_daily",
+    # Kendall tau-b rank correlation (Kendall 1938) between every pair
+    # of event-type daily mean series, paired by calendar day:
+    # S = sum over day pairs i<j of sign(a_i - a_j) sign(b_i - b_j),
+    # tau_b = S / sqrt((n0 - t_a)(n0 - t_b)) with n0 = n(n-1)/2 and
+    # tie-pair counts t_a, t_b, plus the normal z = 3S/sqrt(n(n-1)(2n+5)/2).
+    # The concordance-based correlation completing the trio beside
+    # grouped_correlation (Pearson, linear) and
+    # spearman_rank_correlation (rank-linear): tau is a direct
+    # probability statement, P(concordant) - P(discordant). S and the
+    # tie counts are integer-valued sums of {-1,0,1} / {0,1} terms, so
+    # cross-engine parity is exact regardless of summation order.
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             AVG(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type, list(v ORDER BY day) AS vals, len(list(v ORDER BY day)) AS n
+      FROM daily GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.vals AS av, b.vals AS bv, a.n AS n
+      FROM series a JOIN series b ON a.event_type < b.event_type
+    ),
+    stats AS (
+      SELECT type_a, type_b, n,
+             list_reduce(list_concat([0.0], flatten(
+               list_transform(generate_series(1, n - 1), i ->
+                 list_transform(generate_series(i + 1, n), j ->
+                   sign(av[CAST(i AS INT)] - av[CAST(j AS INT)])
+                   * sign(bv[CAST(i AS INT)] - bv[CAST(j AS INT)])
+                 )
+               ))), (a2, x) -> a2 + x) AS s,
+             list_reduce(list_concat([0.0], flatten(
+               list_transform(generate_series(1, n - 1), i ->
+                 list_transform(generate_series(i + 1, n), j ->
+                   CASE WHEN av[CAST(i AS INT)] = av[CAST(j AS INT)] THEN 1.0 ELSE 0.0 END
+                 )
+               ))), (a2, x) -> a2 + x) AS t1,
+             list_reduce(list_concat([0.0], flatten(
+               list_transform(generate_series(1, n - 1), i ->
+                 list_transform(generate_series(i + 1, n), j ->
+                   CASE WHEN bv[CAST(i AS INT)] = bv[CAST(j AS INT)] THEN 1.0 ELSE 0.0 END
+                 )
+               ))), (a2, x) -> a2 + x) AS t2
+      FROM pairs
+    )
+    SELECT type_a, type_b, CAST(n AS BIGINT) AS n_days,
+           CAST(s AS BIGINT) AS s_stat,
+           ROUND(s / SQRT((n * (n - 1) / 2.0 - t1) * (n * (n - 1) / 2.0 - t2)), 6) AS tau_b,
+           ROUND(3 * s / SQRT(n * (n - 1) * (2.0 * n + 5) / 2.0), 6) AS z
+    FROM stats
+    """,
+    tags=("temporal", "stats", "correlation", "nonparametric"),
+)
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b (Kendall 1938) between every pair of event-type
+    daily series, paired by calendar day — the concordance
+    correlation: tau estimates P(concordant) - P(discordant) directly,
+    is robust to any monotone transform of either series, and its
+    tau-b form corrects for ties on both sides. Completes the
+    correlation trio (`grouped_correlation` Pearson,
+    `spearman_rank_correlation` rank-linear). Also emits the S
+    statistic and the normal z.
+
+    Scale shape: one bounded daily rollup, a 10-row pair self-join,
+    then all O(n^2/2) = 435 sign products per pair run as per-row
+    nested array expressions (pairs parallelize across the cluster;
+    corpus volume never re-enters). S and the tie counts are integer
+    sums, so cross-engine parity is exact by construction."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.avg("value").alias("v"))
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "v"))), lambda s: s["v"]
+        ).alias("vals")
+    ).withColumn("n", F.size("vals"))
+    a, b = series.alias("a"), series.alias("b")
+    pairs = a.join(b, F.col("a.event_type") < F.col("b.event_type")).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.vals").alias("av"),
+        F.col("b.vals").alias("bv"),
+        F.col("a.n").alias("n"),
+    )
+
+    def pair_fold(term):
+        return F.aggregate(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n") - 1),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, F.col("n")), lambda j: term(i, j)
+                    ),
+                )
+            ),
+            F.lit(0.0),
+            lambda a2, x: a2 + x,
+        )
+
+    av, bv = F.col("av"), F.col("bv")
+    stats = pairs.select(
+        "type_a",
+        "type_b",
+        "n",
+        pair_fold(
+            lambda i, j: F.signum(F.element_at(av, i) - F.element_at(av, j))
+            * F.signum(F.element_at(bv, i) - F.element_at(bv, j))
+        ).alias("s"),
+        pair_fold(
+            lambda i, j: F.when(
+                F.element_at(av, i) == F.element_at(av, j), 1.0
+            ).otherwise(0.0)
+        ).alias("t1"),
+        pair_fold(
+            lambda i, j: F.when(
+                F.element_at(bv, i) == F.element_at(bv, j), 1.0
+            ).otherwise(0.0)
+        ).alias("t2"),
+    )
+    n0 = F.col("n") * (F.col("n") - 1) / 2.0
+    return stats.select(
+        "type_a",
+        "type_b",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("s").cast("long").alias("s_stat"),
+        F.round(
+            F.col("s") / F.sqrt((n0 - F.col("t1")) * (n0 - F.col("t2"))), 6
+        ).alias("tau_b"),
+        F.round(
+            3 * F.col("s")
+            / F.sqrt(F.col("n") * (F.col("n") - 1) * (2.0 * F.col("n") + 5) / 2.0),
+            6,
+        ).alias("z"),
+    )
