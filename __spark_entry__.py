@@ -47,6 +47,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # block follows in registry order. Regenerate next round the same way.
 _PRIORITY = (
     # -- tier 0: NEW in round 8 — never driver-sampled, need first proof
+    "tokenizer_fertility",  # r8: per-language BPE fertility audit (Rust 2021)
+    "curriculum_length_stages",  # r8: shortest-first curriculum staging audit
     "kendall_tau_daily",  # r8: tau-b concordance correlation, integer-exact S
     "pairwise_cvm",  # r8: Cramér-von Mises integrated ECDF-gap statistic
     "harmonic_closeness_seeds",  # r8: 3-hop multi-source BFS harmonic closeness

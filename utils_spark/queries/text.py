@@ -4482,3 +4482,144 @@ def gini_source_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "tokenizer_fertility",
+    # Tokenizer fertility evaluation (Rust et al. ACL 2021 "How Good is
+    # Your Tokenizer?"): per LANGUAGE, the mean subword pieces per word
+    # (fertility), continuation-piece share, and chars-per-token of the
+    # 8-round BPE tokenizer trained in-engine on this corpus — the
+    # standard multilingual-equity audit (a tokenizer trained on
+    # English-heavy data over-segments other languages; fertility is
+    # the number that shows it). Oracle replays the ENTIRE 8-round
+    # trainer via the shared generated-CTE builder, then the same
+    # vocabulary join and per-language accounting — all totals are
+    # exact integers, so parity is hash-exact.
+    oracle=_bpe_cte_parts(8)
+    + """,
+    vocab AS (
+      SELECT replace(s, chr(31), '') AS w,
+             len(list_filter(string_split(s, chr(31)), x -> x <> '')) AS ntok
+      FROM words8
+    ),
+    docw AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    enc AS (
+      SELECT d.lang, v.ntok, length(d.w) AS wlen
+      FROM docw d JOIN vocab v USING (w)
+      WHERE d.w NOT LIKE '%' || chr(31) || '%'
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(ntok) AS DOUBLE) / COUNT(*), 6) AS fertility,
+           ROUND(CAST(SUM(ntok) - COUNT(*) AS DOUBLE) / SUM(ntok), 6)
+             AS continuation_ratio,
+           ROUND(CAST(SUM(wlen) AS DOUBLE) / SUM(ntok), 6) AS chars_per_token
+    FROM enc GROUP BY lang
+    """,
+    tags=("text", "tokenizer", "llm-pipeline", "evaluation"),
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language fertility audit of the in-engine BPE tokenizer
+    (Rust et al. 2021): fertility = subword pieces per word,
+    continuation ratio = share of non-initial pieces, and
+    chars-per-token, for the 8-round BPE vocabulary trained on this
+    corpus. This is the evaluation a multilingual pipeline runs before
+    committing to a tokenizer — languages under-represented at
+    training time get systematically higher fertility (more compute
+    and context spent per word), and this query quantifies that gap
+    from the corpus itself.
+
+    Scale shape: training costs are `bpe_train`'s (vocab-bounded
+    rounds); evaluation is one word explode + broadcast vocabulary
+    join + a bounded per-language aggregate. All accounting totals are
+    exact integers — cross-engine parity is order-independent."""
+    from utils_spark.operators.textmodel import bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    _merges, vocab = bpe_train(d, "text", n_merges=8, return_vocab=True)
+    docw = d.select("doc_id", "lang", F.explode(word_tokens("text")).alias("w")).filter(
+        ~F.col("w").contains("\x1f")
+    )
+    enc = docw.join(F.broadcast(vocab), "w").select(
+        "lang", F.size("toks").alias("ntok"), F.length("w").alias("wlen")
+    )
+    return enc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("ntok").cast("long").alias("n_tokens"),
+        F.round(F.sum("ntok").cast("double") / F.count("*"), 6).alias("fertility"),
+        F.round(
+            (F.sum("ntok") - F.count("*")).cast("double") / F.sum("ntok"), 6
+        ).alias("continuation_ratio"),
+        F.round(F.sum("wlen").cast("double") / F.sum("ntok"), 6).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+@register(
+    "curriculum_length_stages",
+    # Length-curriculum staging (Bengio et al. 2009 curriculum
+    # learning, the shortest-first schedule most LLM data pipelines
+    # ship): global order by (n_chars, doc_id), NTILE(4) into equal
+    # stages, per-stage composition stats. The unique doc_id tie-break
+    # makes the global order total, so NTILE assignment — and thus
+    # every per-stage aggregate — is engine-deterministic.
+    oracle="""
+    WITH staged AS (
+      SELECT doc_id, lang, source, n_chars,
+             NTILE(4) OVER (ORDER BY n_chars, doc_id) AS stage
+      FROM documents
+    )
+    SELECT CAST(stage AS INT) AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS mean_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM staged GROUP BY stage
+    """,
+    tags=("text", "llm-pipeline", "curriculum"),
+)
+def curriculum_length_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging audit: split the corpus into 4 equal
+    shortest-first training stages (the classic length curriculum,
+    Bengio et al. 2009) and report each stage's size, length envelope
+    and language/source composition — the check a curriculum designer
+    runs to see whether "easy first" accidentally means "English
+    first" or "one source first" (stage composition skew is the known
+    failure mode of naive length curricula). NTILE over the
+    (n_chars, doc_id) total order is engine-deterministic because the
+    tie-break key is unique.
+
+    Scale shape: the global NTILE is a single total sort — at corpus
+    scale the same staging is computed from the n_chars distribution
+    (approx quantile cut points) instead; this exact variant is the
+    oracle-checkable form and the documented switch mirrors
+    `grouped_quantiles` vs `approx_sketch_aggs`. Everything after is
+    one bounded 4-group aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.ntile(4).over(Window.orderBy("n_chars", "doc_id")).alias("stage"),
+    )
+    return staged.groupBy("stage").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("mean_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    ).select(
+        F.col("stage").cast("int").alias("stage"),
+        "n_docs", "min_chars", "max_chars", "mean_chars", "n_langs", "n_sources",
+    )
