@@ -47,6 +47,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # block follows in registry order. Regenerate next round the same way.
 _PRIORITY = (
     # -- tier 0: NEW in round 8 — never driver-sampled, need first proof
+    "partition_skew_audit",  # r8: pre-flight shuffle-key skew measurement
+    "join_fanout_audit",  # r8: pre-join cardinality/fanout estimate
     "tokenizer_fertility",  # r8: per-language BPE fertility audit (Rust 2021)
     "curriculum_length_stages",  # r8: shortest-first curriculum staging audit
     "kendall_tau_daily",  # r8: tau-b concordance correlation, integer-exact S

@@ -552,3 +552,139 @@ def hll_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").cast("int").alias("zero_registers"),
         )
     )
+
+
+@register(
+    "partition_skew_audit",
+    # Shuffle-key skew audit — the "which key can I safely shuffle on?"
+    # question answered from the data BEFORE a 100 TB job is launched:
+    # for three candidate partitioning keys (user_id, event_type, day),
+    # hash every row into 32 buckets with the engine-portable md5
+    # bucketing used across this repo and report per-key bucket-count
+    # skew (max/mean). A skew_factor near 1 means the key parallelizes
+    # cleanly; event_type's tiny cardinality shows up immediately as
+    # bucket starvation (n_buckets_hit << 32) — exactly the diagnosis
+    # that predicts a straggler stage. Deterministic bucketing makes
+    # both engines build the byte-identical histogram.
+    oracle="""
+    WITH keys AS (
+      SELECT 'user_id' AS key_name, CAST(user_id AS VARCHAR) AS k FROM events
+      UNION ALL
+      SELECT 'event_type', event_type FROM events
+      UNION ALL
+      SELECT 'day', CAST(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS VARCHAR)
+      FROM events
+    ),
+    buckets AS (
+      SELECT key_name,
+             CAST(('0x' || substr(md5(k), 1, 15)) AS BIGINT) % 32 AS b,
+             COUNT(*) AS cnt
+      FROM keys GROUP BY 1, 2
+    )
+    SELECT key_name,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets_hit,
+           CAST(MAX(cnt) AS BIGINT) AS max_bucket,
+           ROUND(AVG(CAST(cnt AS DOUBLE)), 6) AS mean_bucket,
+           ROUND(CAST(MAX(cnt) AS DOUBLE) / AVG(CAST(cnt AS DOUBLE)), 6) AS skew_factor
+    FROM buckets GROUP BY key_name
+    """,
+    tags=("scalepath", "skew", "audit"),
+)
+def partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight shuffle-key skew audit: hash the corpus into 32
+    buckets under each candidate partitioning key and report bucket
+    occupancy and max/mean skew — the diagnosis a 100 TB job needs
+    BEFORE choosing its shuffle key, because a skewed or low-NDV key
+    (event_type here: 5 values can hit at most 5 of 32 buckets)
+    produces straggler tasks no matter how many executors are
+    provisioned. The sibling runtime remedies live in
+    `skew_salted_join` (salting) and the AQE notes; this query is the
+    measurement step. Deterministic md5 bucketing (the repo-wide
+    convention) makes the histogram engine-portable.
+
+    Scale shape: three map-side key projections unioned (one corpus
+    pass), one aggregation onto <= 3 x 32 bucket cells with map-side
+    partial agg, then a 3-row summary."""
+    e = load_table(spark, sf_dir, "events")
+    from utils_spark.functions import md5_long
+
+    keys = (
+        e.select(F.lit("user_id").alias("key_name"), F.col("user_id").cast("string").alias("k"))
+        .unionAll(e.select(F.lit("event_type"), F.col("event_type")))
+        .unionAll(
+            e.select(
+                F.lit("day"),
+                F.to_date(F.date_trunc("day", "ts")).cast("string"),
+            )
+        )
+    )
+    buckets = keys.select(
+        "key_name", F.pmod(md5_long("k"), F.lit(32)).alias("b")
+    ).groupBy("key_name", "b").agg(F.count("*").alias("cnt"))
+    return buckets.groupBy("key_name").agg(
+        F.count("*").cast("long").alias("n_buckets_hit"),
+        F.max("cnt").cast("long").alias("max_bucket"),
+        F.round(F.avg(F.col("cnt").cast("double")), 6).alias("mean_bucket"),
+        F.round(
+            F.max("cnt").cast("double") / F.avg(F.col("cnt").cast("double")), 6
+        ).alias("skew_factor"),
+    )
+
+
+@register(
+    "join_fanout_audit",
+    # Join-fanout audit for orders |x| lineitem — the pre-join
+    # cardinality estimate a planner-minded engineer computes before
+    # shipping a 100 TB join: per-key child counts (LEFT join so
+    # childless parents are visible), their mean/max and interpolated
+    # p50/p99 (quantile_cont <-> Spark percentile, the flagship's
+    # proven convention), and the exact join output size sum(fanout).
+    # A heavy max/p99 ratio is the skew-join early warning that says
+    # "salt this key" before the straggler stage says it for you.
+    oracle="""
+    WITH fo AS (
+      SELECT o.o_orderkey AS k, COUNT(l.l_orderkey) AS fanout
+      FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(fanout) AS BIGINT) AS join_output_rows,
+           ROUND(AVG(CAST(fanout AS DOUBLE)), 6) AS mean_fanout,
+           CAST(MAX(fanout) AS BIGINT) AS max_fanout,
+           ROUND(quantile_cont(fanout, 0.5), 6) AS p50_fanout,
+           ROUND(quantile_cont(fanout, 0.99), 6) AS p99_fanout,
+           CAST(SUM(CASE WHEN fanout = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_childless
+    FROM fo
+    """,
+    tags=("scalepath", "join", "audit"),
+)
+def join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join fanout audit of orders |x| lineitem: the exact join
+    output cardinality (sum of per-key child counts), the fanout
+    distribution (mean/p50/p99/max), and the childless-parent count
+    that a LEFT join would preserve — computed BEFORE running the wide
+    join, which is how a 100 TB pipeline decides between a plain
+    shuffle join, a salted join (`skew_salted_join`) and a broadcast.
+    p99 << max is the classic signature of a handful of hot keys.
+
+    Scale shape: one join-keyed aggregation (the probe side collapses
+    to per-key counts with map-side partial agg — this audit is
+    strictly cheaper than the join it models), then a single bounded
+    summary row; the exact percentile is the oracle-checkable form,
+    percentile_approx the documented 100 TB switch."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    fo = (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("fanout"))
+    )
+    return fo.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("fanout").cast("long").alias("join_output_rows"),
+        F.round(F.avg(F.col("fanout").cast("double")), 6).alias("mean_fanout"),
+        F.max("fanout").cast("long").alias("max_fanout"),
+        F.round(F.expr("percentile(fanout, 0.5)"), 6).alias("p50_fanout"),
+        F.round(F.expr("percentile(fanout, 0.99)"), 6).alias("p99_fanout"),
+        F.sum(F.when(F.col("fanout") == 0, 1).otherwise(0)).cast("long").alias("n_childless"),
+    )
