@@ -656,7 +656,9 @@ def pairwise_cvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     types = e.select(F.col("event_type").alias("t")).distinct()
     x, y = types.alias("x"), types.alias("y")
-    pairs = x.join(y, F.col("x.t") < F.col("y.t")).select(
+    # broadcast build side: bounded BroadcastNestedLoopJoin, not a
+    # CartesianProduct (registry-wide plan audit contract)
+    pairs = x.join(F.broadcast(y), F.col("x.t") < F.col("y.t")).select(
         F.col("x.t").alias("ta"), F.col("y.t").alias("tb")
     )
     tagged = e.join(

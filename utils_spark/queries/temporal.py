@@ -1882,7 +1882,10 @@ def dtw_pairwise_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("vals")
     ).withColumn("n", F.size("vals"))
     a, b = series.alias("a"), series.alias("b")
-    pairs = a.join(b, F.col("a.event_type") < F.col("b.event_type")).select(
+    # broadcast the (tiny, one-row-per-type) build side so the
+    # inequality pair join plans as a bounded BroadcastNestedLoopJoin,
+    # never a CartesianProduct — same contract as pairwise_ks
+    pairs = a.join(F.broadcast(b), F.col("a.event_type") < F.col("b.event_type")).select(
         F.col("a.event_type").alias("type_a"),
         F.col("b.event_type").alias("type_b"),
         F.col("a.vals").alias("av"),
@@ -2146,7 +2149,9 @@ def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("vals")
     ).withColumn("n", F.size("vals"))
     a, b = series.alias("a"), series.alias("b")
-    pairs = a.join(b, F.col("a.event_type") < F.col("b.event_type")).select(
+    # broadcast build side: bounded BroadcastNestedLoopJoin, not a
+    # CartesianProduct (registry-wide plan audit contract)
+    pairs = a.join(F.broadcast(b), F.col("a.event_type") < F.col("b.event_type")).select(
         F.col("a.event_type").alias("type_a"),
         F.col("b.event_type").alias("type_b"),
         F.col("a.vals").alias("av"),
