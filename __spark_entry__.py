@@ -37,133 +37,88 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Least-verified-RECENTLY first: the driver samples a ~50-query prefix of
 # this dict (rows+schema+hash vs the DuckDB oracle -> CORRECTNESS_r{N}).
-# Round-7 rotation (VERDICT r6 "Next round #1"): driver evidence ages as
-# code is refactored underneath green queries, so the sample must re-prove
-# the queries whose latest driver-green round is OLDEST. Ordering below is
-# generated from CORRECTNESS_r01..r06.json: brand-new queries (never
-# driver-sampled) first, then last-green-in-r2 (26 queries — the
-# refactored dedup/minhash/cosine/ANN block leads, per the verdict), then
-# r3 (38, most-refactored ML/graph queries first), r4, r5; the round-6
-# block follows in registry order. Regenerate next round the same way.
+# Round-9 rotation (VERDICT r8 "Next round #2"): the surface is FROZEN this
+# round — zero new queries — and the ENTIRE 50-slot sample goes to stale
+# evidence. Ordering regenerated from CORRECTNESS_r01..r08.json:
+#   tier 0 = the 15 queries NEVER driver-sampled (r7 additions; the two
+#            missing from the old list — pacf_durbin_levinson,
+#            permutation_test_daily — now included; highest plan-complexity
+#            first per the verdict: ann_ivfadc, unigram_encoding_apply),
+#   tier 1 = the 26 queries whose latest driver green is round 2 (the
+#            refactored dedup/minhash/cosine/ANN block leads:
+#            ngram_jaccard_pairs was REWRITTEN in r6 with zero post-rewrite
+#            driver evidence),
+#   tier 2 = the 9 oldest round-3 queries (most-refactored ML/graph first:
+#            louvain_communities re-optimized twice since its last sample).
+# 15 + 26 + 9 = exactly the 50-slot sample. The remainder follows in
+# oldest-evidence order (rest of r3, then r4, r5, r6, r8) so a wider
+# sample — or round 10's regeneration — continues the rotation.
 _PRIORITY = (
-    # -- tier 0: NEW in round 8 — never driver-sampled, need first proof
-    "partition_skew_audit",  # r8: pre-flight shuffle-key skew measurement
-    "join_fanout_audit",  # r8: pre-join cardinality/fanout estimate
-    "tokenizer_fertility",  # r8: per-language BPE fertility audit (Rust 2021)
-    "curriculum_length_stages",  # r8: shortest-first curriculum staging audit
-    "kendall_tau_daily",  # r8: tau-b concordance correlation, integer-exact S
-    "pairwise_cvm",  # r8: Cramér-von Mises integrated ECDF-gap statistic
-    "harmonic_closeness_seeds",  # r8: 3-hop multi-source BFS harmonic closeness
-    "by_adjust_dependent",  # r8: Benjamini-Yekutieli FDR + BH certificate
-    "gini_source_inequality",  # r8: exact Gini of doc length per source
-    "cross_source_ngram_overlap",  # r8: source-level contamination matrix
-    "g_test_independence",  # r8: log-likelihood-ratio independence test
-    "isotonic_daily_fit",  # r8: minimax isotonic regression + certificate
-    "dtw_pairwise_distance",  # r8: two-level-fold DTW + dtw<=euclid certificate
-    "embedding_int8_quantization",  # r8: SQ8 + half-step bound certificate
-    "roc_auc_quality_signal",  # r8: rank-based ROC-AUC of a quality signal
-    "cdc_chunk_dedup",  # r8: content-defined chunking (Gear/FastCDC) dedup audit
-    "holt_winters_seasonal",  # r8: additive HW triple smoothing, weekly m=7
-    "periodogram_peak",  # r8: DFT periodogram dominant-frequency detector
-    "wilcoxon_signed_rank",  # r8: paired signed-rank z per event type
-    "friedman_test",  # r8: blocked k-treatment rank test (days as blocks)
-    "logrank_test",  # r8: Mantel-Cox two-cohort survival comparison
-    "cochran_armitage_trend",  # r8: ordered trend-in-proportions z
-    "holt_linear_forecast",  # r8: Holt double-exponential trend forecast
-    "fisher_exact_priority_late",  # r8: exact two-sided Fisher 2x2
-    "ljung_box_test",  # r8: portmanteau whiteness Q over ACF lags 1..7
-    "welch_t_test",  # r8: pairwise Welch unequal-variance t + W-S dof
-    "brown_forsythe_levene",  # r8: median-centered Levene variance test
-    # -- tier 0b: NEW in round 7 — never driver-sampled, need first proof
-    # (names appended here as they land this round; latest additions first)
-    "bootstrap_ci",  # r7: deterministic Poisson-bootstrap percentile CI
-    "kaplan_meier_retention",  # r7: KM product-limit with right-censoring
-    "mutual_information_assoc",  # r7: MI/NMI/Cramér's V effect sizes
-    "proportions_ab_test",  # r7: two-proportion pooled z (A/B workhorse)
-    "hits_hub_authority",  # r7: HITS hub/authority, generated 3-round oracle
-    "naive_bayes_langid",  # r7: in-engine multinomial NB train+score
-    "jackknife_cv_se",  # r7: delete-1 jackknife SE/bias for per-series CV
-    "mann_whitney_u",  # r7: pairwise rank-sum U + tie-corrected z
-    "kruskal_wallis",  # r7: k-group H via two-level distributed prefix-sum ranks
-    "mann_kendall_trend",  # r7: S/z trend test pairing theil_sen_trend
-    "sorted_neighborhood_pairs",  # r7: SNM blocking candidates + levenshtein verify
-    "spearman_rank_correlation",  # r7: average-rank Spearman rho
-    "chi_square_independence",  # r7: chi-square independence + contributions
-    "kcore_decomposition",  # r7: k-core peel trajectory, data-derived k
-    "benford_digit_audit",  # r7: Benford first-digit + chi-square audit
-    "cusum_changepoints",  # r7: CUSUM level-shift detector, planted shifts
-    "simhash_hamming_pairs",  # r7: banded SimHash Hamming pairs (cluster grain)
-    "hll_cardinality_sketch",  # r7: explicit-register HyperLogLog + exact cert
-    "wordpiece_training_rounds",  # r7: WordPiece likelihood-argmax trainer
-    "containment_prefix_pairs",  # r7: asymmetric containment prefix filter
-    "adamic_adar_link_prediction",  # r7: anchored AA link scores
-    "lpa_communities",  # r7: synchronous label propagation, 4 rounds
-    "autocorrelation_lags",  # r7: sample ACF lags 1..7 + white-noise band
-    "ann_ivf_pq",  # r7: IVF-PQ quantized ANN (asymmetric-distance top-k)
-    "unigram_lm_tokenizer",  # r7: unigram-LM (SentencePiece) EM trainer
-    "star_connected_components",  # r7: large-star/small-star O(log n) CC
-    "unigram_encoding_apply",  # r7: unigram apply side (word->toks dict)
-    "ann_ivfadc",  # r7: true IVFADC (coarse routing + residual PQ ADC)
-    "fuzzy_decontamination",  # r7: MinHash LSH train-vs-benchmark decon
-    "mixture_temperature_weights",  # r7: XLM-R alpha=0.3 mixture weights
-    "gopher_quality_rules",  # r7: Gopher filter set, published thresholds
-    "countmin_heavy_hitters",  # r7: Count-Min sketch + overestimate cert
-    "winnowing_fingerprints",  # r7: winnowing local fingerprints (MOSS)
-    "distinct_ngram_diversity",  # r7: Distinct-1/2 corpus diversity
-    "zipf_law_fit",  # r7: per-source Zipf exponent OLS fit
-    "stream_near_dup_registry",  # r7: LIVE streaming LSH band registry
-    # (dup_cluster_assignments, in the r2 block below, re-certifies the
-    # swapped star CC on the real LSH dup graph this round)
-    # -- last driver-green in round 2 (26 queries; rewritten-underneath first)
-    "ngram_jaccard_pairs",  # REWRITTEN r6 (prefix filter) under r2-only evidence
+    # -- tier 0: never driver-sampled (15)
+    "ann_ivfadc",
+    "unigram_encoding_apply",
+    "ann_ivf_pq",
+    "unigram_lm_tokenizer",
+    "star_connected_components",
+    "stream_near_dup_registry",
+    "pacf_durbin_levinson",
+    "permutation_test_daily",
+    "gopher_quality_rules",
+    "countmin_heavy_hitters",
+    "winnowing_fingerprints",
+    "distinct_ngram_diversity",
+    "zipf_law_fit",
+    "fuzzy_decontamination",
+    "mixture_temperature_weights",
+    # -- tier 1: latest driver evidence is round 2 (26)
+    "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "cosine_topk",
-    "ann_ivf_bucketed",
     "dup_cluster_assignments",
-    "exact_dedup",
     "bh_adjust",
     "sessionize",
     "stratified_sample",
+    "ks_test",
+    "quantile_thresholds",
+    "variance_explained",
+    "log_normalize",
+    "grouped_regression",
+    "exact_dedup",
     "fuzzy_name_pairs",
     "tfidf_top_terms",
+    "monthly_rollup",
     "tumbling_window",
+    "json_extract",
+    "ann_ivf_bucketed",
+    "rank_in_group",
+    "topk_per_group",
+    "top2_delta",
     "cumulative_frames",
     "lag_lead_delta",
     "rolling_time_range",
-    "rank_in_group",
-    "top2_delta",
-    "topk_per_group",
     "equidepth_histogram",
-    "quantile_thresholds",
-    "grouped_regression",
-    "json_extract",
-    "monthly_rollup",
-    "log_normalize",
-    "ks_test",
-    "variance_explained",
-    # -- last driver-green in round 3 (38 queries; refactored ML/graph first)
+    # -- tier 2: oldest round-3 evidence (9) -> completes the 50-prefix
     "louvain_communities",
-    "knn_snn_lisi",
-    "pseudotime_lineages",
-    "clustree_transitions",
-    "factor_decomposition",
     "grouped_trend_fits",
+    "factor_decomposition",
+    "clustree_transitions",
+    "pseudotime_lineages",
+    "knn_snn_lisi",
     "spline_exact_recovery",
     "pca_exact_recovery",
     "harmony_null_correction",
+    # -- beyond the 50-sample: rest of r3, then r4, r5, r6, r8 evidence order
     "loess_exact_recovery",
-    "multiway_join_revenue",
-    "top_orders_by_revenue",
     "nth_event_snapshot",
     "null_ordering",
+    "multiway_join_revenue",
+    "top_orders_by_revenue",
     "reorder_to_input",
     "sliding_window",
     "session_window_native",
     "quantile_normalize",
     "grouped_correlation",
     "grouped_moments",
-    "hierarchical_time_rollup",
-    "cohort_retention",
     "token_stats",
     "quality_score",
     "lang_id_ngram",
@@ -174,13 +129,14 @@ _PRIORITY = (
     "benchmark_decontamination",
     "corpus_mixture_sample",
     "repetition_filter",
+    "hierarchical_time_rollup",
+    "cohort_retention",
     "min_per_group_join_back",
     "having_threshold_join",
     "distinct_suppliers_per_attr",
     "date_arithmetic",
     "embedding_stats",
     "label_centroids",
-    # -- last driver-green in round 4 (34 queries)
     "na_drop_subset",
     "array_row_aggs",
     "delta_from_median",
@@ -215,58 +171,156 @@ _PRIORITY = (
     "vocab_coverage",
     "char_entropy_filter",
     "curation_pipeline",
-    # -- last driver-green in round 5 (50 queries)
-    "embedding_near_dup",
-    "sequence_packing",
-    "pii_scrub",
+    "strict_na_aggregation",
+    "pairwise_ks_one_sided",
+    "spline_trend_fits",
+    "batch_correction",
+    "pca_embedding",
+    "denoised_feature_selection",
     "cca_anchor_identity",
     "cluster_blobs_certificate",
     "harmony_shift_recovery",
     "sweep_exact_recovery",
-    "approx_sketch_aggs",
     "csv_roundtrip_scan",
+    "jsonl_roundtrip_scan",
+    "orc_roundtrip_scan",
+    "converter_roundtrip",
+    "audio_energy_certificate",
+    "image_stats_certificate",
+    "cluster_pipeline",
+    "embedding_near_dup",
+    "approx_sketch_aggs",
+    "zorder_layout",
     "stream_tumbling_counts",
     "stream_session_windows",
-    "dedup_keep_best",
-    "pca_embedding",
-    "spline_trend_fits",
-    "batch_correction",
-    "denoised_feature_selection",
-    "cluster_pipeline",
-    "pairwise_ks_one_sided",
     "stream_session_windows_append",
-    "converter_roundtrip",
-    "quality_classifier_filter",
     "stream_curation_funnel",
-    "strict_na_aggregation",
+    "stream_sliding_counts",
+    "sequence_packing",
+    "pii_scrub",
+    "dedup_keep_best",
+    "quality_classifier_filter",
     "bm25_retrieval",
     "importance_weights_dsir",
     "curated_export_roundtrip",
     "cross_doc_ngram_duplication",
-    "stream_sliding_counts",
     "lm_perplexity_filter",
     "bpe_merge_candidates",
-    "semantic_dedup_keep",
-    "zorder_layout",
-    "jsonl_roundtrip_scan",
-    "incremental_dedup_batch",
-    "orc_roundtrip_scan",
-    "audio_energy_certificate",
-    "line_level_dedup",
     "corpus_datasheet",
+    "line_level_dedup",
+    "incremental_dedup_batch",
+    "k_anonymity_audit",
+    "windowed_event_dedup",
+    "event_funnel_conversion",
+    "event_transition_matrix",
+    "event_pair_affinity",
+    "daily_ewma_smoothing",
+    "hourly_percentile_bands",
     "late_shipment_priority_counts",
     "priority_class_line_counts",
     "top_revenue_supplier",
     "important_part_values",
-    "image_stats_certificate",
-    "windowed_event_dedup",
-    "event_funnel_conversion",
-    "event_transition_matrix",
-    "k_anonymity_audit",
-    "event_pair_affinity",
-    "daily_ewma_smoothing",
-    "hourly_percentile_bands",
-    # everything else (driver-green in r6) follows in registry order
+    "semantic_dedup_keep",
+    "support_filter",
+    "binned_agg",
+    "grouping_sets_cube",
+    "pseudobulk_sum",
+    "ora_enrichment",
+    "term_semantic_clusters",
+    "pagerank_interactions",
+    "triangle_count_knn",
+    "leiden_refined_communities",
+    "projection_variants",
+    "per_column_quantiles",
+    "stage_tally",
+    "aligned_cbind",
+    "random_subset",
+    "mean_var_topk",
+    "sample_distances",
+    "ma_pairs",
+    "grouping_rollup",
+    "grouped_mode",
+    "atlas_loader_pipeline",
+    "qc_filter_pipeline",
+    "filter_project",
+    "conditional_expr",
+    "string_ops",
+    "pair_key_unite",
+    "make_unique_names",
+    "lookup_join",
+    "left_join_agg",
+    "semi_anti_join",
+    "union_distinct",
+    "set_difference",
+    "melt_unpivot",
+    "pivot_onehot",
+    "freq_ordered_levels",
+    "weighted_sample",
+    "group_entropy",
+    "mad_outliers",
+    "zscore_squish",
+    "bpe_training_rounds",
+    "bpe_encoding_apply",
+    "exact_substring_dedup",
+    "lm_trigram_backoff_filter",
+    "bloom_decontamination",
+    "ewma_anomaly_flags",
+    "rolling_correlation",
+    "seasonal_decomposition",
+    "theil_sen_trend",
+    "customer_order_distribution",
+    "sole_late_supplier_counts",
+    "hard_negative_mining",
+    "pairwise_cvm",
+    "benford_digit_audit",
+    "adamic_adar_link_prediction",
+    "lpa_communities",
+    "kcore_decomposition",
+    "hits_hub_authority",
+    "harmonic_closeness_seeds",
+    "hll_cardinality_sketch",
+    "partition_skew_audit",
+    "join_fanout_audit",
+    "spearman_rank_correlation",
+    "chi_square_independence",
+    "mann_whitney_u",
+    "kruskal_wallis",
+    "mann_kendall_trend",
+    "jackknife_cv_se",
+    "bootstrap_ci",
+    "kaplan_meier_retention",
+    "mutual_information_assoc",
+    "proportions_ab_test",
+    "welch_t_test",
+    "brown_forsythe_levene",
+    "fisher_exact_priority_late",
+    "wilcoxon_signed_rank",
+    "friedman_test",
+    "logrank_test",
+    "cochran_armitage_trend",
+    "g_test_independence",
+    "wordpiece_training_rounds",
+    "simhash_hamming_pairs",
+    "containment_prefix_pairs",
+    "sorted_neighborhood_pairs",
+    "naive_bayes_langid",
+    "cdc_chunk_dedup",
+    "roc_auc_quality_signal",
+    "cross_source_ngram_overlap",
+    "gini_source_inequality",
+    "tokenizer_fertility",
+    "curriculum_length_stages",
+    "autocorrelation_lags",
+    "cusum_changepoints",
+    "ljung_box_test",
+    "holt_linear_forecast",
+    "holt_winters_seasonal",
+    "periodogram_peak",
+    "dtw_pairwise_distance",
+    "isotonic_daily_fit",
+    "kendall_tau_daily",
+    "embedding_int8_quantization",
+    "by_adjust_dependent",
 )
 
 
