@@ -242,7 +242,10 @@ def test_hits_reference_numpy(spark):
 
 
 def test_naive_bayes_reference(spark, sf_dir, duck):
-    """Pure-Python multinomial NB on the same train/test split."""
+    """Pure-Python multinomial NB on the same train/test split, with the
+    engine's top-K-per-language feature cap replicated."""
+    from utils_spark.queries.text import NB_TOPK_FEATURES
+
     docs = duck.execute("SELECT doc_id, lang, text FROM documents").fetchall()
     train = [(l, t) for i, l, t in docs if i % 2 == 0]
     test = [(i, l, t) for i, l, t in docs if i % 2 == 1]
@@ -253,6 +256,13 @@ def test_naive_bayes_reference(spark, sf_dir, duck):
         for w in t.split(" "):
             if w:
                 wc[l][w] += 1
+    # engine feature cap: top-K per language, count desc then word asc
+    wc = {
+        l: Counter(
+            dict(sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:NB_TOPK_FEATURES])
+        )
+        for l, c in wc.items()
+    }
     vocab = {w for c in wc.values() for w in c}
     v = float(len(vocab))
     tot = {l: float(sum(c.values())) for l, c in wc.items()}

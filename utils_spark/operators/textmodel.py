@@ -114,23 +114,46 @@ def bpe_pair_counts(df: DataFrame, text_col: str) -> DataFrame:
     return pair_rows.groupBy("pair").agg(F.sum("n").cast("long").alias("pair_count"))
 
 
-def _greedy_merge_fold(l: str, r: str):
-    """Greedy left-to-right (l, r) -> l||r merge over the ``toks`` array
-    column as a JVM-side fold: an occurrence merges iff the accumulator's
-    last token is exactly ``l`` and the current token is ``r``, so consumed
-    tokens can't re-match ("aaa" with (a,a) -> [aa, a]) and a merged token
-    only matches rules addressed to it. Shared by the BPE and WordPiece
-    trainers (identical merge semantics; they differ only in the pair
-    SELECTION criterion)."""
+def _greedy_merge_fold(l: str, r: str, toks=None):
+    """Greedy left-to-right (l, r) -> l||r merge over a token-array
+    expression (default: the ``toks`` column) as a JVM-side fold: an
+    occurrence merges iff the accumulator's last token is exactly ``l``
+    and the current token is ``r``, so consumed tokens can't re-match
+    ("aaa" with (a,a) -> [aa, a]) and a merged token only matches rules
+    addressed to it. Shared by the BPE and WordPiece trainers (identical
+    merge semantics; they differ only in the pair SELECTION criterion)
+    and by the map-only apply side (``bpe_encode_expr``)."""
     merged = l + r
     return F.aggregate(
-        F.col("toks"),
+        F.col("toks") if toks is None else toks,
         F.expr("CAST(array() AS array<string>)"),
         lambda acc, x: F.when(
             (F.size(acc) > 0) & (F.element_at(acc, -1) == F.lit(l)) & (x == F.lit(r)),
             F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
         ).otherwise(F.concat(acc, F.array(x))),
     )
+
+
+def bpe_encode_expr(word, merges: list[tuple[str, str]]):
+    """MAP-ONLY BPE encoding expression: split ``word`` (a string Column)
+    to characters, then chain one greedy merge fold per learned merge
+    rule, in training order — byte-identical to looking the word up in
+    the trainer's final word→tokens vocabulary, because that vocabulary
+    IS the result of applying the same fold sequence to the word table.
+
+    This is the 100 TB apply shape: the only shipped artifact is the
+    merge TABLE (n_merges rows, collected driver-side — same bounded
+    driver-scalar pattern as the trainer's per-round argmax), never the
+    corpus-derived word dictionary, whose distinct-word cardinality grows
+    with corpus size (Heaps' law) and would eventually OOM any broadcast.
+    Expression depth is linear in n_merges (each fold references its
+    input exactly once)."""
+    toks = F.transform(
+        F.sequence(F.lit(1), F.length(word)), lambda i: word.substr(i, F.lit(1))
+    )
+    for l, r in merges:
+        toks = _greedy_merge_fold(l, r, toks)
+    return toks
 
 
 def _word_symbol_table(df: DataFrame, text_col: str) -> DataFrame:
@@ -298,6 +321,7 @@ def wordpiece_train(df: DataFrame, text_col: str, n_merges: int = 8) -> DataFram
 UNIGRAM_MAXLEN = 12  # words longer than this are excluded from training
 UNIGRAM_MAXP = 4  # max piece length
 UNIGRAM_N_MULTI = 60  # multi-char seed pieces kept (by weighted frequency)
+UNIGRAM_APPLY_TOPK = 32768  # apply-side head-word dictionary cap (bounded broadcast)
 UNIGRAM_ROUNDS = 2  # Viterbi-EM rounds
 UNIGRAM_FLOOR = -20.0  # log-prob floor for kept-but-unused single chars
 

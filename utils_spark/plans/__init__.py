@@ -52,6 +52,43 @@ FACT_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
 
 _NULLCHECK_RE = re.compile(r"isnotnull\([^)]*\)|isnan\([^)]*\)|\bAND\b|\bOR\b|\bNOT\b|[()\s]")
 
+# Column-name heuristics for UNBOUNDED-cardinality columns. Two lists
+# because the bound semantics differ by node type:
+#   * AGGREGATE grouping keys: a word/token/n-gram keyed rollup is
+#     "reducing" relationally but its output grows with corpus size
+#     (Heaps' law) — and so does any per-document/per-vector key — so
+#     both text-domain and corpus-id names disqualify an aggregate from
+#     counting as a cardinality BOUND (the hole that let the round-8
+#     tokenizer word-dictionary broadcasts through).
+#   * FILTER conditions: a literal comparison on an id (``vec_id < 5``)
+#     or a rank column IS a bound, so only text-domain names disqualify
+#     a filter — a sentinel/pattern predicate on the word column itself
+#     (``NOT w LIKE ...``) shrinks without bounding.
+# Matched against attribute NAMES (the #id suffix and qualifier stripped).
+_UNBOUNDED_TEXT_RE = re.compile(
+    r"^(w|wd|word|words|tok|toks|token|tokens|piece|pieces|gram|grams|ngram|"
+    r"ngrams|shingle|shingles|term|terms|text|mword)$",
+    re.IGNORECASE,
+)
+_UNBOUNDED_AGG_KEY_RE = re.compile(
+    r"^(w|wd|word|words|tok|toks|token|tokens|piece|pieces|gram|grams|ngram|"
+    r"ngrams|shingle|shingles|term|terms|text|mword|fingerprint|hash|sig|"
+    r"chunk_hash|doc_id|vec_id|event_id)$",
+    re.IGNORECASE,
+)
+
+_ATTR_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#\d+")
+
+
+def _agg_keys(node) -> list[str] | None:
+    """Grouping-key attribute names of an Aggregate physical node, or None
+    if they can't be parsed (conservatively treated as bounded)."""
+    s = node.simpleString(4000)
+    m = re.search(r"keys=\[([^\]]*)\]", s)
+    if m is None:
+        return None
+    return [a for a in _ATTR_RE.findall(m.group(1))]
+
 
 def _jlist(jseq):
     return [jseq.apply(i) for i in range(jseq.size())]
@@ -64,21 +101,40 @@ def _walk(node):
 
 
 def _is_reducing(node) -> bool:
-    """Does this physical node bound/shrink its input cardinality?
+    """Does this physical node BOUND its input cardinality (not merely
+    shrink it)?
 
-    Aggregates, limits and top-k always do. A Filter counts only when its
-    condition has predicates beyond null/NaN checks — join-key
-    ``isnotnull`` residuals are planner noise, not a cardinality bound
-    (exactly the hole that let round 6's ``hard_negative_mining`` broadcast
-    a full-corpus projection whose only filter was ``isnotnull(vec_id)``).
+    Limits and top-k always do. An Aggregate does UNLESS it is keyed on
+    an unbounded-cardinality column (word/token/n-gram/doc_id/... — see
+    ``_UNBOUNDED_KEY_RE``): a distinct-word rollup of a 100 TB corpus is
+    O(10^8-10^9) rows by Heaps' law, so "reducing" in the relational
+    sense is not "bounded" — the hole that let the round-8 tokenizer
+    word-dictionary broadcasts through. A Filter counts only when its
+    condition has predicates beyond null/NaN checks AND references at
+    least one column that is not itself unbounded-named — join-key
+    ``isnotnull`` residuals are planner noise (round 6's
+    ``hard_negative_mining``), and a sentinel/pattern filter on the word
+    column itself (``NOT w LIKE ...``) shrinks without bounding; a rank
+    filter (``rk <= 4096``) or a dimension predicate (``source = 'x'``)
+    still counts.
     """
     name = node.nodeName()
-    if "Aggregate" in name or "Limit" in name or "TakeOrdered" in name:
+    if "Limit" in name or "TakeOrdered" in name:
         return True
+    if "Aggregate" in name:
+        keys = _agg_keys(node)
+        if keys is None:
+            return True
+        return not any(_UNBOUNDED_AGG_KEY_RE.match(k) for k in keys)
     if name == "Filter":
-        cond = node.simpleString(1000)
+        cond = node.simpleString(4000)
         cond = cond.split("Filter", 1)[1] if "Filter" in cond else cond
-        return _NULLCHECK_RE.sub("", cond) != ""
+        if _NULLCHECK_RE.sub("", cond) == "":
+            return False
+        attrs = _ATTR_RE.findall(cond)
+        if attrs and all(_UNBOUNDED_TEXT_RE.match(a) for a in attrs):
+            return False
+        return True
     return False
 
 

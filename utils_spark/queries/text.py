@@ -27,6 +27,12 @@ from utils_spark.registry import register
 # tiny deterministic English stopword profile for quality/lang scoring
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
+# Naive-Bayes langid feature cap: top-K words per language (count desc,
+# word asc). Bounds the broadcast model at |langs| x K rows regardless of
+# corpus size — the raw (lang x distinct-word) likelihood table grows with
+# the corpus (Heaps' law) and is a broadcast OOM at 100 TB.
+NB_TOPK_FEATURES = 4096
+
 
 # MinHash universal-hash family: ONE md5 per shingle, then cheap affine
 # permutations h_i = (a_i * h30 + b_i) mod P30 in 30-bit space — products
@@ -1011,8 +1017,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic distinctive-term extractor of text curation pipelines.
 
     Scale shape: token explode shuffles (doc, term) pairs once; the df
-    table is vocabulary-sized and broadcast back; per-doc top-k is a
-    bounded window. Rounded before ranking for engine-stable ordering."""
+    table is VOCABULARY-sized — unbounded under Heaps' law at corpus
+    scale, so it joins back on the term key as a plain shuffle join
+    (tf is already term-partitioned from its own aggregation; never a
+    broadcast); per-doc top-k is a bounded window. Rounded before
+    ranking for engine-stable ordering."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
@@ -1021,7 +1030,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = tf.select("doc_id").distinct().count()
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .select(
             "doc_id",
             "term",
@@ -2693,25 +2702,37 @@ def wordpiece_training_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bpe_encoding_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus encoding with a trained BPE tokenizer — the apply side that
     actually tokenizes training data at scale: train 8 merge rounds
-    (`bpe_training_rounds`), then encode every document by joining its
-    words against the final word→tokens VOCABULARY dictionary (bounded by
-    distinct words, broadcast) — encoding is map-only, never re-running
-    merges per document. Emits per-source exact token accounting plus a
-    word-level checksum over (word, encoding) pairs, so a single
-    mis-merged word anywhere in the corpus flips the hash.
+    (`bpe_training_rounds`), collect the MERGE TABLE (n_merges rows — the
+    artifact a BPE tokenizer actually ships), then encode every word
+    occurrence MAP-ONLY by chaining one greedy merge fold per rule
+    (`bpe_encode_expr`). Identical output to joining the trainer's final
+    word→tokens dictionary — that dictionary IS the fold chain applied to
+    the word table — but without broadcasting a corpus-derived
+    distinct-word table, whose cardinality grows with corpus size
+    (Heaps' law) and is a driver/executor OOM at 100 TB. Emits per-source
+    exact token accounting plus a word-level checksum over
+    (word, encoding) pairs, so a single mis-merged word anywhere in the
+    corpus flips the hash.
 
     Scale shape: training costs are `bpe_train`'s (vocab-bounded rounds);
-    encoding is one explode + broadcast join + bounded aggregation. The
-    oracle replays the full 8-round training AND the encoding join in
+    encoding is one explode + per-row JVM fold chain + bounded
+    aggregation — zero joins, zero broadcasts on the apply path. The
+    oracle replays the full 8-round training AND the encoding in
     generated SQL with the independent double-replace merge formulation."""
-    from utils_spark.operators.textmodel import bpe_train
+    from utils_spark.operators.textmodel import bpe_encode_expr, bpe_train
 
     d = load_table(spark, sf_dir, "documents")
-    _merges, vocab = bpe_train(d, "text", n_merges=8, return_vocab=True)
+    merges_df = bpe_train(d, "text", n_merges=8)
+    # bounded driver-scalar state: <= n_merges rows, like the trainer's argmax
+    merges = [
+        (r.left_tok, r.right_tok) for r in merges_df.orderBy("merge_round").collect()
+    ]
     docw = d.select(
         "doc_id", "source", F.explode(word_tokens("text")).alias("w")
     ).filter(~F.col("w").contains("\x1f"))
-    enc = docw.join(F.broadcast(vocab), "w").select(
+    enc = docw.select(
+        "doc_id", "source", bpe_encode_expr(F.col("w"), merges).alias("toks"), "w"
+    ).select(
         "doc_id",
         "source",
         F.size("toks").alias("ntok"),
@@ -2899,12 +2920,15 @@ def unigram_lm_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "unigram_encoding_apply",
-    # the APPLY side of unigram tokenizer induction: one extra Viterbi
-    # pass under the FINAL piece table yields the word -> ordered-token
-    # dictionary (bounded by distinct trainable words, broadcast); corpus
-    # encoding is a map-only join. Per-source exact token accounting + a
-    # word-level (word, encoding) checksum make any mis-segmentation
-    # hash-visible. The oracle replays training AND the apply pass.
+    # the APPLY side of unigram tokenizer induction: top-K head-word
+    # dictionary (explicit Limit -> bounded broadcast at any corpus
+    # size) + inline per-occurrence Viterbi fallback for tail words
+    # under the bounded piece table — both paths segment under the same
+    # final pieces, so results equal the full-dictionary join without
+    # ever broadcasting a Heaps'-law-unbounded word table. Per-source
+    # exact token accounting + a word-level (word, encoding) checksum
+    # make any mis-segmentation hash-visible. The oracle replays
+    # training AND the apply pass.
     oracle=_unigram_cte_parts(apply_pass=True)
     + """,
     vocabw AS (
@@ -2934,19 +2958,68 @@ def unigram_lm_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def unigram_encoding_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus encoding with a trained unigram-LM tokenizer — the
     SentencePiece-family twin of `bpe_encoding_apply`: train 2 Viterbi-EM
-    rounds (`unigram_lm_tokenizer`), take the word → ordered-token-array
-    dictionary from one final Viterbi pass, and encode every document by
-    joining its words against the broadcast dictionary — map-only, never
-    re-running the DP per document. Words above the trainable length
-    bound are excluded from the dictionary and thus from the accounting
-    (both engines identically). Emits per-source token accounting plus a
-    word-level checksum over (word, encoding) pairs."""
-    from utils_spark.operators.textmodel import unigram_train
+    rounds (`unigram_lm_tokenizer`), then encode with the Zipf-shaped
+    two-path apply: the TOP-K most frequent words' segmentations
+    (UNIGRAM_APPLY_TOPK rows — an explicit Limit, bounded at any corpus
+    size) broadcast as a head dictionary covering the vast majority of
+    occurrences, and TAIL words run the same Viterbi DP inline per
+    occurrence under the broadcast piece table (bounded: singles + 60
+    multi pieces). Both paths segment under the identical final piece
+    table, so the split point cannot change results — unlike broadcasting
+    the FULL corpus-derived word dictionary, whose distinct-word
+    cardinality grows with corpus size (Heaps' law) and OOMs at 100 TB.
+    Words above the trainable length bound are excluded from the
+    accounting (both engines identically). Emits per-source token
+    accounting plus a word-level checksum over (word, encoding) pairs."""
+    from utils_spark.operators.textmodel import (
+        UNIGRAM_APPLY_TOPK,
+        UNIGRAM_MAXLEN,
+        _unigram_words,
+        _viterbi_chain,
+        _viterbi_segment_words,
+        unigram_train,
+    )
+
+    from utils_spark.plans import cut_lineage
 
     d = load_table(spark, sf_dir, "documents")
-    _pieces, vocab = unigram_train(d, "text", return_vocab=True)
-    docw = d.select("doc_id", "source", F.explode(word_tokens("text")).alias("w"))
-    enc = docw.join(F.broadcast(vocab), "w").select(
+    # cut the EM-round lineage off the final piece table before embedding
+    # it in TWO further Viterbi chains (head dict + tail fallback) — the
+    # same flat-plan discipline the trainer applies per round
+    pieces = cut_lineage(unigram_train(d, "text"))
+    vocabp = pieces.select("piece", F.col("score").alias("logp"))
+    # head dictionary: top-K words by corpus frequency (n desc, w asc is a
+    # total order -> deterministic TakeOrderedAndProject, bounded broadcast)
+    topk_words = (
+        _unigram_words(d, "text")
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(UNIGRAM_APPLY_TOPK)
+    )
+    # cut_lineage materializes the bounded head dict: without it, the
+    # hits/miss filters above the left join are pushed INTO the build
+    # side and alias-substituted through the dict's ~90-projection
+    # Viterbi chain — the exponential trimAliases blowup documented in
+    # _viterbi_chain (observed: driver heap OOM in
+    # PushPredicateThroughNonJoin.trimAliases on this exact shape)
+    wdict = cut_lineage(
+        _viterbi_segment_words(topk_words, vocabp).select("w", "toks")
+    )
+    docw = d.select(
+        "doc_id", "source", F.explode(word_tokens("text")).alias("w")
+    ).filter(F.length("w") <= UNIGRAM_MAXLEN)
+    joined = docw.join(F.broadcast(wdict), "w", "left")
+    hits = joined.filter(F.col("toks").isNotNull()).select(
+        "doc_id", "source", "w", "toks"
+    )
+    miss = joined.filter(F.col("toks").isNull()).select("doc_id", "source", "w")
+    cur, piece_at = _viterbi_chain(miss, vocabp)
+    miss_enc = cur.select(
+        "doc_id",
+        "source",
+        "w",
+        F.filter(F.array(*piece_at), lambda x: x.isNotNull()).alias("toks"),
+    )
+    enc = hits.unionByName(miss_enc).select(
         "doc_id",
         "source",
         F.size("toks").alias("ntok"),
@@ -3923,18 +3996,28 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "naive_bayes_langid",
     # Multinomial Naive Bayes (the classic generative text classifier;
     # McCallum & Nigam AAAI-98 workshop formulation) trained IN-ENGINE on
-    # the even-doc_id half of the corpus and scored on the odd half:
-    # add-1-smoothed word likelihoods ln((c_wl + 1)/(tot_l + V)), class
+    # the even-doc_id half of the corpus and scored on the odd half, with
+    # the model CAPPED to the top NB_TOPK_FEATURES words per language
+    # (count desc, word asc — deterministic feature selection; the cap
+    # bounds the broadcast model at any corpus size): add-1-smoothed word
+    # likelihoods ln((c_wl + 1)/(tot_l + V)) over the capped model, class
     # log-priors, argmax per test doc with scores rounded to 6dp before
     # ranking (squashes sub-1e-13 FP sum-order noise far inside the
     # window), tie-broken by lang. Output is the confusion matrix plus
     # overall accuracy.
-    oracle="""
+    oracle=f"""
     WITH train AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0),
     test AS (SELECT doc_id, lang AS true_lang, text FROM documents WHERE doc_id % 2 = 1),
     tw AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM train),
-    twc AS (SELECT lang, word, CAST(COUNT(*) AS DOUBLE) AS c
-            FROM tw WHERE word <> '' GROUP BY 1, 2),
+    twc_full AS (SELECT lang, word, CAST(COUNT(*) AS DOUBLE) AS c
+                 FROM tw WHERE word <> '' GROUP BY 1, 2),
+    twc AS (
+      SELECT lang, word, c FROM (
+        SELECT lang, word, c,
+               row_number() OVER (PARTITION BY lang ORDER BY c DESC, word ASC) AS rk
+        FROM twc_full)
+      WHERE rk <= {NB_TOPK_FEATURES}
+    ),
     tot AS (SELECT lang, SUM(c) AS tot FROM twc GROUP BY lang),
     vocab AS (SELECT CAST(COUNT(DISTINCT word) AS DOUBLE) AS v FROM twc),
     prior AS (
@@ -3985,14 +4068,17 @@ def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     with add-1 smoothing and scored over the odd half, ending in a
     confusion matrix + overall accuracy.
 
-    Scale shape: training is one (word, lang)-keyed corpus aggregation to
-    a BOUNDED model table (vocab x langs) that is broadcast; scoring
-    explodes test docs to per-doc word counts once, joins the broadcast
-    model and the bounded lang list (a x|langs| fan-out, not a corpus
-    self-join), and closes with per-doc and confusion-grain aggregations.
-    Unseen words hit the smoothing floor via the left join's COALESCE.
-    Scores round to 6dp before the argmax window so cross-engine/run FP
-    sum-order noise (~1e-13) cannot flip ranks."""
+    Scale shape: training is one (word, lang)-keyed corpus aggregation
+    CAPPED to the top NB_TOPK_FEATURES words per language (rank filter,
+    deterministic) — the model broadcast is |langs| x K rows, bounded at
+    any corpus size, unlike the raw (lang x distinct-word) table, whose
+    cardinality grows with the corpus (Heaps' law); scoring explodes
+    test docs to per-doc word counts once, joins the broadcast model and
+    the bounded lang list (a x|langs| fan-out, not a corpus self-join),
+    and closes with per-doc and confusion-grain aggregations. Unseen and
+    capped-out words hit the smoothing floor via the left join's
+    COALESCE. Scores round to 6dp before the argmax window so
+    cross-engine/run FP sum-order noise (~1e-13) cannot flip ranks."""
     d = load_table(spark, sf_dir, "documents")
     train = d.filter(F.col("doc_id") % 2 == 0)
     test = d.filter(F.col("doc_id") % 2 == 1).select(
@@ -4001,7 +4087,13 @@ def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     tw = train.select(
         "lang", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")
-    twc = tw.groupBy("lang", "word").agg(F.count("*").cast("double").alias("c"))
+    twc_full = tw.groupBy("lang", "word").agg(F.count("*").cast("double").alias("c"))
+    wrank = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("word"))
+    twc = (
+        twc_full.withColumn("rk", F.row_number().over(wrank))
+        .filter(F.col("rk") <= NB_TOPK_FEATURES)
+        .drop("rk")
+    )
     tot = twc.groupBy("lang").agg(F.sum("c").alias("tot"))
     vocab = twc.agg(F.countDistinct("word").cast("double").alias("v"))
     n_train = train.count()
@@ -4273,7 +4365,9 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ranked GROUP BY source
     )
     SELECT source, CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
-           ROUND((sr - n1 * (n1 + 1) / 2.0) / (n1 * 1.0 * n0), 6) AS auc
+           CASE WHEN n1 > 0 AND n0 > 0
+                THEN ROUND((sr - n1 * (n1 + 1) / 2.0) / (n1 * 1.0 * n0), 6)
+                END AS auc
     FROM agg
     """,
     tags=("text", "evaluation", "llm-pipeline", "classifier"),
@@ -4286,8 +4380,11 @@ def roc_auc_quality_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     area without materializing the curve — the one-pass,
     shuffle-bounded way to evaluate ANY per-doc score (perplexity,
     classifier logit, heuristic) against a binary label at corpus
-    scale. Degenerate sources (no positives or no negatives) would
-    emit NULL rather than a fake 0.5.
+    scale. Degenerate sources (no positives or no negatives) emit NULL
+    rather than a fake 0.5 — guarded EXPLICITLY in both engines rather
+    than relying on division-by-zero semantics, which diverge (Spark
+    non-ANSI returns NULL; recent DuckDB defaults to IEEE NaN/inf for
+    double division).
 
     Scale shape: one window rank per source partition (the score sort
     is per-source, parallel across sources), one bounded per-source
@@ -4310,10 +4407,13 @@ def roc_auc_quality_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.col("n1").cast("long").alias("n_pos"),
         F.col("n0").cast("long").alias("n_neg"),
-        F.round(
-            (F.col("sr") - F.col("n1") * (F.col("n1") + 1) / 2.0)
-            / (F.col("n1") * 1.0 * F.col("n0")),
-            6,
+        F.when(
+            (F.col("n1") > 0) & (F.col("n0") > 0),
+            F.round(
+                (F.col("sr") - F.col("n1") * (F.col("n1") + 1) / 2.0)
+                / (F.col("n1") * 1.0 * F.col("n0")),
+                6,
+            ),
         ).alias("auc"),
     )
 
@@ -4537,18 +4637,26 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the corpus itself.
 
     Scale shape: training costs are `bpe_train`'s (vocab-bounded
-    rounds); evaluation is one word explode + broadcast vocabulary
-    join + a bounded per-language aggregate. All accounting totals are
-    exact integers — cross-engine parity is order-independent."""
-    from utils_spark.operators.textmodel import bpe_train
+    rounds); evaluation is MAP-ONLY — one word explode + the per-row
+    greedy merge-fold chain under the collected n_merges-row merge
+    table (`bpe_encode_expr`; never a broadcast of the corpus-derived
+    word dictionary, unbounded under Heaps' law) + a bounded
+    per-language aggregate. All accounting totals are exact integers —
+    cross-engine parity is order-independent."""
+    from utils_spark.operators.textmodel import bpe_encode_expr, bpe_train
 
     d = load_table(spark, sf_dir, "documents")
-    _merges, vocab = bpe_train(d, "text", n_merges=8, return_vocab=True)
+    merges_df = bpe_train(d, "text", n_merges=8)
+    merges = [
+        (r.left_tok, r.right_tok) for r in merges_df.orderBy("merge_round").collect()
+    ]
     docw = d.select("doc_id", "lang", F.explode(word_tokens("text")).alias("w")).filter(
         ~F.col("w").contains("\x1f")
     )
-    enc = docw.join(F.broadcast(vocab), "w").select(
-        "lang", F.size("toks").alias("ntok"), F.length("w").alias("wlen")
+    enc = docw.select(
+        "lang",
+        F.size(bpe_encode_expr(F.col("w"), merges)).alias("ntok"),
+        F.length("w").alias("wlen"),
     )
     return enc.groupBy("lang").agg(
         F.count("*").cast("long").alias("n_words"),
