@@ -1,0 +1,62 @@
+"""sf0.01 → sf0.1 scaling probe for named registry queries.
+
+Run from the repo root on an IDLE box (the bench discipline):
+
+    python tools/scaling_probe.py q1 q2 ...          # probe listed queries
+    python tools/scaling_probe.py --trials 3 q1 ...  # min-of-N (default 2)
+
+One warm local[32] JVM; each query is timed to full materialization
+(count of collected rows) at both SFs, min over trials, and the table row
+is printed in the BENCH_NOTES.md format.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+REPO = __file__.rsplit("/tools/", 1)[0]
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:]]
+    trials = 2
+    if "--trials" in args:
+        i = args.index("--trials")
+        trials = int(args[i + 1])
+        del args[i : i + 2]
+    names = args
+    if not names:
+        print("usage: python tools/scaling_probe.py [--trials N] query ...")
+        return
+
+    from utils_spark.registry import load_all
+    from utils_spark.session import get_spark
+
+    spark = get_spark()
+    reg = load_all()
+    rows = []
+    for name in names:
+        qd = reg[name]
+        times = {}
+        for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+            best = None
+            for _ in range(trials):
+                t0 = time.perf_counter()
+                n = len(qd.fn(spark, sf_dir).collect())
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            times[sf_dir] = (best, n)
+        t1, t10 = times["/root/testdata/sf0.01"][0], times["/root/testdata/sf0.1"][0]
+        rows.append((name, t1, t10, t10 / t1))
+        print(f"| {name} | {t1:.2f} s | {t10:.2f} s | {t10 / t1:.2f}× |", flush=True)
+    print()
+    for name, t1, t10, r in sorted(rows, key=lambda x: -x[3]):
+        flag = "  <-- CHECK" if r > 3.0 else ""
+        print(f"{name}: {t1:.2f} -> {t10:.2f} ({r:.2f}x){flag}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1431,6 +1431,7 @@ def ljung_box_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     series AS (
       SELECT event_type, list(v ORDER BY day) AS vals FROM daily GROUP BY event_type
+      HAVING len(list(v ORDER BY day)) >= 3
     ),
     folded AS (
       SELECT event_type, len(vals) AS n,
@@ -1463,7 +1464,10 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first observation and trend with the first difference, folds
     l_t = a*x_t + (1-a)(l+b); b_t = g(l_t - l) + (1-g)b over the rest,
     and emits the final state, the 3-step forecast l + 3b, and the
-    one-step-ahead RMSE (the in-sample fit quality).
+    one-step-ahead RMSE (the in-sample fit quality). Series with n < 3
+    days are excluded in BOTH engines: the trend seed needs two points
+    and the RMSE denominator n-2 a third — and for n=1 Spark's
+    F.slice("vals", 3, n-2) would error on a negative length.
 
     Scale shape: one bounded daily rollup, then ONE sequential fold per
     series over a ~30-90 element array (collect_list bounded by days,
@@ -1479,7 +1483,7 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(
             F.array_sort(F.collect_list(F.struct("day", "v"))), lambda s: s["v"]
         ).alias("vals")
-    )
+    ).filter(F.size("vals") >= 3)  # degenerate-series guard (see docstring)
     folded = series.select(
         "event_type",
         F.size("vals").alias("n"),
@@ -1673,6 +1677,7 @@ def holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     series AS (
       SELECT event_type, list(v ORDER BY day) AS vals, len(list(v ORDER BY day)) AS n
       FROM daily GROUP BY event_type
+      HAVING len(list(v ORDER BY day)) >= 3
     ),
     cent AS (
       SELECT event_type, n,
@@ -1707,7 +1712,12 @@ def periodogram_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a_k = sum_t c_t cos(2 pi k t / n), b_k the sine sum — the
     spectral twin of `seasonal_decomposition` (which ASSUMES a weekly
     period; this DETECTS the period). Peak = max 6dp-rounded power,
-    smallest-k tie-break; emits the implied period n/k in days.
+    smallest-k tie-break; emits the implied period n/k in days. Series
+    with n < 3 days carry no interior Fourier frequency (k range is
+    empty) and are excluded in BOTH engines — without the guard Spark's
+    F.sequence(1, 0) would count DOWN to [1, 0] while DuckDB's
+    generate_series(1, 0) is empty, a latent divergence plus a bogus
+    k=0 DC term.
 
     Scale shape: one bounded daily rollup, then all O(n^2/2) trig work
     (n = 30 days) runs as per-series array folds — k fans out to a
@@ -1723,11 +1733,16 @@ def periodogram_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy(
         "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
     ).agg(F.avg("value").alias("v"))
-    series = daily.groupBy("event_type").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("day", "v"))), lambda s: s["v"]
-        ).alias("vals")
-    ).withColumn("n", F.size("vals"))
+    series = (
+        daily.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day", "v"))), lambda s: s["v"]
+            ).alias("vals")
+        )
+        .withColumn("n", F.size("vals"))
+        .filter(F.col("n") >= 3)  # degenerate-series guard (see docstring)
+    )
     cent = series.select(
         "event_type",
         "n",
@@ -1847,7 +1862,8 @@ def periodogram_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(lastrow[-1], 6) AS dtw_sumsq,
            ROUND(lastrow[-1] / (n + m), 6) AS dtw_per_step,
            ROUND(euclid, 6) AS euclid_sumsq,
-           CASE WHEN lastrow[-1] <= euclid * (1 + 1e-12) THEN 1 ELSE 0 END AS dtw_le_euclid
+           CASE WHEN n <> m THEN NULL
+                WHEN lastrow[-1] <= euclid * (1 + 1e-12) THEN 1 ELSE 0 END AS dtw_le_euclid
     FROM dp
     """,
     tags=("temporal", "timeseries", "similarity", "dtw"),
@@ -1861,10 +1877,12 @@ def dtw_pairwise_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     DP row as an array; inner F.aggregate builds each new row
     left-to-right, because D[i][j] needs D[i][j-1] — a dependency no
     window frame expresses). The diagonal-path (Euclidean) cost rides
-    along and the query certifies dtw_sumsq <= euclid_sumsq per pair:
-    the diagonal is one admissible warping path and DTW minimizes over
-    all of them — a property check that would catch any DP indexing
-    bug instantly.
+    along and, for EQUAL-length pairs (n == m, where the diagonal is one
+    admissible warping path and DTW minimizes over all of them), the
+    query certifies dtw_sumsq <= euclid_sumsq — a property check that
+    would catch any DP indexing bug instantly. For n != m the truncated
+    diagonal sum is NOT an admissible path cost, so the certificate is
+    NULL (both engines).
 
     Scale shape: one bounded daily rollup, then a 10-row bounded pair
     self-join; all O(n*m) DP work (900 cells/pair) is per-row array
@@ -1940,9 +1958,11 @@ def dtw_pairwise_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dtw_per_step"
         ),
         F.round("euclid", 6).alias("euclid_sumsq"),
-        F.when(
-            F.element_at("lastrow", -1) <= F.col("euclid") * (1 + 1e-12), 1
-        )
+        # the diagonal is an admissible warping path ONLY when n == m;
+        # for unequal lengths the "euclid" sum truncates at min(n, m) and
+        # is not a valid upper bound, so the certificate is NULL there
+        F.when(F.col("n") != F.col("m"), F.lit(None).cast("int"))
+        .when(F.element_at("lastrow", -1) <= F.col("euclid") * (1 + 1e-12), 1)
         .otherwise(0)
         .alias("dtw_le_euclid"),
     )
@@ -2068,7 +2088,9 @@ def isotonic_daily_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "kendall_tau_daily",
     # Kendall tau-b rank correlation (Kendall 1938) between every pair
-    # of event-type daily mean series, paired by calendar day:
+    # of event-type daily mean series, paired POSITIONALLY within each
+    # day-sorted series (identical in both engines; for gappy series the
+    # i-th observations may fall on different days):
     # S = sum over day pairs i<j of sign(a_i - a_j) sign(b_i - b_j),
     # tau_b = S / sqrt((n0 - t_a)(n0 - t_b)) with n0 = n(n-1)/2 and
     # tie-pair counts t_a, t_b, plus the normal z = 3S/sqrt(n(n-1)(2n+5)/2).
@@ -2126,7 +2148,11 @@ def isotonic_daily_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kendall tau-b (Kendall 1938) between every pair of event-type
-    daily series, paired by calendar day — the concordance
+    daily series, paired POSITIONALLY within each day-sorted series —
+    NOT by a day-key join: if one event type is missing a day, the i-th
+    observations of the two series may fall on different days (both
+    engines pair identically; `rolling_correlation` is the day-key-joined
+    alternative) — the concordance
     correlation: tau estimates P(concordant) - P(discordant) directly,
     is robust to any monotone transform of either series, and its
     tau-b form corrects for ties on both sides. Completes the

@@ -906,7 +906,9 @@ def ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     err AS (
       SELECT f.dim, r.scale,
-             f.x - (ROUND((f.x - r.mn) / r.scale) * r.scale + r.mn) AS e
+             CASE WHEN r.scale > 0
+                  THEN f.x - (ROUND((f.x - r.mn) / r.scale) * r.scale + r.mn)
+                  ELSE 0.0 END AS e
       FROM flat f JOIN rng r ON f.dim = r.dim
     )
     SELECT CAST(dim AS INT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
@@ -943,13 +945,20 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", (F.col("pos") + 1).alias("dim"), F.col("xf").cast("double").alias("x"))
     rng = flat.groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
     rng = rng.select("dim", "mn", "mx", ((F.col("mx") - F.col("mn")) / 255.0).alias("scale"))
+    # scale = 0 (constant dimension) quantizes losslessly to code 0 with
+    # reconstruction = mn = x, so e = 0 exactly — guarded EXPLICITLY in
+    # both engines rather than via 0/0 division semantics, which diverge
+    # (Spark non-ANSI NULL vs recent DuckDB IEEE NaN)
     err = flat.join(F.broadcast(rng), "dim").select(
         "dim",
         "scale",
-        (
+        F.when(
+            F.col("scale") > 0,
             F.col("x")
-            - (F.round((F.col("x") - F.col("mn")) / F.col("scale"), 0) * F.col("scale") + F.col("mn"))
-        ).alias("e"),
+            - (F.round((F.col("x") - F.col("mn")) / F.col("scale"), 0) * F.col("scale") + F.col("mn")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("e"),
     )
     return err.groupBy("dim", "scale").agg(
         F.count("*").cast("long").alias("n"),
