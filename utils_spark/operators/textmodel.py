@@ -321,7 +321,12 @@ def wordpiece_train(df: DataFrame, text_col: str, n_merges: int = 8) -> DataFram
 UNIGRAM_MAXLEN = 12  # words longer than this are excluded from training
 UNIGRAM_MAXP = 4  # max piece length
 UNIGRAM_N_MULTI = 60  # multi-char seed pieces kept (by weighted frequency)
-UNIGRAM_APPLY_TOPK = 32768  # apply-side head-word dictionary cap (bounded broadcast)
+# apply-side head-word dictionary cap, shared by the BPE and unigram
+# apply paths: an explicit Limit bounds the broadcast at any corpus size
+# (the FULL distinct-word dictionary grows with the corpus — Heaps' law)
+# while Zipf's law puts the vast majority of word OCCURRENCES in the head
+TOKENIZER_APPLY_TOPK = 32768
+UNIGRAM_APPLY_TOPK = TOKENIZER_APPLY_TOPK  # back-compat alias
 UNIGRAM_ROUNDS = 2  # Viterbi-EM rounds
 UNIGRAM_FLOOR = -20.0  # log-prob floor for kept-but-unused single chars
 

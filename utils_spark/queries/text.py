@@ -2715,11 +2715,20 @@ def bpe_encoding_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus flips the hash.
 
     Scale shape: training costs are `bpe_train`'s (vocab-bounded rounds);
-    encoding is one explode + per-row JVM fold chain + bounded
-    aggregation — zero joins, zero broadcasts on the apply path. The
-    oracle replays the full 8-round training AND the encoding in
-    generated SQL with the independent double-replace merge formulation."""
-    from utils_spark.operators.textmodel import bpe_encode_expr, bpe_train
+    encoding is one explode + a broadcast left join against the TOP-K
+    head-word dictionary (explicit Limit — bounded at any corpus size;
+    Zipf's law puts most occurrences in the head, and the fold chain runs
+    once per head WORD, not per occurrence) with the per-row fold chain
+    as a coalesce fallback for tail occurrences — map-only end to end,
+    no corpus-cardinality broadcast. The oracle replays the full 8-round
+    training AND the encoding in generated SQL with the independent
+    double-replace merge formulation."""
+    from utils_spark.operators.textmodel import (
+        TOKENIZER_APPLY_TOPK,
+        _word_symbol_table,
+        bpe_encode_expr,
+        bpe_train,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     merges_df = bpe_train(d, "text", n_merges=8)
@@ -2727,11 +2736,22 @@ def bpe_encoding_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = [
         (r.left_tok, r.right_tok) for r in merges_df.orderBy("merge_round").collect()
     ]
+    head = (
+        _word_symbol_table(d, "text")
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(TOKENIZER_APPLY_TOPK)
+        .select("w", bpe_encode_expr(F.col("w"), merges).alias("toks"))
+    )
     docw = d.select(
         "doc_id", "source", F.explode(word_tokens("text")).alias("w")
     ).filter(~F.col("w").contains("\x1f"))
-    enc = docw.select(
-        "doc_id", "source", bpe_encode_expr(F.col("w"), merges).alias("toks"), "w"
+    enc = docw.join(F.broadcast(head), "w", "left").select(
+        "doc_id",
+        "source",
+        # Coalesce evaluates lazily: the fold chain runs only for tail
+        # occurrences that missed the head dictionary
+        F.coalesce(F.col("toks"), bpe_encode_expr(F.col("w"), merges)).alias("toks"),
+        "w",
     ).select(
         "doc_id",
         "source",
@@ -4637,25 +4657,39 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the corpus itself.
 
     Scale shape: training costs are `bpe_train`'s (vocab-bounded
-    rounds); evaluation is MAP-ONLY — one word explode + the per-row
-    greedy merge-fold chain under the collected n_merges-row merge
-    table (`bpe_encode_expr`; never a broadcast of the corpus-derived
-    word dictionary, unbounded under Heaps' law) + a bounded
-    per-language aggregate. All accounting totals are exact integers —
-    cross-engine parity is order-independent."""
-    from utils_spark.operators.textmodel import bpe_encode_expr, bpe_train
+    rounds); evaluation is one word explode + a broadcast left join
+    against the TOP-K head-word dictionary (explicit Limit — bounded at
+    any corpus size, never the Heaps'-law-unbounded full word table)
+    with the per-row merge-fold chain as a coalesce fallback for tail
+    occurrences, then a bounded per-language aggregate. All accounting
+    totals are exact integers — cross-engine parity is
+    order-independent."""
+    from utils_spark.operators.textmodel import (
+        TOKENIZER_APPLY_TOPK,
+        _word_symbol_table,
+        bpe_encode_expr,
+        bpe_train,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     merges_df = bpe_train(d, "text", n_merges=8)
     merges = [
         (r.left_tok, r.right_tok) for r in merges_df.orderBy("merge_round").collect()
     ]
+    head = (
+        _word_symbol_table(d, "text")
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(TOKENIZER_APPLY_TOPK)
+        .select("w", F.size(bpe_encode_expr(F.col("w"), merges)).alias("head_ntok"))
+    )
     docw = d.select("doc_id", "lang", F.explode(word_tokens("text")).alias("w")).filter(
         ~F.col("w").contains("\x1f")
     )
-    enc = docw.select(
+    enc = docw.join(F.broadcast(head), "w", "left").select(
         "lang",
-        F.size(bpe_encode_expr(F.col("w"), merges)).alias("ntok"),
+        F.coalesce(
+            F.col("head_ntok"), F.size(bpe_encode_expr(F.col("w"), merges))
+        ).alias("ntok"),
         F.length("w").alias("wlen"),
     )
     return enc.groupBy("lang").agg(
