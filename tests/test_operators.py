@@ -1115,3 +1115,85 @@ def test_triangle_enumerate_reference(spark):
     )
     assert got == want, (got, want)
     assert len(got) == 5  # C(4,3)=4 + 1
+
+
+def test_tokenizer_apply_tail_path_forced(spark, duck, sf_dir, monkeypatch):
+    """The fixture corpus has only ~31 distinct words, so the head
+    dictionary (TOKENIZER_APPLY_TOPK = 32768) covers EVERY occurrence at
+    every SF and the tail fallback (merge-fold / inline Viterbi per
+    occurrence) never executes naturally — the exact code that runs on
+    100 TB tail words would otherwise ship untested. Force a 5-word head
+    dictionary and re-check full oracle parity: the oracle encodes via
+    the FULL dictionary, so a head/tail split at ANY K must produce
+    byte-identical accounting, proving both paths implement the same
+    encoding."""
+    from utils_spark.operators import textmodel
+    from utils_spark.registry import load_all
+
+    monkeypatch.setattr(textmodel, "TOKENIZER_APPLY_TOPK", 5)
+    monkeypatch.setattr(textmodel, "UNIGRAM_APPLY_TOPK", 5)
+    reg = load_all()
+    for name in ("bpe_encoding_apply", "tokenizer_fertility", "unigram_encoding_apply"):
+        qd = reg[name]
+        sdf = qd.fn(spark, sf_dir)
+        scols = [c.lower() for c in sdf.columns]
+        srows = [tuple(r) for r in sdf.collect()]
+        res = duck.execute(qd.oracle)
+        dcols = [d[0].lower() for d in res.description]
+        drows = res.fetchall()
+        from tests.test_parity import _normalize
+
+        assert _normalize(srows, scols) == _normalize(drows, dcols), (
+            f"{name}: head/tail split at K=5 diverged from full-dictionary oracle"
+        )
+
+
+def test_naive_bayes_feature_cap_forced(spark, sf_dir, duck, monkeypatch):
+    """The fixture's ~31 distinct words never trip NB_TOPK_FEATURES=4096,
+    so the cap's rank filter is a no-op in every natural run. Force K=3
+    and compare against the pure-Python reference with the same cap —
+    proving the capped model (rank tie-breaks, smoothing denominator
+    over the CAPPED vocabulary, capped-out words hitting the floor) is
+    implemented correctly, not just vacuously green."""
+    import math
+    from collections import Counter, defaultdict
+
+    from utils_spark.queries import text as qtext
+    from utils_spark.registry import load_all
+
+    K = 3
+    monkeypatch.setattr(qtext, "NB_TOPK_FEATURES", K)
+    docs = duck.execute("SELECT doc_id, lang, text FROM documents").fetchall()
+    train = [(l, t) for i, l, t in docs if i % 2 == 0]
+    test = [(i, l, t) for i, l, t in docs if i % 2 == 1]
+    wc = defaultdict(Counter)
+    prior = Counter()
+    for l, t in train:
+        prior[l] += 1
+        for w in t.split(" "):
+            if w:
+                wc[l][w] += 1
+    wc = {
+        l: Counter(dict(sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:K]))
+        for l, c in wc.items()
+    }
+    assert any(len(c) == K for c in wc.values()), "cap must actually bind"
+    vocab = {w for c in wc.values() for w in c}
+    v = float(len(vocab))
+    tot = {l: float(sum(c.values())) for l, c in wc.items()}
+    n_train = float(len(train))
+    conf = Counter()
+    for _i, true_l, t in test:
+        words = Counter(w for w in t.split(" ") if w)
+        best = None
+        for l in sorted(prior):
+            s = math.log(prior[l] / n_train)
+            for w, q in words.items():
+                s += q * (math.log(wc[l].get(w, 0) + 1) - math.log(tot[l] + v))
+            s = round(s, 6)
+            if best is None or s > best[0] or (s == best[0] and l < best[1]):
+                best = (s, l)
+        conf[(true_l, best[1])] += 1
+    out = load_all()["naive_bayes_langid"].fn(spark, sf_dir).collect()
+    got = {(r["true_lang"], r["pred_lang"]): r["n"] for r in out}
+    assert got == dict(conf), (got, dict(conf))
