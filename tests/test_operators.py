@@ -1197,3 +1197,45 @@ def test_naive_bayes_feature_cap_forced(spark, sf_dir, duck, monkeypatch):
     out = load_all()["naive_bayes_langid"].fn(spark, sf_dir).collect()
     got = {(r["true_lang"], r["pred_lang"]): r["n"] for r in out}
     assert got == dict(conf), (got, dict(conf))
+
+
+def test_lm_ngram_cap_forced(spark, duck, sf_dir, monkeypatch):
+    """The fixture's ~31 distinct words never trip LM_MAX_NGRAMS=262144,
+    so the count-cutoff pruning (Brants et al. 2007) is a natural no-op.
+    Force K=12 — small enough that all three orders' tables actually
+    truncate — and compare both LM queries against their REGENERATED
+    small-K oracles, proving the rank cutoff, the capped smoothing
+    denominator, and the capped-out-n-gram backoff/floor semantics match
+    cross-engine when the cap binds."""
+    from utils_spark.operators import textmodel
+    from utils_spark.queries.text import _lm_perplexity_oracle, _lm_trigram_oracle
+    from utils_spark.registry import load_all
+
+    from tests.test_parity import _normalize
+
+    K = 12
+    monkeypatch.setattr(textmodel, "LM_MAX_NGRAMS", K)
+    # the cap must actually bind at this K
+    n_bi = duck.execute(
+        """SELECT COUNT(*) FROM (
+             SELECT t[i] AS w1, t[i+1] AS w2 FROM (
+               SELECT list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                  x -> x <> '') AS t
+               FROM documents WHERE doc_id % 2 = 0) r,
+             UNNEST(range(1, len(t))) AS u(i) WHERE len(t) >= 2 GROUP BY 1, 2)"""
+    ).fetchone()[0]
+    assert n_bi > K, f"fixture bigram types {n_bi} must exceed K={K}"
+    reg = load_all()
+    for name, oracle_sql in (
+        ("lm_perplexity_filter", _lm_perplexity_oracle(K)),
+        ("lm_trigram_backoff_filter", _lm_trigram_oracle(K)),
+    ):
+        sdf = reg[name].fn(spark, sf_dir)
+        scols = [c.lower() for c in sdf.columns]
+        srows = [tuple(r) for r in sdf.collect()]
+        res = duck.execute(oracle_sql)
+        dcols = [d[0].lower() for d in res.description]
+        drows = res.fetchall()
+        assert _normalize(srows, scols) == _normalize(drows, dcols), (
+            f"{name}: capped model at K={K} diverged from the small-K oracle"
+        )

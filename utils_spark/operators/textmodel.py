@@ -32,12 +32,30 @@ def _bigram_structs(toks_col: str):
     )
 
 
+# Per-order n-gram model cap for the LM scorers: each broadcast count
+# table keeps only its top LM_MAX_NGRAMS entries (count desc, gram asc —
+# deterministic), the count-cutoff pruning of Brants et al. 2007. N-gram
+# TYPE counts grow near-linearly with corpus size, so an uncapped table
+# is the same Heaps'-law broadcast OOM as the tokenizer word dictionary;
+# capped-out n-grams degrade exactly as designed (backoff / smoothing
+# floor). Never binds on the test fixtures (~31 distinct words) — the
+# forced-small-K test proves the bind semantics cross-engine.
+LM_MAX_NGRAMS = 262144
+
+
+def _top_ngrams(counts: DataFrame, cnt_col: str, keys: list[str], k: int) -> DataFrame:
+    """Deterministic top-k rows of an n-gram count table (count desc,
+    then gram keys asc — a total order, so TakeOrdered is stable)."""
+    return counts.orderBy(F.desc(cnt_col), *[F.asc(c) for c in keys]).limit(k)
+
+
 def bigram_lm_scores(
     df: DataFrame,
     key_col: str,
     text_col: str,
     ref: DataFrame,
     smoothing_k: float = 0.5,
+    max_ngrams: int | None = None,
 ) -> DataFrame:
     """Score every document of ``df`` under an add-k-smoothed bigram word
     LM trained on ``ref`` (a DataFrame exposing ``text_col`` — the
@@ -48,24 +66,35 @@ def bigram_lm_scores(
     signal). Rounded to 6dp for cross-engine-stable comparisons.
 
     Scale shape: the model (unigram + bigram counts + vocab size) is two
-    map-side-combined aggregations over the reference, bounded by
-    vocabulary — it broadcasts, so corpus scoring is map-only plus one
-    per-key combine. If the model outgrows broadcast, drop the hints: the
-    joins fall back to bigram-keyed shuffles of corpus-token volume."""
+    map-side-combined aggregations over the reference, CAPPED to the top
+    ``max_ngrams`` entries per order (count-cutoff pruning, Brants et
+    al. 2007 — an uncapped n-gram table grows with the reference corpus
+    and would OOM the broadcast) — the capped model broadcasts bounded,
+    so corpus scoring is map-only plus one per-key combine; capped-out
+    bigrams hit the add-k smoothing floor exactly like unseen ones. V is
+    the CAPPED vocabulary size (the model's actual support)."""
+    if max_ngrams is None:
+        max_ngrams = LM_MAX_NGRAMS
     toks = word_tokens(text_col)
     doc = df.select(F.col(key_col), toks.alias("__toks"))
     reft = ref.select(toks.alias("__toks"))
-    uni = (
+    uni = _top_ngrams(
         reft.select(F.explode("__toks").alias("w1"))
         .groupBy("w1")
-        .agg(F.count("*").alias("__uni_c"))
+        .agg(F.count("*").alias("__uni_c")),
+        "__uni_c",
+        ["w1"],
+        max_ngrams,
     )
     vocab = uni.agg(F.count("*").cast("double").alias("__v"))
-    bi = (
+    bi = _top_ngrams(
         reft.select(F.explode(_bigram_structs("__toks")).alias("bg"))
         .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
         .groupBy("w1", "w2")
-        .agg(F.count("*").alias("__bi_c"))
+        .agg(F.count("*").alias("__bi_c")),
+        "__bi_c",
+        ["w1", "w2"],
+        max_ngrams,
     )
     docbi = doc.select(
         key_col, F.explode(_bigram_structs("__toks")).alias("bg")
@@ -543,6 +572,7 @@ def trigram_backoff_scores(
     text_col: str,
     ref: DataFrame,
     alpha: float = 0.4,
+    max_ngrams: int | None = None,
 ) -> DataFrame:
     """Score documents under a trigram LM with STUPID BACKOFF (Brants et
     al. 2007 "Large Language Models in Machine Translation" — the
@@ -560,27 +590,41 @@ def trigram_backoff_scores(
     n-grams). OOV w3 (zero unigram count) is floored to 1/N so the log
     stays finite — documented engine-side choice, mirrored in oracles.
 
-    Scale shape: three count tables bounded by observed vocabulary,
-    broadcast; corpus scoring is map-only joins plus one per-key combine.
-    Drop the broadcast hints if the model outgrows driver memory — the
-    joins fall back to n-gram-keyed shuffles."""
+    Scale shape: three count tables CAPPED to the top ``max_ngrams``
+    entries per order (count-cutoff pruning — Brants et al. themselves
+    prune by count at web scale; n-gram TYPE counts grow with the
+    reference corpus, so uncapped tables are a broadcast OOM), then
+    broadcast; corpus scoring is map-only joins plus one per-key
+    combine. Capped-out n-grams take the backoff branches exactly as
+    unseen ones — the designed degradation. N (the unigram-floor
+    denominator) is the FULL reference token count, computed before the
+    cap."""
+    if max_ngrams is None:
+        max_ngrams = LM_MAX_NGRAMS
     toks = word_tokens(text_col)
     reft = ref.select(toks.alias("__toks"))
-    uni = reft.select(F.explode("__toks").alias("u1")).groupBy("u1").agg(
+    uni_full = reft.select(F.explode("__toks").alias("u1")).groupBy("u1").agg(
         F.count("*").alias("__c1")
     )
-    n_tokens = uni.agg(F.sum("__c1").cast("double").alias("__n"))
-    bi = (
+    n_tokens = uni_full.agg(F.sum("__c1").cast("double").alias("__n"))
+    uni = _top_ngrams(uni_full, "__c1", ["u1"], max_ngrams)
+    bi = _top_ngrams(
         reft.select(F.explode(_bigram_structs("__toks")).alias("bg"))
         .groupBy(F.col("bg.w1").alias("b1"), F.col("bg.w2").alias("b2"))
-        .agg(F.count("*").alias("__c2"))
+        .agg(F.count("*").alias("__c2")),
+        "__c2",
+        ["b1", "b2"],
+        max_ngrams,
     )
-    tri = (
+    tri = _top_ngrams(
         reft.select(F.explode(_trigram_structs("__toks")).alias("tg"))
         .groupBy(
             F.col("tg.w1").alias("t1"), F.col("tg.w2").alias("t2"), F.col("tg.w3").alias("t3")
         )
-        .agg(F.count("*").alias("__c3"))
+        .agg(F.count("*").alias("__c3")),
+        "__c3",
+        ["t1", "t2", "t3"],
+        max_ngrams,
     )
     doc = (
         df.select(key_col, toks.alias("__toks"))

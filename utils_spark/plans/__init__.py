@@ -67,13 +67,13 @@ _NULLCHECK_RE = re.compile(r"isnotnull\([^)]*\)|isnan\([^)]*\)|\bAND\b|\bOR\b|\b
 # Matched against attribute NAMES (the #id suffix and qualifier stripped).
 _UNBOUNDED_TEXT_RE = re.compile(
     r"^(w|wd|word|words|tok|toks|token|tokens|piece|pieces|gram|grams|ngram|"
-    r"ngrams|shingle|shingles|term|terms|text|mword)$",
+    r"ngrams|shingle|shingles|term|terms|text|mword|[wbtu]\d+)$",
     re.IGNORECASE,
 )
 _UNBOUNDED_AGG_KEY_RE = re.compile(
     r"^(w|wd|word|words|tok|toks|token|tokens|piece|pieces|gram|grams|ngram|"
-    r"ngrams|shingle|shingles|term|terms|text|mword|fingerprint|hash|sig|"
-    r"chunk_hash|doc_id|vec_id|event_id)$",
+    r"ngrams|shingle|shingles|term|terms|text|mword|[wbtu]\d+|fingerprint|"
+    r"hash|sig|chunk_hash|doc_id|vec_id|event_id)$",
     re.IGNORECASE,
 )
 

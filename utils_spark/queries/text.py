@@ -2371,28 +2371,40 @@ def cross_doc_ngram_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "lm_perplexity_filter",
-    # CCNet-style LM quality filter: train an add-k-smoothed bigram word LM
-    # on the in-domain (English) subset, score EVERY document's
-    # cross-entropy under it, flag low-perplexity docs. DuckDB rebuilds the
-    # identical model (same counts, same smoothing rationals, same ln) so
-    # the check is hash-exact after 6dp rounding.
-    oracle="""
+def _lm_perplexity_oracle(max_ngrams: int | None) -> str:
+    """Generated bigram-LM oracle with the operator's top-K model cap
+    replicated (row_number over the same count-desc/gram-asc total
+    order). ``None`` -> the operator default; the forced-small-K test
+    regenerates with a binding cap."""
+    from utils_spark.operators.textmodel import LM_MAX_NGRAMS
+
+    k = LM_MAX_NGRAMS if max_ngrams is None else max_ngrams
+    return f"""
     WITH tok AS (
       SELECT doc_id, lang,
              list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '') AS toks
       FROM documents
     ),
     ref AS (SELECT toks FROM tok WHERE lang = 'en'),
-    uni AS (SELECT w, COUNT(*) AS c FROM (SELECT unnest(toks) AS w FROM ref) GROUP BY w),
+    uni_all AS (SELECT w, COUNT(*) AS c FROM (SELECT unnest(toks) AS w FROM ref) GROUP BY w),
+    uni AS (
+      SELECT w, c FROM (
+        SELECT w, c, row_number() OVER (ORDER BY c DESC, w ASC) AS rk FROM uni_all)
+      WHERE rk <= {k}
+    ),
     vocab AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
-    bi AS (
+    bi_all AS (
       SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS c
       FROM (SELECT unnest(list_transform(range(1, len(toks)),
                                          i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS bg
             FROM ref)
       GROUP BY 1, 2
+    ),
+    bi AS (
+      SELECT w1, w2, c FROM (
+        SELECT w1, w2, c, row_number() OVER (ORDER BY c DESC, w1 ASC, w2 ASC) AS rk
+        FROM bi_all)
+      WHERE rk <= {k}
     ),
     docbi AS (
       SELECT doc_id, lang, bg.w1 AS w1, bg.w2 AS w2
@@ -2415,7 +2427,19 @@ def cross_doc_ngram_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN ROUND(-AVG(lp), 6) <= 3.43 THEN 1 ELSE 0 END AS passes_lm_filter
     FROM scored
     GROUP BY doc_id, lang
-    """,
+    """
+
+
+@register(
+    "lm_perplexity_filter",
+    # CCNet-style LM quality filter: train an add-k-smoothed bigram word LM
+    # on the in-domain (English) subset — model CAPPED to the top
+    # LM_MAX_NGRAMS entries per order (count-cutoff pruning; bounds the
+    # broadcast at any corpus size) — score EVERY document's cross-entropy
+    # under it, flag low-perplexity docs. DuckDB rebuilds the identical
+    # capped model (same counts, same rank cutoff, same smoothing
+    # rationals, same ln) so the check is hash-exact after 6dp rounding.
+    oracle=_lm_perplexity_oracle(None),
     tags=("text", "quality", "llm-pipeline", "language-model", "perplexity"),
 )
 def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2426,14 +2450,15 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     a perplexity threshold. On this corpus the English docs genuinely score
     lower than de/es/fr/zh — the filter discriminates in-domain text.
 
-    Scale shape: the MODEL (unigram + bigram count tables) is the output of
-    two map-side-combined aggregations over the reference subset and is
-    bounded by observed vocabulary, not corpus size — it broadcasts, so
-    corpus scoring is map-only (tokenize → bigram explode → two broadcast
-    hash joins → per-doc agg). A 100 TB corpus is scored in one pass with
-    no corpus-side shuffle except the final per-doc combine; if the model
-    outgrows broadcast, the joins fall back to bigram-keyed shuffles whose
-    volume is corpus token count, never pairs."""
+    Scale shape: the MODEL (unigram + bigram count tables) is the output
+    of two map-side-combined aggregations over the reference subset,
+    CAPPED to the top LM_MAX_NGRAMS entries per order (count-cutoff
+    pruning — n-gram type counts grow with the reference corpus, so the
+    cap is what makes the broadcast bounded at any scale; capped-out
+    bigrams hit the smoothing floor exactly like unseen ones). Corpus
+    scoring is map-only (tokenize → bigram explode → two broadcast hash
+    joins → per-doc agg): a 100 TB corpus is scored in one pass with no
+    corpus-side shuffle except the final per-doc combine."""
     from utils_spark.operators.textmodel import bigram_lm_scores
 
     d = load_table(spark, sf_dir, "documents")
@@ -3428,31 +3453,50 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "lm_trigram_backoff_filter",
-    # trigram LM with STUPID BACKOFF (Brants et al. 2007): model trained
-    # on the EVEN-doc_id half, scoring the ODD half, so unseen n-grams
-    # genuinely exercise both backoff branches (self-scoring would make
-    # every trigram seen and the backoff vacuous). Per-source summary of
-    # the held-out scores.
-    oracle="""
+def _lm_trigram_oracle(max_ngrams: int | None) -> str:
+    """Generated stupid-backoff oracle with the operator's top-K model
+    cap replicated per order; N (the unigram-floor denominator) is the
+    FULL reference token count, computed before the cap — exactly as the
+    operator does."""
+    from utils_spark.operators.textmodel import LM_MAX_NGRAMS
+
+    k = LM_MAX_NGRAMS if max_ngrams is None else max_ngrams
+    return f"""
     WITH tok AS (
       SELECT doc_id, source,
              list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
       FROM documents
     ),
     ref AS (SELECT t FROM tok WHERE doc_id % 2 = 0),
-    uni AS (SELECT u AS w, COUNT(*) AS c1 FROM (SELECT unnest(t) AS u FROM ref) GROUP BY u),
-    n_tok AS (SELECT CAST(SUM(c1) AS DOUBLE) AS n FROM uni),
-    bi AS (
+    uni_all AS (SELECT u AS w, COUNT(*) AS c1 FROM (SELECT unnest(t) AS u FROM ref) GROUP BY u),
+    n_tok AS (SELECT CAST(SUM(c1) AS DOUBLE) AS n FROM uni_all),
+    uni AS (
+      SELECT w, c1 FROM (
+        SELECT w, c1, row_number() OVER (ORDER BY c1 DESC, w ASC) AS rk FROM uni_all)
+      WHERE rk <= {k}
+    ),
+    bi_all AS (
       SELECT t[i] AS w1, t[i+1] AS w2, COUNT(*) AS c2
       FROM ref, UNNEST(range(1, len(t))) AS r(i)
       WHERE len(t) >= 2 GROUP BY 1, 2
     ),
-    tri AS (
+    bi AS (
+      SELECT w1, w2, c2 FROM (
+        SELECT w1, w2, c2, row_number() OVER (ORDER BY c2 DESC, w1 ASC, w2 ASC) AS rk
+        FROM bi_all)
+      WHERE rk <= {k}
+    ),
+    tri_all AS (
       SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3, COUNT(*) AS c3
       FROM ref, UNNEST(range(1, len(t) - 1)) AS r(i)
       WHERE len(t) >= 3 GROUP BY 1, 2, 3
+    ),
+    tri AS (
+      SELECT w1, w2, w3, c3 FROM (
+        SELECT w1, w2, w3, c3,
+               row_number() OVER (ORDER BY c3 DESC, w1 ASC, w2 ASC, w3 ASC) AS rk
+        FROM tri_all)
+      WHERE rk <= {k}
     ),
     docs3 AS (
       SELECT doc_id, source, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
@@ -3487,7 +3531,19 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(MIN(s), 6) AS best_score,
            ROUND(MAX(s), 6) AS worst_score
     FROM per_doc GROUP BY source
-    """,
+    """
+
+
+@register(
+    "lm_trigram_backoff_filter",
+    # trigram LM with STUPID BACKOFF (Brants et al. 2007): model trained
+    # on the EVEN-doc_id half — count tables CAPPED to the top
+    # LM_MAX_NGRAMS per order (count-cutoff pruning; bounds the broadcast
+    # at any corpus size) — scoring the ODD half, so unseen n-grams
+    # genuinely exercise both backoff branches (self-scoring would make
+    # every trigram seen and the backoff vacuous). Per-source summary of
+    # the held-out scores.
+    oracle=_lm_trigram_oracle(None),
     tags=("text", "llm-pipeline", "quality", "lm", "trigram", "backoff"),
 )
 def lm_trigram_backoff_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3500,9 +3556,11 @@ def lm_trigram_backoff_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram seen and the backoff dead code. Per-source held-out score
     summary, the one-order-higher sibling of `lm_perplexity_filter`.
 
-    Scale shape: see ``textmodel.trigram_backoff_scores`` — three
-    vocabulary-bounded count tables broadcast, map-only scoring joins,
-    one per-doc combine, one per-source rollup."""
+    Scale shape: see ``textmodel.trigram_backoff_scores`` — three count
+    tables capped to the top LM_MAX_NGRAMS per order (count-cutoff
+    pruning; bounded broadcast at any corpus size, capped-out n-grams
+    take the backoff branches by design), map-only scoring joins, one
+    per-doc combine, one per-source rollup."""
     from utils_spark.operators.textmodel import trigram_backoff_scores
 
     d = load_table(spark, sf_dir, "documents")
