@@ -346,3 +346,45 @@ def test_bigram_lm_scores_fuzz(spark, ref_docs, docs):
         assert got[i]["n_bigrams"] == len(d) - 1
         assert math.isclose(got[i]["cross_entropy"], round(ce, 6), rel_tol=0, abs_tol=5e-6)
         assert math.isclose(got[i]["perplexity"], round(math.exp(ce), 6), rel_tol=1e-5)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=6),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    n_merges=st.integers(min_value=1, max_value=6),
+)
+@settings(**SETTINGS)
+def test_bpe_encode_expr_equals_trainer_vocab_fuzz(spark, docs, n_merges):
+    """The round-9 apply paths rest on a structural identity: chaining
+    `bpe_encode_expr`'s greedy merge folds over a word equals looking the
+    word up in `bpe_train(return_vocab=True)`'s final dictionary (the
+    dictionary IS the fold chain applied to the word table). Fuzz random
+    tiny corpora — heavy with identical-letter runs ('aaa' with (a,a))
+    and re-mergeable substrings, the classic greedy-BPE tie hazards — and
+    assert the two agree word-for-word, so a future trainer change that
+    silently breaks the identity (an extra filter, a changed tie-break)
+    is caught here rather than at 100 TB tail words."""
+    from pyspark.sql import functions as F
+
+    from utils_spark.operators.textmodel import bpe_encode_expr, bpe_train
+
+    df = spark.createDataFrame([(" ".join(d),) for d in docs], ["text"])
+    merges_df, vocab = bpe_train(df, "text", n_merges=n_merges, return_vocab=True)
+    merges = [
+        (r.left_tok, r.right_tok) for r in merges_df.orderBy("merge_round").collect()
+    ]
+    want = {r["w"]: list(r["toks"]) for r in vocab.collect()}
+    got_df = (
+        vocab.select("w")
+        .select("w", bpe_encode_expr(F.col("w"), merges).alias("toks"))
+        .collect()
+    )
+    got = {r["w"]: list(r["toks"]) for r in got_df}
+    assert got == want
