@@ -37,290 +37,280 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Least-verified-RECENTLY first: the driver samples a ~50-query prefix of
 # this dict (rows+schema+hash vs the DuckDB oracle -> CORRECTNESS_r{N}).
-# Round-9 rotation (VERDICT r8 "Next round #2"): the surface is FROZEN this
-# round — zero new queries — and the ENTIRE 50-slot sample goes to stale
-# evidence. Ordering regenerated from CORRECTNESS_r01..r08.json:
-#   tier 0 = the 15 queries NEVER driver-sampled (r7 additions; the two
-#            missing from the old list — pacf_durbin_levinson,
-#            permutation_test_daily — now included; highest plan-complexity
-#            first per the verdict: ann_ivfadc, unigram_encoding_apply),
-#   tier 1 = the 26 queries whose latest driver green is round 2 (the
-#            refactored dedup/minhash/cosine/ANN block leads:
-#            ngram_jaccard_pairs was REWRITTEN in r6 with zero post-rewrite
-#            driver evidence),
-#   tier 2 = the 9 oldest round-3 queries (most-refactored ML/graph first:
-#            louvain_communities re-optimized twice since its last sample).
-# 15 + 26 + 9 = exactly the 50-slot sample. The remainder follows in
-# oldest-evidence order (rest of r3, then r4, r5, r6, r8) so a wider
-# sample — or round 10's regeneration — continues the rotation.
+# Round-10 rotation (VERDICT r9 "Next round #1"): regenerated mechanically
+# by `python tools/gen_priority.py` from CORRECTNESS_r01..r09.json after
+# the round-9 sample landed 50/50 green (closing the never-sampled
+# backlog). Post-r9 latest-green histogram: r3: 29, r4: 34, r5: 50,
+# r6: 50, r8: 50, r9: 50 — so the 50-slot r10 sample is exactly the
+# 29 r3-latest queries followed by the 21 oldest r4-latest; the remainder
+# continues in oldest-evidence order (rest of r4, then r5, r6, r8, r9).
+# New round-10 queries (soft-unfreeze, VERDICT r9 "Next round #2") are
+# appended BELOW the stale block so they never displace r3/r4 evidence.
+# Verify with `python tools/gen_priority.py --check` (must exit 0).
 _PRIORITY = (
-    # -- tier 0: never driver-sampled (15)
-    "ann_ivfadc",
-    "unigram_encoding_apply",
-    "ann_ivf_pq",
-    "unigram_lm_tokenizer",
-    "star_connected_components",
-    "stream_near_dup_registry",
-    "pacf_durbin_levinson",
-    "permutation_test_daily",
-    "gopher_quality_rules",
-    "countmin_heavy_hitters",
-    "winnowing_fingerprints",
-    "distinct_ngram_diversity",
-    "zipf_law_fit",
-    "fuzzy_decontamination",
-    "mixture_temperature_weights",
-    # -- tier 1: latest driver evidence is round 2 (26)
-    "ngram_jaccard_pairs",
-    "minhash_lsh_pairs",
-    "cosine_topk",
-    "dup_cluster_assignments",
-    "bh_adjust",
-    "sessionize",
-    "stratified_sample",
-    "ks_test",
-    "quantile_thresholds",
-    "variance_explained",
-    "log_normalize",
-    "grouped_regression",
-    "exact_dedup",
-    "fuzzy_name_pairs",
-    "tfidf_top_terms",
-    "monthly_rollup",
-    "tumbling_window",
-    "json_extract",
-    "ann_ivf_bucketed",
-    "rank_in_group",
-    "topk_per_group",
-    "top2_delta",
-    "cumulative_frames",
-    "lag_lead_delta",
-    "rolling_time_range",
-    "equidepth_histogram",
-    # -- tier 2: oldest round-3 evidence (9) -> completes the 50-prefix
-    "louvain_communities",
-    "grouped_trend_fits",
-    "factor_decomposition",
-    "clustree_transitions",
-    "pseudotime_lineages",
-    "knn_snn_lisi",
-    "spline_exact_recovery",
-    "pca_exact_recovery",
-    "harmony_null_correction",
-    # -- beyond the 50-sample: rest of r3, then r4, r5, r6, r8 evidence order
-    "loess_exact_recovery",
-    "nth_event_snapshot",
-    "null_ordering",
-    "multiway_join_revenue",
-    "top_orders_by_revenue",
-    "reorder_to_input",
-    "sliding_window",
-    "session_window_native",
-    "quantile_normalize",
-    "grouped_correlation",
-    "grouped_moments",
-    "token_stats",
-    "quality_score",
-    "lang_id_ngram",
-    "doc_fingerprint",
-    "minhash_signature",
-    "bpe_style_tokens",
-    "chunk_documents",
-    "benchmark_decontamination",
-    "corpus_mixture_sample",
-    "repetition_filter",
-    "hierarchical_time_rollup",
-    "cohort_retention",
-    "min_per_group_join_back",
-    "having_threshold_join",
-    "distinct_suppliers_per_attr",
-    "date_arithmetic",
-    "embedding_stats",
-    "label_centroids",
-    "na_drop_subset",
-    "array_row_aggs",
-    "delta_from_median",
-    "asof_join",
-    "range_join_bands",
-    "filter_scan_agg",
-    "pairwise_ks",
-    "simhash_signature",
-    "knee_detection",
-    "module_score",
-    "asof_join_forward_tolerance",
-    "grouped_quantiles",
-    "distinct_rows",
-    "group_sizes",
-    "functional_dependency_check",
-    "crosstab_proportions",
-    "group_cv",
-    "qc_metrics_bundle",
-    "mds_exact_recovery",
-    "start_vs_end_test",
-    "condition_diff_recovery",
-    "multimodal_decode_certificate",
-    "media_dedup_certificate",
-    "video_frame_sampling",
-    "skew_salted_join",
-    "train_holdout_split",
-    "stream_stateful_dedup",
-    "stream_custom_state_profile",
-    "stream_static_enrich",
-    "stream_stream_interval_join",
-    "boilerplate_strip",
-    "vocab_coverage",
-    "char_entropy_filter",
-    "curation_pipeline",
-    "strict_na_aggregation",
-    "pairwise_ks_one_sided",
-    "spline_trend_fits",
-    "batch_correction",
-    "pca_embedding",
-    "denoised_feature_selection",
-    "cca_anchor_identity",
-    "cluster_blobs_certificate",
-    "harmony_shift_recovery",
-    "sweep_exact_recovery",
-    "csv_roundtrip_scan",
-    "jsonl_roundtrip_scan",
-    "orc_roundtrip_scan",
-    "converter_roundtrip",
-    "audio_energy_certificate",
-    "image_stats_certificate",
-    "cluster_pipeline",
-    "embedding_near_dup",
-    "approx_sketch_aggs",
-    "zorder_layout",
-    "stream_tumbling_counts",
-    "stream_session_windows",
-    "stream_session_windows_append",
-    "stream_curation_funnel",
-    "stream_sliding_counts",
-    "sequence_packing",
-    "pii_scrub",
-    "dedup_keep_best",
-    "quality_classifier_filter",
-    "bm25_retrieval",
-    "importance_weights_dsir",
-    "curated_export_roundtrip",
-    "cross_doc_ngram_duplication",
-    "lm_perplexity_filter",
-    "bpe_merge_candidates",
-    "corpus_datasheet",
-    "line_level_dedup",
-    "incremental_dedup_batch",
-    "k_anonymity_audit",
-    "windowed_event_dedup",
-    "event_funnel_conversion",
-    "event_transition_matrix",
-    "event_pair_affinity",
-    "daily_ewma_smoothing",
-    "hourly_percentile_bands",
-    "late_shipment_priority_counts",
-    "priority_class_line_counts",
-    "top_revenue_supplier",
-    "important_part_values",
-    "semantic_dedup_keep",
-    "support_filter",
-    "binned_agg",
-    "grouping_sets_cube",
-    "pseudobulk_sum",
-    "ora_enrichment",
-    "term_semantic_clusters",
-    "pagerank_interactions",
-    "triangle_count_knn",
-    "leiden_refined_communities",
-    "projection_variants",
-    "per_column_quantiles",
-    "stage_tally",
-    "aligned_cbind",
-    "random_subset",
-    "mean_var_topk",
-    "sample_distances",
-    "ma_pairs",
-    "grouping_rollup",
-    "grouped_mode",
-    "atlas_loader_pipeline",
-    "qc_filter_pipeline",
-    "filter_project",
-    "conditional_expr",
-    "string_ops",
-    "pair_key_unite",
-    "make_unique_names",
-    "lookup_join",
-    "left_join_agg",
-    "semi_anti_join",
-    "union_distinct",
-    "set_difference",
-    "melt_unpivot",
-    "pivot_onehot",
-    "freq_ordered_levels",
-    "weighted_sample",
-    "group_entropy",
-    "mad_outliers",
-    "zscore_squish",
-    "bpe_training_rounds",
-    "bpe_encoding_apply",
-    "exact_substring_dedup",
-    "lm_trigram_backoff_filter",
-    "bloom_decontamination",
-    "ewma_anomaly_flags",
-    "rolling_correlation",
-    "seasonal_decomposition",
-    "theil_sen_trend",
-    "customer_order_distribution",
-    "sole_late_supplier_counts",
-    "hard_negative_mining",
-    "pairwise_cvm",
-    "benford_digit_audit",
-    "adamic_adar_link_prediction",
-    "lpa_communities",
-    "kcore_decomposition",
-    "hits_hub_authority",
-    "harmonic_closeness_seeds",
-    "hll_cardinality_sketch",
-    "partition_skew_audit",
-    "join_fanout_audit",
-    "spearman_rank_correlation",
-    "chi_square_independence",
-    "mann_whitney_u",
-    "kruskal_wallis",
-    "mann_kendall_trend",
-    "jackknife_cv_se",
-    "bootstrap_ci",
-    "kaplan_meier_retention",
-    "mutual_information_assoc",
-    "proportions_ab_test",
-    "welch_t_test",
-    "brown_forsythe_levene",
-    "fisher_exact_priority_late",
-    "wilcoxon_signed_rank",
-    "friedman_test",
-    "logrank_test",
-    "cochran_armitage_trend",
-    "g_test_independence",
-    "wordpiece_training_rounds",
-    "simhash_hamming_pairs",
-    "containment_prefix_pairs",
-    "sorted_neighborhood_pairs",
-    "naive_bayes_langid",
-    "cdc_chunk_dedup",
-    "roc_auc_quality_signal",
-    "cross_source_ngram_overlap",
-    "gini_source_inequality",
-    "tokenizer_fertility",
-    "curriculum_length_stages",
-    "autocorrelation_lags",
-    "cusum_changepoints",
-    "ljung_box_test",
-    "holt_linear_forecast",
-    "holt_winters_seasonal",
-    "periodogram_peak",
-    "dtw_pairwise_distance",
-    "isotonic_daily_fit",
-    "kendall_tau_daily",
-    "embedding_int8_quantization",
-    "by_adjust_dependent",
+    "loess_exact_recovery",  # r3
+    "nth_event_snapshot",  # r3
+    "null_ordering",  # r3
+    "multiway_join_revenue",  # r3
+    "top_orders_by_revenue",  # r3
+    "reorder_to_input",  # r3
+    "sliding_window",  # r3
+    "session_window_native",  # r3
+    "quantile_normalize",  # r3
+    "grouped_correlation",  # r3
+    "grouped_moments",  # r3
+    "token_stats",  # r3
+    "quality_score",  # r3
+    "lang_id_ngram",  # r3
+    "doc_fingerprint",  # r3
+    "minhash_signature",  # r3
+    "bpe_style_tokens",  # r3
+    "chunk_documents",  # r3
+    "benchmark_decontamination",  # r3
+    "corpus_mixture_sample",  # r3
+    "repetition_filter",  # r3
+    "hierarchical_time_rollup",  # r3
+    "cohort_retention",  # r3
+    "min_per_group_join_back",  # r3
+    "having_threshold_join",  # r3
+    "distinct_suppliers_per_attr",  # r3
+    "date_arithmetic",  # r3
+    "embedding_stats",  # r3
+    "label_centroids",  # r3
+    "na_drop_subset",  # r4
+    "array_row_aggs",  # r4
+    "delta_from_median",  # r4
+    "asof_join",  # r4
+    "range_join_bands",  # r4
+    "filter_scan_agg",  # r4
+    "pairwise_ks",  # r4
+    "simhash_signature",  # r4
+    "knee_detection",  # r4
+    "module_score",  # r4
+    "asof_join_forward_tolerance",  # r4
+    "grouped_quantiles",  # r4
+    "distinct_rows",  # r4
+    "group_sizes",  # r4
+    "functional_dependency_check",  # r4
+    "crosstab_proportions",  # r4
+    "group_cv",  # r4
+    "qc_metrics_bundle",  # r4
+    "mds_exact_recovery",  # r4
+    "start_vs_end_test",  # r4
+    "condition_diff_recovery",  # r4
+    "multimodal_decode_certificate",  # r4
+    "media_dedup_certificate",  # r4
+    "video_frame_sampling",  # r4
+    "skew_salted_join",  # r4
+    "train_holdout_split",  # r4
+    "stream_stateful_dedup",  # r4
+    "stream_custom_state_profile",  # r4
+    "stream_static_enrich",  # r4
+    "stream_stream_interval_join",  # r4
+    "boilerplate_strip",  # r4
+    "vocab_coverage",  # r4
+    "char_entropy_filter",  # r4
+    "curation_pipeline",  # r4
+    "strict_na_aggregation",  # r5
+    "pairwise_ks_one_sided",  # r5
+    "spline_trend_fits",  # r5
+    "batch_correction",  # r5
+    "pca_embedding",  # r5
+    "denoised_feature_selection",  # r5
+    "cca_anchor_identity",  # r5
+    "cluster_blobs_certificate",  # r5
+    "harmony_shift_recovery",  # r5
+    "sweep_exact_recovery",  # r5
+    "csv_roundtrip_scan",  # r5
+    "jsonl_roundtrip_scan",  # r5
+    "orc_roundtrip_scan",  # r5
+    "converter_roundtrip",  # r5
+    "audio_energy_certificate",  # r5
+    "image_stats_certificate",  # r5
+    "cluster_pipeline",  # r5
+    "embedding_near_dup",  # r5
+    "approx_sketch_aggs",  # r5
+    "zorder_layout",  # r5
+    "stream_tumbling_counts",  # r5
+    "stream_session_windows",  # r5
+    "stream_session_windows_append",  # r5
+    "stream_curation_funnel",  # r5
+    "stream_sliding_counts",  # r5
+    "sequence_packing",  # r5
+    "pii_scrub",  # r5
+    "dedup_keep_best",  # r5
+    "quality_classifier_filter",  # r5
+    "bm25_retrieval",  # r5
+    "importance_weights_dsir",  # r5
+    "curated_export_roundtrip",  # r5
+    "cross_doc_ngram_duplication",  # r5
+    "lm_perplexity_filter",  # r5
+    "bpe_merge_candidates",  # r5
+    "corpus_datasheet",  # r5
+    "line_level_dedup",  # r5
+    "incremental_dedup_batch",  # r5
+    "k_anonymity_audit",  # r5
+    "windowed_event_dedup",  # r5
+    "event_funnel_conversion",  # r5
+    "event_transition_matrix",  # r5
+    "event_pair_affinity",  # r5
+    "daily_ewma_smoothing",  # r5
+    "hourly_percentile_bands",  # r5
+    "late_shipment_priority_counts",  # r5
+    "priority_class_line_counts",  # r5
+    "top_revenue_supplier",  # r5
+    "important_part_values",  # r5
+    "semantic_dedup_keep",  # r5
+    "support_filter",  # r6
+    "binned_agg",  # r6
+    "grouping_sets_cube",  # r6
+    "pseudobulk_sum",  # r6
+    "ora_enrichment",  # r6
+    "term_semantic_clusters",  # r6
+    "pagerank_interactions",  # r6
+    "triangle_count_knn",  # r6
+    "leiden_refined_communities",  # r6
+    "projection_variants",  # r6
+    "per_column_quantiles",  # r6
+    "stage_tally",  # r6
+    "aligned_cbind",  # r6
+    "random_subset",  # r6
+    "mean_var_topk",  # r6
+    "sample_distances",  # r6
+    "ma_pairs",  # r6
+    "grouping_rollup",  # r6
+    "grouped_mode",  # r6
+    "atlas_loader_pipeline",  # r6
+    "qc_filter_pipeline",  # r6
+    "filter_project",  # r6
+    "conditional_expr",  # r6
+    "string_ops",  # r6
+    "pair_key_unite",  # r6
+    "make_unique_names",  # r6
+    "lookup_join",  # r6
+    "left_join_agg",  # r6
+    "semi_anti_join",  # r6
+    "union_distinct",  # r6
+    "set_difference",  # r6
+    "melt_unpivot",  # r6
+    "pivot_onehot",  # r6
+    "freq_ordered_levels",  # r6
+    "weighted_sample",  # r6
+    "group_entropy",  # r6
+    "mad_outliers",  # r6
+    "zscore_squish",  # r6
+    "bpe_training_rounds",  # r6
+    "bpe_encoding_apply",  # r6
+    "exact_substring_dedup",  # r6
+    "lm_trigram_backoff_filter",  # r6
+    "bloom_decontamination",  # r6
+    "ewma_anomaly_flags",  # r6
+    "rolling_correlation",  # r6
+    "seasonal_decomposition",  # r6
+    "theil_sen_trend",  # r6
+    "customer_order_distribution",  # r6
+    "sole_late_supplier_counts",  # r6
+    "hard_negative_mining",  # r6
+    "pairwise_cvm",  # r8
+    "benford_digit_audit",  # r8
+    "adamic_adar_link_prediction",  # r8
+    "lpa_communities",  # r8
+    "kcore_decomposition",  # r8
+    "hits_hub_authority",  # r8
+    "harmonic_closeness_seeds",  # r8
+    "hll_cardinality_sketch",  # r8
+    "partition_skew_audit",  # r8
+    "join_fanout_audit",  # r8
+    "spearman_rank_correlation",  # r8
+    "chi_square_independence",  # r8
+    "mann_whitney_u",  # r8
+    "kruskal_wallis",  # r8
+    "mann_kendall_trend",  # r8
+    "jackknife_cv_se",  # r8
+    "bootstrap_ci",  # r8
+    "kaplan_meier_retention",  # r8
+    "mutual_information_assoc",  # r8
+    "proportions_ab_test",  # r8
+    "welch_t_test",  # r8
+    "brown_forsythe_levene",  # r8
+    "fisher_exact_priority_late",  # r8
+    "wilcoxon_signed_rank",  # r8
+    "friedman_test",  # r8
+    "logrank_test",  # r8
+    "cochran_armitage_trend",  # r8
+    "g_test_independence",  # r8
+    "wordpiece_training_rounds",  # r8
+    "simhash_hamming_pairs",  # r8
+    "containment_prefix_pairs",  # r8
+    "sorted_neighborhood_pairs",  # r8
+    "naive_bayes_langid",  # r8
+    "cdc_chunk_dedup",  # r8
+    "roc_auc_quality_signal",  # r8
+    "cross_source_ngram_overlap",  # r8
+    "gini_source_inequality",  # r8
+    "tokenizer_fertility",  # r8
+    "curriculum_length_stages",  # r8
+    "autocorrelation_lags",  # r8
+    "cusum_changepoints",  # r8
+    "ljung_box_test",  # r8
+    "holt_linear_forecast",  # r8
+    "holt_winters_seasonal",  # r8
+    "periodogram_peak",  # r8
+    "dtw_pairwise_distance",  # r8
+    "isotonic_daily_fit",  # r8
+    "kendall_tau_daily",  # r8
+    "embedding_int8_quantization",  # r8
+    "by_adjust_dependent",  # r8
+    "grouped_trend_fits",  # r9
+    "factor_decomposition",  # r9
+    "clustree_transitions",  # r9
+    "pseudotime_lineages",  # r9
+    "louvain_communities",  # r9
+    "knn_snn_lisi",  # r9
+    "spline_exact_recovery",  # r9
+    "pca_exact_recovery",  # r9
+    "harmony_null_correction",  # r9
+    "star_connected_components",  # r9
+    "ks_test",  # r9
+    "quantile_thresholds",  # r9
+    "variance_explained",  # r9
+    "log_normalize",  # r9
+    "grouped_regression",  # r9
+    "permutation_test_daily",  # r9
+    "gopher_quality_rules",  # r9
+    "countmin_heavy_hitters",  # r9
+    "winnowing_fingerprints",  # r9
+    "distinct_ngram_diversity",  # r9
+    "zipf_law_fit",  # r9
+    "exact_dedup",  # r9
+    "ngram_jaccard_pairs",  # r9
+    "minhash_lsh_pairs",  # r9
+    "dup_cluster_assignments",  # r9
+    "fuzzy_name_pairs",  # r9
+    "tfidf_top_terms",  # r9
+    "fuzzy_decontamination",  # r9
+    "mixture_temperature_weights",  # r9
+    "unigram_lm_tokenizer",  # r9
+    "unigram_encoding_apply",  # r9
+    "stream_near_dup_registry",  # r9
+    "monthly_rollup",  # r9
+    "tumbling_window",  # r9
+    "json_extract",  # r9
+    "pacf_durbin_levinson",  # r9
+    "cosine_topk",  # r9
+    "ann_ivf_bucketed",  # r9
+    "ann_ivf_pq",  # r9
+    "ann_ivfadc",  # r9
+    "rank_in_group",  # r9
+    "topk_per_group",  # r9
+    "top2_delta",  # r9
+    "bh_adjust",  # r9
+    "stratified_sample",  # r9
+    "cumulative_frames",  # r9
+    "lag_lead_delta",  # r9
+    "sessionize",  # r9
+    "rolling_time_range",  # r9
+    "equidepth_histogram",  # r9
 )
 
 
