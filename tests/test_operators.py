@@ -1225,6 +1225,40 @@ def test_lm_ngram_cap_forced(spark, duck, sf_dir, monkeypatch):
              UNNEST(range(1, len(t))) AS u(i) WHERE len(t) >= 2 GROUP BY 1, 2)"""
     ).fetchone()[0]
     assert n_bi > K, f"fixture bigram types {n_bi} must exceed K={K}"
+    # ... and the NESTED pruning must bind too: at this K some capped
+    # bigrams must have capped-out unigram contexts (and capped trigrams
+    # capped-out prefixes), otherwise the parity below would not prove
+    # the cross-order consistency fix (a surviving n-gram whose lower-
+    # order denominator was capped out must be PRUNED, not scored NULL).
+    bi_orphans, tri_orphans = duck.execute(
+        f"""WITH tok AS (SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+               FROM documents),
+        ref AS (SELECT t FROM tok WHERE doc_id % 2 = 0),
+        uni_all AS (SELECT u AS w, COUNT(*) AS c1
+                    FROM (SELECT unnest(t) AS u FROM ref) GROUP BY u),
+        uni AS (SELECT w FROM (SELECT w, row_number()
+                  OVER (ORDER BY c1 DESC, w ASC) AS rk FROM uni_all) WHERE rk <= {K}),
+        bi_all AS (SELECT t[i] AS w1, t[i+1] AS w2, COUNT(*) AS c2
+                   FROM ref, UNNEST(range(1, len(t))) AS r(i)
+                   WHERE len(t) >= 2 GROUP BY 1, 2),
+        bi_capped AS (SELECT w1, w2 FROM (SELECT w1, w2, row_number()
+                  OVER (ORDER BY c2 DESC, w1 ASC, w2 ASC) AS rk FROM bi_all) WHERE rk <= {K}),
+        tri_all AS (SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3, COUNT(*) AS c3
+                    FROM ref, UNNEST(range(1, len(t) - 1)) AS r(i)
+                    WHERE len(t) >= 3 GROUP BY 1, 2, 3),
+        tri_capped AS (SELECT w1, w2 FROM (SELECT w1, w2, w3, row_number()
+                  OVER (ORDER BY c3 DESC, w1 ASC, w2 ASC, w3 ASC) AS rk FROM tri_all) WHERE rk <= {K})
+        SELECT
+          (SELECT COUNT(*) FROM bi_capped b LEFT JOIN uni u ON u.w = b.w1
+           WHERE u.w IS NULL),
+          (SELECT COUNT(*) FROM tri_capped t LEFT JOIN
+             (SELECT b.* FROM bi_capped b JOIN uni u ON u.w = b.w1) bp
+             ON bp.w1 = t.w1 AND bp.w2 = t.w2 WHERE bp.w1 IS NULL)"""
+    ).fetchone()
+    assert bi_orphans > 0 and tri_orphans > 0, (
+        f"nested pruning must bind at K={K}: {bi_orphans=} {tri_orphans=}"
+    )
     reg = load_all()
     for name, oracle_sql in (
         ("lm_perplexity_filter", _lm_perplexity_oracle(K)),

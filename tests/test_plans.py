@@ -364,6 +364,33 @@ def test_word_dictionary_broadcast_flagged(spark, sf_dir):
         )
         flagged2 = broadcast_audit(docw.join(F.broadcast(vocab_sentinel), "w"))
         assert flagged2 and "documents" in flagged2[0], flagged2
+        # negative control 3 (ADVICE r9): a join-residual null check on a
+        # NON-text column mixed into the sentinel condition must not
+        # rescue it — isnotnull(doc_id) is planner noise, the only real
+        # predicate is still the unbounded text sentinel
+        vocab_mixed = (
+            docw.filter(F.col("doc_id").isNotNull() & ~F.col("w").contains("\x1f"))
+            .groupBy("w")
+            .agg(F.count("*").alias("n"))
+        )
+        flagged3 = broadcast_audit(docw.join(F.broadcast(vocab_mixed), "w"))
+        assert flagged3 and "documents" in flagged3[0], flagged3
+        # negative control 4 (ADVICE r9): unparseable aggregate keys must
+        # fail toward UNBOUNDED — a bounded lang-keyed rollup is normally
+        # accepted, but if its keys cannot be parsed the audit must flag
+        # rather than silently pass
+        import utils_spark.plans as plans_mod
+
+        lang_counts = d.groupBy("lang").agg(F.count("*").alias("n"))
+        probe = d.join(F.broadcast(lang_counts), "lang")
+        assert broadcast_audit(probe) == []
+        orig = plans_mod._agg_keys
+        plans_mod._agg_keys = lambda node: None
+        try:
+            flagged4 = broadcast_audit(probe)
+            assert flagged4 and "documents" in flagged4[0], flagged4
+        finally:
+            plans_mod._agg_keys = orig
         # positive control: an explicit top-K Limit bounds the dictionary
         # at any corpus size — accepted
         topk = vocab.orderBy(F.desc("n"), F.asc("w")).limit(1024)

@@ -70,9 +70,15 @@ def bigram_lm_scores(
     ``max_ngrams`` entries per order (count-cutoff pruning, Brants et
     al. 2007 — an uncapped n-gram table grows with the reference corpus
     and would OOM the broadcast) — the capped model broadcasts bounded,
-    so corpus scoring is map-only plus one per-key combine; capped-out
-    bigrams hit the add-k smoothing floor exactly like unseen ones. V is
-    the CAPPED vocabulary size (the model's actual support)."""
+    so corpus scoring is map-only plus one per-key combine. Pruning is
+    NESTED: a capped bigram survives only if its context unigram w1 also
+    survived, so a matched bigram always has a matched denominator and
+    P(w2|w1) = (c12+k)/(c1+kV) ≤ (c1+k)/(c1+kV) < 1 — without the
+    nesting, a surviving (w1,w2) whose w1 was capped out would score
+    (c12+k)/(kV), which can exceed 1 (negative cross-entropy
+    contributions). Capped-out bigrams hit the add-k smoothing floor
+    exactly like unseen ones. V is the CAPPED vocabulary size (the
+    model's actual support)."""
     if max_ngrams is None:
         max_ngrams = LM_MAX_NGRAMS
     toks = word_tokens(text_col)
@@ -95,7 +101,7 @@ def bigram_lm_scores(
         "__bi_c",
         ["w1", "w2"],
         max_ngrams,
-    )
+    ).join(uni.select("w1"), "w1", "left_semi")
     docbi = doc.select(
         key_col, F.explode(_bigram_structs("__toks")).alias("bg")
     ).select(key_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
@@ -595,10 +601,16 @@ def trigram_backoff_scores(
     prune by count at web scale; n-gram TYPE counts grow with the
     reference corpus, so uncapped tables are a broadcast OOM), then
     broadcast; corpus scoring is map-only joins plus one per-key
-    combine. Capped-out n-grams take the backoff branches exactly as
-    unseen ones — the designed degradation. N (the unigram-floor
-    denominator) is the FULL reference token count, computed before the
-    cap."""
+    combine. Pruning is NESTED across orders: a capped bigram survives
+    only if its context unigram b1 also survived, a capped trigram only
+    if its (t1,t2) prefix bigram survived — so whenever a branch's
+    numerator matches, its denominator is guaranteed non-NULL (without
+    the nesting, a trigram surviving the tri cap while its prefix
+    bigram was capped out scores c3/NULL → NULL and silently drops out
+    of the AVG while still counting in n_trigrams). Capped-out n-grams
+    take the backoff branches exactly as unseen ones — the designed
+    degradation. N (the unigram-floor denominator) is the FULL reference
+    token count, computed before the cap."""
     if max_ngrams is None:
         max_ngrams = LM_MAX_NGRAMS
     toks = word_tokens(text_col)
@@ -615,7 +627,7 @@ def trigram_backoff_scores(
         "__c2",
         ["b1", "b2"],
         max_ngrams,
-    )
+    ).join(uni.select(F.col("u1").alias("b1")), "b1", "left_semi")
     tri = _top_ngrams(
         reft.select(F.explode(_trigram_structs("__toks")).alias("tg"))
         .groupBy(
@@ -625,6 +637,8 @@ def trigram_backoff_scores(
         "__c3",
         ["t1", "t2", "t3"],
         max_ngrams,
+    ).join(
+        bi.select(F.col("b1").alias("t1"), F.col("b2").alias("t2")), ["t1", "t2"], "left_semi"
     )
     doc = (
         df.select(key_col, toks.alias("__toks"))

@@ -82,8 +82,12 @@ _ATTR_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#\d+")
 
 def _agg_keys(node) -> list[str] | None:
     """Grouping-key attribute names of an Aggregate physical node, or None
-    if they can't be parsed (conservatively treated as bounded)."""
-    s = node.simpleString(4000)
+    if they can't be parsed (treated as UNBOUNDED by ``_is_reducing`` —
+    the safe direction for an audit; a truncated keys=[...] list must
+    never let a wide word-keyed aggregate pass as a cardinality bound).
+    maxFields is large enough that no registered plan's key list
+    truncates in practice."""
+    s = node.simpleString(65536)
     m = re.search(r"keys=\[([^\]]*)\]", s)
     if m is None:
         return None
@@ -124,14 +128,21 @@ def _is_reducing(node) -> bool:
     if "Aggregate" in name:
         keys = _agg_keys(node)
         if keys is None:
-            return True
+            # unparseable keys (e.g. simpleString truncation) must fail
+            # toward UNBOUNDED — the permissive direction would let a
+            # wide word-keyed aggregate pass the broadcast contract
+            return False
         return not any(_UNBOUNDED_AGG_KEY_RE.match(k) for k in keys)
     if name == "Filter":
-        cond = node.simpleString(4000)
+        cond = node.simpleString(65536)
         cond = cond.split("Filter", 1)[1] if "Filter" in cond else cond
         if _NULLCHECK_RE.sub("", cond) == "":
             return False
-        attrs = _ATTR_RE.findall(cond)
+        # Strip null/NaN-check predicates FIRST: join-residual
+        # ``isnotnull(doc_id)`` noise must not rescue a condition whose
+        # only REAL predicate is a text sentinel (``NOT contains(w,...)``)
+        # — the all-text-named test applies to the remaining predicates.
+        attrs = _ATTR_RE.findall(re.sub(r"isnotnull\([^)]*\)|isnan\([^)]*\)", "", cond))
         if attrs and all(_UNBOUNDED_TEXT_RE.match(a) for a in attrs):
             return False
         return True

@@ -1018,10 +1018,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: token explode shuffles (doc, term) pairs once; the df
     table is VOCABULARY-sized — unbounded under Heaps' law at corpus
-    scale, so it joins back on the term key as a plain shuffle join
-    (tf is already term-partitioned from its own aggregation; never a
-    broadcast); per-doc top-k is a bounded window. Rounded before
-    ranking for engine-stable ordering."""
+    scale, so it joins back on the term key as a plain shuffle join,
+    never a broadcast. That join DOES reshuffle both sides: tf is
+    hash-partitioned on its (doc_id, term) grouping keys, not on term
+    alone, so no co-partitioning is reusable here — the cost is one
+    extra term-keyed exchange of the tf table, which is the correct
+    price for removing the unbounded df broadcast. Per-doc top-k is a
+    bounded window. Rounded before ranking for engine-stable
+    ordering."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
@@ -2401,10 +2405,14 @@ def _lm_perplexity_oracle(max_ngrams: int | None) -> str:
       GROUP BY 1, 2
     ),
     bi AS (
-      SELECT w1, w2, c FROM (
+      -- nested pruning: a capped bigram survives only if its context
+      -- unigram w1 survived the unigram cap (keeps the smoothing
+      -- denominator's support aligned with the numerator's)
+      SELECT b.w1, b.w2, b.c FROM (
         SELECT w1, w2, c, row_number() OVER (ORDER BY c DESC, w1 ASC, w2 ASC) AS rk
-        FROM bi_all)
-      WHERE rk <= {k}
+        FROM bi_all) b
+      JOIN uni u ON u.w = b.w1
+      WHERE b.rk <= {k}
     ),
     docbi AS (
       SELECT doc_id, lang, bg.w1 AS w1, bg.w2 AS w2
@@ -3481,10 +3489,14 @@ def _lm_trigram_oracle(max_ngrams: int | None) -> str:
       WHERE len(t) >= 2 GROUP BY 1, 2
     ),
     bi AS (
-      SELECT w1, w2, c2 FROM (
+      -- nested pruning: a capped bigram survives only if its context
+      -- unigram w1 survived the unigram cap (branch-2 denominator
+      -- c1(w2) is then guaranteed present whenever c2(w2,w3) matches)
+      SELECT b.w1, b.w2, b.c2 FROM (
         SELECT w1, w2, c2, row_number() OVER (ORDER BY c2 DESC, w1 ASC, w2 ASC) AS rk
-        FROM bi_all)
-      WHERE rk <= {k}
+        FROM bi_all) b
+      JOIN uni u ON u.w = b.w1
+      WHERE b.rk <= {k}
     ),
     tri_all AS (
       SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3, COUNT(*) AS c3
@@ -3492,11 +3504,15 @@ def _lm_trigram_oracle(max_ngrams: int | None) -> str:
       WHERE len(t) >= 3 GROUP BY 1, 2, 3
     ),
     tri AS (
-      SELECT w1, w2, w3, c3 FROM (
+      -- nested pruning: a capped trigram survives only if its (w1,w2)
+      -- prefix bigram survived (branch-1 denominator c2(w1,w2) is then
+      -- guaranteed present whenever c3 matches)
+      SELECT tr.w1, tr.w2, tr.w3, tr.c3 FROM (
         SELECT w1, w2, w3, c3,
                row_number() OVER (ORDER BY c3 DESC, w1 ASC, w2 ASC, w3 ASC) AS rk
-        FROM tri_all)
-      WHERE rk <= {k}
+        FROM tri_all) tr
+      JOIN bi p ON p.w1 = tr.w1 AND p.w2 = tr.w2
+      WHERE tr.rk <= {k}
     ),
     docs3 AS (
       SELECT doc_id, source, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
