@@ -421,6 +421,16 @@ def _unigram_seed(words: DataFrame) -> DataFrame:
     )
 
 
+# One mid-chain lineage cut between the Viterbi forward (dp/backpointer)
+# and backward (on-path) passes: the unrolled chain's recursive column
+# references make Catalyst's optimization of the FULL ~90-projection plan
+# superlinear in depth (~10 s of pure planning per EM round, BENCH_NOTES),
+# so materializing the bounded (w, n, k_1..k_MAXLEN) backpointer table
+# halves the composed depth. The flag exists only so the equivalence test
+# can run both shapes; production value is fixed.
+UNIGRAM_CHAIN_CUT = True
+
+
 def _viterbi_chain(words: DataFrame, vocab: DataFrame):
     """Per word, the max-log-prob segmentation under the current piece
     table, as an UNROLLED relational Viterbi — dp/backpointer columns for
@@ -438,7 +448,10 @@ def _viterbi_chain(words: DataFrame, vocab: DataFrame):
     level: an exponentially-growing predicate tree that OOMs the driver
     during optimization (observed: heap exhaustion inside
     PushPredicateThroughNonJoin.trimAliases). Inline generators skip
-    that rule."""
+    that rule. With ``UNIGRAM_CHAIN_CUT`` the backpointer table is
+    checkpointed between the passes (dp/__m columns dropped first, so
+    the materialized rows are (w, n, MAXLEN ints) — never the per-row
+    vocab map); values are bit-identical either way."""
     NEG = F.lit(-1.0e9)
     vmap = vocab.agg(
         F.map_from_entries(F.collect_list(F.struct("piece", "logp"))).alias("__m")
@@ -460,6 +473,11 @@ def _viterbi_chain(words: DataFrame, vocab: DataFrame):
             cond = cands[k - 1] == F.col(f"dp_{i}")
             kc = F.when(cond, k) if kc is None else kc.when(cond, k)
         cur = cur.withColumn(f"k_{i}", kc.otherwise(1))
+    if UNIGRAM_CHAIN_CUT:
+        from utils_spark.plans import cut_lineage
+
+        keep = [c for c in cur.columns if not c.startswith("dp_") and c != "__m"]
+        cur = cut_lineage(cur.select(*keep))
     for i in range(UNIGRAM_MAXLEN, 0, -1):
         on = F.length("w") == i
         for k in range(1, UNIGRAM_MAXP + 1):
