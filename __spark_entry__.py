@@ -161,6 +161,14 @@ _PRIORITY = (
     "top_revenue_supplier",  # r5
     "important_part_values",  # r5
     "semantic_dedup_keep",  # r5
+    # round-10 additions (VERDICT r9 soft-unfreeze: inserted BELOW the
+    # stale r3/r4/r5 block — tier 5.5 in tools/gen_priority.py — so they
+    # never displace old evidence; sampled once the backlog clears)
+    "suffix_lcp_dedup",  # new
+    "margin_bitext_mining",  # new
+    "count_mean_sketch_frequency",  # new
+    "split_leakage_audit",  # new
+    "pretokenizer_token_counts",  # new
     "support_filter",  # r6
     "binned_agg",  # r6
     "grouping_sets_cube",  # r6

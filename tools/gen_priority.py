@@ -40,9 +40,22 @@ def evidence() -> dict[str, int | None]:
     return {q: latest.get(q) for q in load_all()}
 
 
+# Never-sampled queries rank BETWEEN r5 and r6 evidence, not first:
+# VERDICT r9 soft-unfreeze rule — new round-10+ queries are inserted BELOW
+# the stale r3/r4/r5 block so they never displace old evidence, and are
+# picked up naturally once that backlog clears (they still outrank every
+# round ≥ 6). Before round 10 every registered query had been sampled at
+# least once, so this tier only ever holds post-freeze additions.
+NEW_QUERY_TIER = 5.5
+
+
+def stale_key(ev_round: int | None) -> float:
+    return NEW_QUERY_TIER if ev_round is None else float(ev_round)
+
+
 def stale_order(ev: dict[str, int | None]) -> list[str]:
-    """Never-sampled first (registry order), then oldest-latest-green."""
-    return sorted(ev, key=lambda q: (ev[q] is not None, ev[q] or 0))
+    """Oldest-latest-green first; never-sampled at NEW_QUERY_TIER."""
+    return sorted(ev, key=lambda q: stale_key(ev[q]))
 
 
 def main() -> None:
@@ -58,25 +71,21 @@ def main() -> None:
         import __spark_entry__ as E
 
         prefix = set(list(E.queries())[:50])
-        want = set(order[:50])
         # ties at the 50-boundary: accept any prefix drawn from queries at
-        # most as fresh as the 50th-stalest round
-        cut = ev[order[49]]
-        eligible = {q for q in ev if ev[q] is None or (cut is not None and ev[q] <= cut)}
+        # most as stale-ranked as the 50th-stalest (never-sampled queries
+        # rank at NEW_QUERY_TIER per the VERDICT r9 soft-unfreeze rule)
+        cut = stale_key(ev[order[49]])
+        eligible = {q for q in ev if stale_key(ev[q]) <= cut}
         bad = prefix - eligible
-        missing_never = {q for q in ev if ev[q] is None} - prefix
-        if bad or missing_never:
+        if bad:
             print(f"STALE-ROTATION CHECK FAILED", file=sys.stderr)
-            if bad:
-                print(f"  fresher-than-needed in prefix: {sorted(bad)}", file=sys.stderr)
-            if missing_never:
-                print(f"  never-sampled NOT in prefix: {sorted(missing_never)}", file=sys.stderr)
+            print(f"  fresher-than-needed in prefix: {sorted(bad)}", file=sys.stderr)
             sys.exit(1)
         print("rotation check OK: 50-prefix covers the stalest evidence", file=sys.stderr)
         return
 
     for q in order:
-        tag = "never" if ev[q] is None else f"r{ev[q]}"
+        tag = "new" if ev[q] is None else f"r{ev[q]}"
         print(f'    "{q}",  # {tag}')
 
 

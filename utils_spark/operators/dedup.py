@@ -534,3 +534,133 @@ def substring_window_duplicates(
             (F.coalesce("n_dup_windows", F.lit(0)) == 0).alias("keep"),
         )
     )
+
+
+def suffix_lcp_spans(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    max_len: int = 120,
+    bucket_chars: int = 20,
+    min_span: int = 40,
+) -> DataFrame:
+    """Maximal duplicated-span length per document — the suffix-array+LCP
+    measurement of Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better") that fixed-window fingerprints
+    (``substring_window_duplicates``) cannot give: for every document,
+    the length in CHARACTERS of its longest substring (starting at a
+    word boundary, normalized single-space join, capped at ``max_len``)
+    that also appears in a DIFFERENT document. Returns one row per
+    document with >=1 token: (key, n_suffixes, max_dup_span, is_dup)
+    with is_dup = max_dup_span >= min_span.
+
+    Distributed SA+LCP recipe: explode per-word-boundary suffixes capped
+    to ``max_len`` chars; range-partition by the first ``bucket_chars``
+    chars (two suffixes with LCP >= bucket_chars necessarily share a
+    bucket, so spans >= min_span > bucket_chars are found EXACTLY; spans
+    shorter than bucket_chars floor to whatever in-bucket neighbor
+    exists); sort within bucket. In sorted order LCP(a, c) =
+    min(adjacent LCPs between a..c), so a suffix's best cross-document
+    partner is its NEAREST different-document neighbor — and collapsing
+    same-document stretches into RUNS, that neighbor is the last/first
+    suffix of the adjacent run: only each run's first row (vs the
+    previous run's last) and last row (vs the next run's first) can
+    carry the per-run maximum. The LCP itself is a JVM column expression
+    — per-position single-char equality, first mismatch position — O(L)
+    char compares per boundary, no UDF; single-run buckets (no
+    different-doc neighbor at all) are filtered out before the LCP is
+    evaluated.
+
+    Scale shape: one (key, suffix) distinct shuffle, one bucket-keyed
+    window sort, one (bucket, run) aggregation, two lag/leads over the
+    per-run table (run count <= suffix count), one doc-keyed rollup.
+    Never doc x doc. Honest caveat: bucket size follows the corpus's
+    prefix distribution — boilerplate-heavy corpora make hot buckets
+    (same skew class as sorted-neighborhood dedup); raise bucket_chars
+    to split them (any value < min_span keeps exactness).
+    """
+    from utils_spark.functions import word_tokens
+
+    # suffix construction is CPU-bound map work (O(tokens x tail-join)
+    # per doc); a single-file local scan arrives as 1-2 partitions and
+    # would serialize it — spread only when scan parallelism is low
+    # (same guard as substring_window_duplicates)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, par // 2):
+        df = df.repartition(par)
+    toks = word_tokens(text_col)
+    n = F.size(toks)
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.expr("array()").cast("array<int>")
+    )
+    sfx_arr = F.transform(
+        idx,
+        lambda i: F.substring(
+            F.array_join(F.slice(toks, i, n - i + F.lit(1)), " "), 1, max_len
+        ),
+    )
+    suf = (
+        df.select(F.col(key_col).alias("__k"), F.explode(sfx_arr).alias("sfx"))
+        .distinct()
+        .withColumn("bkt", F.substring("sfx", 1, bucket_chars))
+    )
+    w = Window.partitionBy("bkt").orderBy("sfx", "__k")
+    chg = (
+        F.lag("__k").over(w).isNull() | (F.col("__k") != F.lag("__k").over(w))
+    ).cast("long")
+    runs = (
+        suf.withColumn(
+            "run_id",
+            F.sum(chg).over(
+                Window.partitionBy("bkt")
+                .orderBy("sfx", "__k")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("bkt", "run_id")
+        .agg(
+            F.first("__k").alias("__k"),
+            F.min("sfx").alias("first_sfx"),
+            F.max("sfx").alias("last_sfx"),
+        )
+    )
+    wr = Window.partitionBy("bkt").orderBy("run_id")
+
+    def lcp(a, b):
+        # position of the first per-char mismatch, minus one — O(max_len)
+        # single-char compares (prefix equality is monotone, so the first
+        # mismatch at position p means LCP = p-1); no mismatch in
+        # 1..max_len means one string is a prefix of the other (substr
+        # past the end yields '' on both sides) -> LCP = shorter length
+        mism = F.array_position(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(max_len)),
+                lambda i: a.substr(i, F.lit(1)) == b.substr(i, F.lit(1)),
+            ),
+            False,
+        )
+        fold = F.when(mism == 0, F.least(F.length(a), F.length(b))).otherwise(mism - 1)
+        return F.when(b.isNull(), F.lit(0)).otherwise(fold)
+
+    nbr = runs.select(
+        "__k",
+        "first_sfx",
+        "last_sfx",
+        F.lag("last_sfx").over(wr).alias("prev_last"),
+        F.lead("first_sfx").over(wr).alias("next_first"),
+    ).filter(F.col("prev_last").isNotNull() | F.col("next_first").isNotNull())
+    spans = nbr.select(
+        "__k",
+        F.greatest(
+            lcp(F.col("first_sfx"), F.col("prev_last")),
+            lcp(F.col("last_sfx"), F.col("next_first")),
+        ).alias("span"),
+    )
+    per_doc = spans.groupBy("__k").agg(F.max("span").alias("max_dup_span"))
+    counts = suf.groupBy("__k").agg(F.count("*").alias("n_suffixes"))
+    return counts.join(per_doc, "__k", "left").select(
+        F.col("__k").alias(key_col),
+        F.col("n_suffixes").cast("long").alias("n_suffixes"),
+        F.coalesce("max_dup_span", F.lit(0)).cast("long").alias("max_dup_span"),
+        (F.coalesce("max_dup_span", F.lit(0)) >= min_span).alias("is_dup"),
+    )

@@ -4839,3 +4839,337 @@ def curriculum_length_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("stage").cast("int").alias("stage"),
         "n_docs", "min_chars", "max_chars", "mean_chars", "n_langs", "n_sources",
     )
+
+
+@register(
+    "suffix_lcp_dedup",
+    # suffix-array+LCP maximal duplicated span (Lee et al. 2021) — the
+    # measurement the fixed-30-token-window dedup can't give: per doc,
+    # the exact character length of its longest word-boundary substring
+    # (single-space normalized, capped at 120 chars) shared with a
+    # DIFFERENT doc. Bucketed by 20-char prefix (exact for spans >= 20;
+    # is_dup threshold 40), nearest-different-doc neighbor via run
+    # collapse in sorted suffix order.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ),
+    suf AS (
+      SELECT DISTINCT doc_id,
+             substr(array_to_string(t[i:len(t)], ' '), 1, 120) AS sfx
+      FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)
+    ),
+    b AS (SELECT doc_id, sfx, substr(sfx, 1, 20) AS bkt FROM suf),
+    seq AS (
+      SELECT doc_id, sfx, bkt,
+             CASE WHEN lag(doc_id) OVER w IS NULL
+                    OR lag(doc_id) OVER w <> doc_id THEN 1 ELSE 0 END AS chg
+      FROM b WINDOW w AS (PARTITION BY bkt ORDER BY sfx, doc_id)
+    ),
+    runs0 AS (
+      SELECT doc_id, sfx, bkt,
+             SUM(chg) OVER (PARTITION BY bkt ORDER BY sfx, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM seq
+    ),
+    runs AS (
+      SELECT bkt, run_id, ANY_VALUE(doc_id) AS doc_id,
+             MIN(sfx) AS first_sfx, MAX(sfx) AS last_sfx
+      FROM runs0 GROUP BY bkt, run_id
+    ),
+    nbr AS (
+      SELECT doc_id, first_sfx, last_sfx,
+             lag(last_sfx) OVER w2 AS prev_last,
+             lead(first_sfx) OVER w2 AS next_first
+      FROM runs WINDOW w2 AS (PARTITION BY bkt ORDER BY run_id)
+    ),
+    lcps AS (
+      -- LCP = first per-char mismatch position minus one (prefix
+      -- equality is monotone); no mismatch in 1..120 means one string
+      -- prefixes the other -> LCP = shorter length
+      SELECT doc_id, GREATEST(
+        CASE WHEN prev_last IS NULL THEN 0 ELSE COALESCE(
+          -- list_position yields 0 (not NULL) when absent -> NULLIF
+          NULLIF(list_position(list_transform(range(1, 121), i ->
+            substr(first_sfx, CAST(i AS INT), 1) =
+            substr(prev_last, CAST(i AS INT), 1)), false), 0) - 1,
+          LEAST(length(first_sfx), length(prev_last))) END,
+        CASE WHEN next_first IS NULL THEN 0 ELSE COALESCE(
+          NULLIF(list_position(list_transform(range(1, 121), i ->
+            substr(last_sfx, CAST(i AS INT), 1) =
+            substr(next_first, CAST(i AS INT), 1)), false), 0) - 1,
+          LEAST(length(last_sfx), length(next_first))) END
+      ) AS span
+      FROM nbr
+      WHERE prev_last IS NOT NULL OR next_first IS NOT NULL
+    ),
+    per_doc AS (SELECT doc_id, MAX(span) AS span FROM lcps GROUP BY doc_id),
+    counts AS (SELECT doc_id, COUNT(*) AS n_suffixes FROM suf GROUP BY doc_id)
+    SELECT c.doc_id,
+           CAST(c.n_suffixes AS BIGINT) AS n_suffixes,
+           CAST(COALESCE(p.span, 0) AS BIGINT) AS max_dup_span,
+           COALESCE(p.span, 0) >= 40 AS is_dup
+    FROM counts c LEFT JOIN per_doc p USING (doc_id)
+    """,
+    tags=("text", "dedup", "llm-pipeline", "suffix-array", "lcp"),
+)
+def suffix_lcp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-span dedup (Lee et al. 2021's suffix-array+LCP
+    measurement, VERDICT r9's sanctioned longer-window variant of
+    exact-substring dedup): per document, the exact character length of
+    the longest word-boundary substring it shares with ANOTHER document
+    — `exact_substring_dedup`'s fixed 30-token windows answer "is there
+    a >=30-token repeat?", this answers "how long is the longest
+    repeat?", the signal used to pick dedup thresholds in the paper.
+
+    Scale shape: see ``operators.dedup.suffix_lcp_spans`` — per-word
+    suffixes capped to 120 chars, range-partitioned by 20-char prefix
+    (exact for spans >= 20), nearest-different-doc LCP via run collapse
+    in sorted order (the SA adjacency property), one doc-keyed rollup.
+    All LCPs are JVM column folds; never doc x doc."""
+    from utils_spark.operators.dedup import suffix_lcp_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return suffix_lcp_spans(d, "text", "doc_id", max_len=120, bucket_chars=20, min_span=40)
+
+
+@register(
+    "count_mean_sketch_frequency",
+    # count-MEAN sketch frequency estimation (the debiased-mean sketch of
+    # Apple's private telemetry CMS, Differential Privacy Team 2017 —
+    # here the sketch/debias infrastructure with the privacy noise
+    # omitted, so both engines build the byte-identical sketch): k=3
+    # md5-derived hash rows x m=1024 counters; every word occurrence
+    # increments one counter per row; the estimate for a word is the
+    # mean over rows of (counter - N/m) * m/(m-1), which is unbiased
+    # under pairwise-independent hashing. Reported for the top-20 words
+    # (true count desc, word asc) with the true count alongside.
+    oracle="""
+    WITH occ AS (
+      SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    wc AS (SELECT w, COUNT(*) AS n FROM occ GROUP BY w),
+    total AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn FROM wc),
+    sketch AS (
+      SELECT t.j, CAST(('0x' || substr(md5(wc.w || '#' || t.j), 1, 15)) AS BIGINT) % 1024 AS p,
+             SUM(wc.n) AS c
+      FROM wc, UNNEST([0, 1, 2]) AS t(j)
+      GROUP BY 1, 2
+    ),
+    topw AS (
+      SELECT w, n FROM wc ORDER BY n DESC, w ASC LIMIT 20
+    ),
+    probe AS (
+      SELECT tw.w, tw.n, t.j,
+             CAST(('0x' || substr(md5(tw.w || '#' || t.j), 1, 15)) AS BIGINT) % 1024 AS p
+      FROM topw tw, UNNEST([0, 1, 2]) AS t(j)
+    ),
+    est AS (
+      SELECT pr.w, pr.n,
+             AVG((COALESCE(sk.c, 0) - tt.nn / 1024) * 1024.0 / 1023.0) AS e
+      FROM probe pr LEFT JOIN sketch sk ON sk.j = pr.j AND sk.p = pr.p
+      CROSS JOIN total tt
+      GROUP BY pr.w, pr.n
+    )
+    SELECT w AS word, CAST(n AS BIGINT) AS true_count,
+           ROUND(e, 6) AS cms_estimate,
+           ROUND(ABS(e - n), 6) AS abs_err
+    FROM est
+    """,
+    tags=("text", "llm-pipeline", "sketch", "frequency", "cms"),
+)
+def count_mean_sketch_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-mean-sketch word-frequency estimation — the debiased-mean
+    cousin of `countmin_heavy_hitters` (count-min takes the MIN over
+    rows and overestimates; count-mean subtracts the expected collision
+    mass N/m and averages, the estimator of Apple's CMS telemetry
+    paper). The registered query reports sketch estimates vs true
+    counts for the top-20 words, making the sketch's error directly
+    visible and hash-exact cross-engine (positions are deterministic
+    md5 arithmetic — the `bloom_decontamination` discipline; the
+    randomized-response privacy layer is deliberately omitted).
+
+    Scale shape: the sketch is ONE aggregation keyed by (row, bucket) —
+    at most k x m = 3,072 cells regardless of corpus size — built from
+    the word-count table, so the corpus is touched once (word-keyed
+    shuffle, the same cost as exact counting; the sketch's win at 100 TB
+    is the ~24 KB mergeable state that replaces the unbounded word table
+    in DOWNSTREAM consumers and stream checkpoints). Probing broadcasts
+    the bounded sketch. Never a word-table broadcast."""
+    m, rows = 1024, 3
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(word_tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    total = wc.agg(F.sum("n").cast("double").alias("nn"))
+    j = F.explode(F.array(*[F.lit(i) for i in range(rows)])).alias("j")
+    pos = F.pmod(md5_long(F.concat_ws("#", F.col("w"), F.col("j"))), F.lit(m))
+    sketch = (
+        wc.select("w", "n", j)
+        .select(F.col("j"), pos.alias("p"), F.col("n"))
+        .groupBy("j", "p")
+        .agg(F.sum("n").alias("c"))
+    )
+    topw = wc.orderBy(F.desc("n"), F.asc("w")).limit(20)
+    probe = topw.select("w", "n", j).select("w", "n", "j", pos.alias("p"))
+    est = (
+        probe.join(F.broadcast(sketch), ["j", "p"], "left")
+        .crossJoin(F.broadcast(total))
+        .groupBy("w", "n")
+        .agg(
+            F.avg(
+                (F.coalesce("c", F.lit(0)) - F.col("nn") / m) * m / (m - 1)
+            ).alias("e")
+        )
+    )
+    return est.select(
+        F.col("w").alias("word"),
+        F.col("n").cast("long").alias("true_count"),
+        F.round("e", 6).alias("cms_estimate"),
+        F.round(F.abs(F.col("e") - F.col("n")), 6).alias("abs_err"),
+    )
+
+
+@register(
+    "split_leakage_audit",
+    # leakage-safe train/val splitting + contamination audit: the split
+    # is assigned by SOURCE hash (GroupShuffleSplit semantics — all docs
+    # of a source land on the same side, so near-duplicate families that
+    # cluster within a source cannot straddle the boundary by
+    # construction), then the audit counts the leakage that GROUPING
+    # alone cannot prevent: exact-content fingerprints (md5 of trimmed
+    # text) present on BOTH sides. Deterministic md5 split → hash-exact
+    # cross-engine.
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, source, md5(trim(text)) AS fp,
+             CASE WHEN CAST(('0x' || substr(md5(source), 1, 15)) AS BIGINT) % 10 < 8
+                  THEN 'train' ELSE 'val' END AS split
+      FROM documents
+    ),
+    sides AS (
+      SELECT fp,
+             SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+             SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS n_val
+      FROM docs GROUP BY fp
+    ),
+    flagged AS (
+      SELECT d.split, d.doc_id, d.fp,
+             CASE WHEN s.n_train > 0 AND s.n_val > 0 THEN 1 ELSE 0 END AS leaked
+      FROM docs d JOIN sides s USING (fp)
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fingerprints,
+           CAST(SUM(leaked) AS BIGINT) AS n_leaked_docs,
+           ROUND(SUM(leaked) * 1.0 / COUNT(*), 6) AS leak_rate
+    FROM flagged GROUP BY split
+    """,
+    tags=("text", "llm-pipeline", "split", "leakage", "dedup"),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe holdout splitting with a contamination audit — the
+    eval-hygiene step of a training pipeline: assign train/val by a
+    deterministic hash of the GROUPING key (source), so correlated
+    near-duplicates within a source can never straddle the split, then
+    measure what grouping cannot prevent — exact-content fingerprints
+    appearing on both sides (the signal that two sources carry copies
+    of the same document and the val set is contaminated).
+
+    Scale shape: the split is a map-only hash expression; the audit is
+    one fingerprint-keyed aggregation joined back on the fingerprint
+    and one 2-group rollup — the `exact_dedup` shuffle shape, never
+    doc x doc and no broadcast of corpus-derived state."""
+    d = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        F.pmod(md5_long(F.col("source")), F.lit(10)) < 8, F.lit("train")
+    ).otherwise(F.lit("val"))
+    docs = d.select(
+        "doc_id", F.md5(F.trim("text")).alias("fp"), split.alias("split")
+    )
+    sides = docs.groupBy("fp").agg(
+        F.sum((F.col("split") == "train").cast("int")).alias("n_train"),
+        F.sum((F.col("split") == "val").cast("int")).alias("n_val"),
+    )
+    flagged = docs.join(sides, "fp").select(
+        "split",
+        "fp",
+        ((F.col("n_train") > 0) & (F.col("n_val") > 0)).cast("long").alias("leaked"),
+    )
+    return flagged.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("fp").cast("long").alias("n_fingerprints"),
+        F.sum("leaked").cast("long").alias("n_leaked_docs"),
+        F.round(F.sum("leaked") / F.count("*"), 6).alias("leak_rate"),
+    )
+
+
+@register(
+    "pretokenizer_token_counts",
+    # BPE-style regex pre-tokenization counting (the GPT-2 pre-tokenizer
+    # stage reduced to its three character classes: letter runs, digit
+    # runs, punctuation runs) — token-budget accounting needs pre-token
+    # counts, not whitespace counts, because the pre-tokenizer splits
+    # "don't." into 3 pieces where whitespace sees 1. Per-language
+    # rollup with the pretokens-per-word fertility ratio.
+    oracle="""
+    WITH per_doc AS (
+      SELECT lang,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x <> '')) AS n_ws,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS n_pre,
+             len(regexp_extract_all(text, '[A-Za-z]+')) AS n_alpha,
+             len(regexp_extract_all(text, '[0-9]+')) AS n_num,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]+')) AS n_punct
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_ws) AS BIGINT) AS n_ws_tokens,
+           CAST(SUM(n_pre) AS BIGINT) AS n_pretokens,
+           CAST(SUM(n_alpha) AS BIGINT) AS n_alpha_runs,
+           CAST(SUM(n_num) AS BIGINT) AS n_num_runs,
+           CAST(SUM(n_punct) AS BIGINT) AS n_punct_runs,
+           ROUND(AVG(CASE WHEN n_ws > 0 THEN n_pre * 1.0 / n_ws END), 6) AS avg_fertility
+    FROM per_doc GROUP BY lang
+    """,
+    tags=("text", "llm-pipeline", "tokenizer", "pretokenizer", "counting"),
+)
+def pretokenizer_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex pre-tokenizer counting — the "token counting (whitespace +
+    a BPE-ish regex)" text-analysis primitive: the GPT-2-family
+    pre-tokenizer splits text into letter runs, digit runs, and
+    punctuation runs BEFORE subword merging, so token-budget and
+    fertility accounting must count pre-tokens, not whitespace words.
+    Per-language totals plus the mean per-doc pretokens-per-word
+    fertility.
+
+    Scale shape: map-only regexp_extract_all counting (JVM regex, no
+    Python) + one lang-keyed rollup — a 100 TB corpus is one pass."""
+    d = load_table(spark, sf_dir, "documents")
+    pre = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+    per_doc = d.select(
+        "lang",
+        F.size(word_tokens("text")).alias("n_ws"),
+        F.size(F.regexp_extract_all("text", F.lit(pre), 0)).alias("n_pre"),
+        F.size(F.regexp_extract_all("text", F.lit("[A-Za-z]+"), 0)).alias("n_alpha"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).alias("n_num"),
+        F.size(F.regexp_extract_all("text", F.lit("[^A-Za-z0-9\\s]+"), 0)).alias("n_punct"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_ws").cast("long").alias("n_ws_tokens"),
+        F.sum("n_pre").cast("long").alias("n_pretokens"),
+        F.sum("n_alpha").cast("long").alias("n_alpha_runs"),
+        F.sum("n_num").cast("long").alias("n_num_runs"),
+        F.sum("n_punct").cast("long").alias("n_punct_runs"),
+        F.round(
+            F.avg(F.when(F.col("n_ws") > 0, F.col("n_pre") / F.col("n_ws"))), 6
+        ).alias("avg_fertility"),
+    )

@@ -972,3 +972,142 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim").cast("int").alias("dim"),
         "n", "scale_e6", "mse_e9", "max_abs_err_e6", "within_half_step",
     )
+
+
+@register(
+    "margin_bitext_mining",
+    # margin-criterion parallel-pair mining (Artetxe & Schwenk 2019,
+    # "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    # Embeddings"): labels < 5 play language X, labels >= 5 language Y;
+    # a bounded X query set (vec_id < 40) mines its best Y match by
+    # ratio margin  cos(x,y) / (meanTop4(x->Y)/2 + meanTop4(y->X)/2) —
+    # the margin denominator's y-side kNN runs over the FULL X side, so
+    # the score is the paper's, not a query-set approximation.
+    oracle="""
+    WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE label < 5),
+    y AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE label >= 5),
+    q AS (SELECT * FROM x WHERE vec_id < 40),
+    fwd AS (
+      SELECT q.vec_id AS query_id, y.vec_id AS cand_id,
+             ROUND(list_dot_product(q.v, y.v)
+                   / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(y.v, y.v))),
+                   6) AS cosine
+      FROM q JOIN y ON TRUE
+    ),
+    fwd_rk AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, cand_id) AS rn
+      FROM fwd
+    ),
+    knnx AS (
+      SELECT query_id, ROUND(AVG(cosine), 6) AS knn_x
+      FROM fwd_rk WHERE rn <= 4 GROUP BY query_id
+    ),
+    cands AS (SELECT DISTINCT cand_id FROM fwd_rk WHERE rn <= 4),
+    bwd AS (
+      SELECT c.cand_id, x.vec_id AS xid,
+             ROUND(list_dot_product(y.v, x.v)
+                   / (sqrt(list_dot_product(y.v, y.v)) * sqrt(list_dot_product(x.v, x.v))),
+                   6) AS cosine
+      FROM cands c JOIN y ON y.vec_id = c.cand_id JOIN x ON TRUE
+    ),
+    knny AS (
+      SELECT cand_id, ROUND(AVG(cosine), 6) AS knn_y
+      FROM (SELECT *, row_number() OVER (PARTITION BY cand_id
+                                         ORDER BY cosine DESC, xid) AS rn FROM bwd)
+      WHERE rn <= 4 GROUP BY cand_id
+    ),
+    scored AS (
+      SELECT f.query_id, f.cand_id AS matched_id, f.cosine,
+             CASE WHEN (kx.knn_x / 2 + ky.knn_y / 2) > 0
+                  THEN ROUND(f.cosine / (kx.knn_x / 2 + ky.knn_y / 2), 6)
+             END AS margin
+      FROM fwd_rk f JOIN knnx kx USING (query_id) JOIN knny ky ON ky.cand_id = f.cand_id
+      WHERE f.rn <= 4
+    )
+    SELECT query_id, matched_id, cosine, margin, margin > 1.0 AS is_mined
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY margin DESC, matched_id) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+    tags=("vector", "similarity", "llm-pipeline", "bitext", "mining"),
+)
+def margin_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-criterion bitext mining (Artetxe & Schwenk 2019) — the
+    embedding-based parallel-pair miner of the CCMatrix/LASER pipelines:
+    raw cosine over-selects hub vectors, so candidates are scored by the
+    RATIO margin cos(x,y) / (mean of x's top-k cosines into Y / 2 + mean
+    of y's top-k cosines into X / 2) and a pair is mined when its margin
+    exceeds 1 (y is closer to x than y's other neighbors are). Labels
+    partition the fixture into the two "languages".
+
+    Scale shape: the bounded query set broadcasts against the streaming
+    Y side (the cosine_topk two-stage top-k pattern); the backward kNN
+    runs the bounded candidate set (queries x k rows) against the
+    streaming X side the same way — both passes are
+    broadcast-bounded-side x streamed-corpus, never corpus x corpus. At
+    full corpus-to-corpus mining scale the candidate generator swaps for
+    the IVF/LSH route (`ann_ivf_bucketed`); the margin arithmetic is
+    unchanged. Cosines rounded to 6dp before ranking/averaging for
+    engine-stable order."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.filter(F.col("label") < 5).select(
+        F.col("vec_id").alias("xid"), to_double_array("embedding").alias("xv")
+    )
+    y = e.filter(F.col("label") >= 5).select(
+        F.col("vec_id").alias("yid"), to_double_array("embedding").alias("yv")
+    )
+    q = x.filter(F.col("xid") < 40).select(
+        F.col("xid").alias("query_id"), F.col("xv").alias("qv")
+    )
+    k = 4
+    fwd = (
+        F.broadcast(q)
+        .join(y, F.lit(True))
+        .select(
+            "query_id",
+            F.col("yid").alias("cand_id"),
+            F.round(cosine_similarity(F.col("qv"), F.col("yv")), 6).alias("cosine"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    fwd_rk = fwd.withColumn("rn", F.row_number().over(wq)).filter(F.col("rn") <= k)
+    knnx = fwd_rk.groupBy("query_id").agg(F.round(F.avg("cosine"), 6).alias("knn_x"))
+    cands = fwd_rk.select("cand_id").distinct().join(
+        y, F.col("cand_id") == F.col("yid")
+    ).select("cand_id", "yv")
+    bwd = (
+        F.broadcast(cands)
+        .join(x, F.lit(True))
+        .select(
+            "cand_id",
+            "xid",
+            F.round(cosine_similarity(F.col("yv"), F.col("xv")), 6).alias("cosine"),
+        )
+    )
+    wc = Window.partitionBy("cand_id").orderBy(F.desc("cosine"), F.asc("xid"))
+    knny = (
+        bwd.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= k)
+        .groupBy("cand_id")
+        .agg(F.round(F.avg("cosine"), 6).alias("knn_y"))
+    )
+    denom = F.col("knn_x") / 2 + F.col("knn_y") / 2
+    scored = (
+        fwd_rk.join(knnx, "query_id")
+        .join(knny, "cand_id")
+        .select(
+            "query_id",
+            F.col("cand_id").alias("matched_id"),
+            "cosine",
+            F.when(denom > 0, F.round(F.col("cosine") / denom, 6)).alias("margin"),
+        )
+    )
+    wm = Window.partitionBy("query_id").orderBy(F.desc("margin"), F.asc("matched_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .withColumn("is_mined", F.col("margin") > 1.0)
+    )
