@@ -169,6 +169,7 @@ _PRIORITY = (
     "count_mean_sketch_frequency",  # new
     "split_leakage_audit",  # new
     "pretokenizer_token_counts",  # new
+    "ngram_novelty_curve",  # new
     "support_filter",  # r6
     "binned_agg",  # r6
     "grouping_sets_cube",  # r6

@@ -49,6 +49,8 @@ TRACKED_QUERIES = [
     "louvain_communities",    # iterative KNN→SNN→Louvain (tracks the
                               # cut_lineage flat-sweep + early-stop claims)
     "curation_pipeline",      # north-star e2e: strip→quality→dedup→pack
+    "suffix_lcp_dedup",       # r10: SA+LCP maximal-span dedup (real
+                              # per-core data volume — suffix explode)
 ]
 
 

@@ -1273,3 +1273,63 @@ def test_lm_ngram_cap_forced(spark, duck, sf_dir, monkeypatch):
         assert _normalize(srows, scols) == _normalize(drows, dcols), (
             f"{name}: capped model at K={K} diverged from the small-K oracle"
         )
+
+
+def test_suffix_lcp_spans_brute_force(spark):
+    """suffix_lcp_spans vs a brute-force all-pairs LCP reference on a
+    planted corpus: for every doc, the max LCP between any of its
+    word-boundary suffixes (single-space normalized, capped at max_len)
+    and any suffix of a DIFFERENT doc — independent of the run-collapse
+    algorithm AND the oracle's shared bucketing, so it validates the SA
+    adjacency argument itself. Uses bucket_chars=1 so NO cross-doc pair
+    escapes the bucket partition (every pair with LCP >= 1 shares a
+    first char; LCP=0 pairs can't contribute a positive span)."""
+    from utils_spark.operators.dedup import suffix_lcp_spans
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "prefix words then alpha beta gamma delta end"),   # long overlap
+        (3, "alpha beta gamma delta epsilon zeta"),            # exact dup of 1
+        (4, "unrelated text entirely different tokens"),
+        (5, "zeta zeta zeta zeta"),                            # self-repeat only
+        (6, "gamma delta epsilon"),                            # mid-suffix of 1/3
+    ]
+    MAXLEN, MINSPAN = 30, 10
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in suffix_lcp_spans(
+            df, "text", "doc_id", max_len=MAXLEN, bucket_chars=1, min_span=MINSPAN
+        ).collect()
+    }
+
+    def suffixes(t):
+        w = t.split()
+        return {(" ".join(w[i:]))[:MAXLEN] for i in range(len(w))}
+
+    def lcp(a, b):
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    sfx = {i: suffixes(t) for i, t in docs}
+    for i in sorted(sfx):
+        best = 0
+        for j in sorted(sfx):
+            if j == i:
+                continue
+            for a in sfx[i]:
+                for b in sfx[j]:
+                    best = max(best, lcp(a, b))
+        r = out[i]
+        assert r.n_suffixes == len(sfx[i]), (i, r)
+        assert r.max_dup_span == best, (i, r.max_dup_span, best)
+        assert r.is_dup == (best >= MINSPAN), (i, r)
+    # shape sanity: the exact dup pair saturates the cap; the planted
+    # partial overlap is long but below the cap; self-repeats don't count
+    assert out[1].max_dup_span == MAXLEN and out[3].max_dup_span == MAXLEN
+    assert out[2].is_dup and 10 <= out[2].max_dup_span < MAXLEN
+    assert not out[4].is_dup

@@ -5173,3 +5173,98 @@ def pretokenizer_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.when(F.col("n_ws") > 0, F.col("n_pre") / F.col("n_ws"))), 6
         ).alias("avg_fertility"),
     )
+
+
+@register(
+    "ngram_novelty_curve",
+    # order-aware corpus novelty decay: as a crawl accumulates, what
+    # fraction of each document's 8-gram TYPES is genuinely new (first
+    # occurrence in corpus order)? The curve's slope is the redundancy
+    # signal curation teams watch when deciding how much more of a
+    # source to ingest — distinct from cross_doc_ngram_duplication,
+    # which counts duplication without accumulation order. Docs are
+    # bucketed into ingestion-order deciles ARITHMETICALLY (doc_id
+    # against the max id, a 1-row broadcast) — deliberately not
+    # ntile(), whose global-order window would single-task a
+    # corpus-sized sort.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i : i + 7], ' ') AS g
+      FROM toks, UNNEST(range(1, GREATEST(len(t) - 7, 0) + 1)) AS r(i)
+    ),
+    owner AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g),
+    per_doc AS (
+      SELECT gr.doc_id,
+             COUNT(*) AS n_grams,
+             SUM(CASE WHEN o.first_doc = gr.doc_id THEN 1 ELSE 0 END) AS n_novel
+      FROM grams gr JOIN owner o USING (g)
+      GROUP BY gr.doc_id
+    ),
+    mx AS (SELECT MAX(doc_id) AS m FROM per_doc)
+    SELECT LEAST(9, CAST(FLOOR(p.doc_id * 10.0 / (mx.m + 1)) AS INT)) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_grams) AS BIGINT) AS n_grams,
+           CAST(SUM(p.n_novel) AS BIGINT) AS n_novel,
+           ROUND(AVG(p.n_novel * 1.0 / p.n_grams), 6) AS avg_novelty
+    FROM per_doc p CROSS JOIN mx
+    GROUP BY 1
+    """,
+    tags=("text", "llm-pipeline", "dedup", "novelty", "curation"),
+)
+def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty-decay curve: per ingestion-order decile, the mean
+    fraction of each document's distinct 8-grams whose FIRST corpus
+    occurrence is that document. Early deciles are ~all-novel; the decay
+    rate tells a curation team when a source stops adding information —
+    the accumulation-order signal `cross_doc_ngram_duplication` (order-
+    free duplication mass) cannot give.
+
+    Scale shape: gram explode + per-doc distinct (corpus-sized but
+    linear), one gram-keyed MIN aggregation joined back on the gram key,
+    one doc-keyed rollup, then an ARITHMETIC decile (doc_id scaled by
+    the broadcast 1-row max id) + 10-group rollup. No global-order
+    window (ntile over the corpus would single-task the sort); never
+    gram-table broadcasts."""
+    d = load_table(spark, sf_dir, "documents")
+    # gram construction is CPU-bound map work; spread a low-parallelism
+    # single-file scan first (the substring_window_duplicates guard)
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < max(2, par // 2):
+        d = d.repartition(par)
+    t = word_tokens("text")
+    n = F.size(t)
+    idx = F.when(n >= 8, F.sequence(F.lit(1), n - 7)).otherwise(
+        F.expr("array()").cast("array<int>")
+    )
+    grams = (
+        d.select("doc_id", t.alias("t"), idx.alias("idx"))
+        .select("doc_id", F.explode("idx").alias("i"), "t")
+        .select("doc_id", F.array_join(F.slice("t", F.col("i"), 8), " ").alias("g"))
+        .distinct()
+    )
+    owner = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(owner, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias("n_novel"),
+        )
+    )
+    mx = per_doc.agg(F.max("doc_id").alias("m"))
+    decile = F.least(F.lit(9), (F.col("doc_id") * 10 / (F.col("m") + 1)).cast("int"))
+    return (
+        per_doc.crossJoin(F.broadcast(mx))
+        .groupBy(decile.alias("decile"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_grams").cast("long").alias("n_grams"),
+            F.sum("n_novel").cast("long").alias("n_novel"),
+            F.round(F.avg(F.col("n_novel") / F.col("n_grams")), 6).alias("avg_novelty"),
+        )
+    )
