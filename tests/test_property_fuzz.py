@@ -388,3 +388,65 @@ def test_bpe_encode_expr_equals_trainer_vocab_fuzz(spark, docs, n_merges):
     )
     got = {r["w"]: list(r["toks"]) for r in got_df}
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            # tiny alphabet + short words maximize shared prefixes and
+            # cross-doc suffix collisions — the hazards of the SA
+            # adjacency/run-collapse argument
+            st.text(alphabet="abc", min_size=1, max_size=3),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=6,
+    ),
+    bucket_chars=st.integers(min_value=1, max_value=4),
+)
+@settings(**SETTINGS)
+def test_suffix_lcp_spans_fuzz(spark, docs, bucket_chars):
+    """suffix_lcp_spans' algebraic claim — max cross-doc LCP equals the
+    max over nearest-different-doc neighbors of runs in sorted suffix
+    order, within first-`bucket_chars` buckets — fuzzed against a
+    brute-force all-pairs reference. The reference applies the SAME
+    bucket restriction (pairs in different buckets are invisible by
+    design; with bucket_chars <= every compared LCP's length the two
+    coincide, which the dedicated unit test pins at bucket_chars=1)."""
+    from utils_spark.operators.dedup import suffix_lcp_spans
+
+    MAXLEN = 12
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in suffix_lcp_spans(
+            df, "text", "doc_id", max_len=MAXLEN, bucket_chars=bucket_chars, min_span=5
+        ).collect()
+    }
+
+    def suffixes(ws):
+        return {(" ".join(ws[i:]))[:MAXLEN] for i in range(len(ws))}
+
+    def lcp(a, b):
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    sfx = {i: suffixes(ws) for i, ws in enumerate(docs)}
+    for i, r in out.items():
+        best = 0
+        for j in sfx:
+            if j == i:
+                continue
+            for a in sfx[i]:
+                for b in sfx[j]:
+                    if a[:bucket_chars] == b[:bucket_chars]:
+                        best = max(best, lcp(a, b))
+        assert r.n_suffixes == len(sfx[i]), (i, r)
+        assert r.max_dup_span == best, (i, r.max_dup_span, best, docs)
+        assert r.is_dup == (best >= 5)
