@@ -170,6 +170,7 @@ _PRIORITY = (
     "split_leakage_audit",  # new
     "pretokenizer_token_counts",  # new
     "ngram_novelty_curve",  # new
+    "ann_recall_audit",  # new
     "support_filter",  # r6
     "binned_agg",  # r6
     "grouping_sets_cube",  # r6

@@ -1111,3 +1111,161 @@ def margin_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .withColumn("is_mined", F.col("margin") > 1.0)
     )
+
+
+@register(
+    "ann_recall_audit",
+    # the parameter-tuning companion of the ANN family: recall@5 of the
+    # IVF route vs exact brute force, per nprobe in {1, 2, 4} — the
+    # curve an operator reads to pick nprobe before a 100 TB rollout
+    # (at nprobe = n_buckets IVF IS brute force; the audit shows how
+    # fast recall converges). Fully oracled: DuckDB rebuilds centroids,
+    # routes, searches, and intersects identically.
+    oracle="""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cent AS (SELECT label, [{cent_elems}] AS c FROM v GROUP BY label),
+    q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 20),
+    routed AS (
+      SELECT query_id, qv, label AS probed_label,
+             row_number() OVER (PARTITION BY query_id ORDER BY
+               ROUND(list_dot_product(qv, c)
+                     / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c, c))), 6) DESC,
+               label) AS route_rank
+      FROM q CROSS JOIN cent
+    ),
+    cand AS (
+      SELECT r.query_id, r.route_rank, x.vec_id AS neighbor_id,
+             ROUND(list_dot_product(r.qv, x.e)
+                   / (sqrt(list_dot_product(r.qv, r.qv)) * sqrt(list_dot_product(x.e, x.e))), 6)
+               AS cosine
+      FROM routed r JOIN v x ON x.label = r.probed_label AND x.vec_id <> r.query_id
+      WHERE r.route_rank <= 4
+    ),
+    ivf AS (
+      SELECT p.nprobe, c.query_id, c.neighbor_id,
+             row_number() OVER (PARTITION BY p.nprobe, c.query_id
+                                ORDER BY c.cosine DESC, c.neighbor_id) AS rn
+      FROM (SELECT unnest([1, 2, 4]) AS nprobe) p
+      JOIN cand c ON c.route_rank <= p.nprobe
+    ),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qq.query_id, x.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY qq.query_id ORDER BY
+                 ROUND(list_dot_product(qq.qv, x.e)
+                       / (sqrt(list_dot_product(qq.qv, qq.qv))
+                          * sqrt(list_dot_product(x.e, x.e))), 6) DESC,
+                 x.vec_id) AS rn
+        FROM q qq JOIN v x ON x.vec_id <> qq.query_id)
+      WHERE rn <= 5
+    ),
+    hits AS (
+      SELECT i.nprobe, i.query_id, COUNT(b.neighbor_id) AS n_hit
+      FROM ivf i LEFT JOIN bf b
+        ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+      WHERE i.rn <= 5
+      GROUP BY i.nprobe, i.query_id
+    )
+    SELECT CAST(nprobe AS INT) AS nprobe,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(AVG(n_hit / 5.0), 6) AS avg_recall,
+           ROUND(MIN(n_hit / 5.0), 6) AS min_recall
+    FROM hits GROUP BY nprobe
+    """.format(cent_elems=", ".join(f"AVG(e[{d}])" for d in range(1, 65))),
+    tags=("vector", "similarity", "ann", "ivf", "recall", "llm-pipeline"),
+)
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall@5 audit across nprobe ∈ {1, 2, 4} — the tuning curve
+    behind every IVF deployment decision (Jégou et al. 2011 report
+    recall as a function of probed cells; this measures it on the live
+    index): exact brute-force top-5 per query vs the IVF route's top-5
+    when the 1/2/4 nearest coarse cells are probed, averaged over a
+    20-query panel.
+
+    Scale shape: the query panel broadcasts against the streaming
+    corpus for the exact baseline (the cosine_topk pattern) and the
+    routing table (queries × cells, ≤ 80 rows) joins the corpus on the
+    LABEL key for candidates — only probed cells are scanned, which is
+    the IVF premise being audited. The nprobe fanout multiplies the
+    bounded candidate top-k, not the corpus. Cosines rounded 6dp before
+    every ranking so route and rank are engine-stable."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", "label", to_double_array("embedding").alias("v"))
+    comp = vecs.select("label", F.posexplode("v").alias("dim", "x"))
+    cent = (
+        comp.groupBy("label", "dim")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("pairs"))
+        .select("label", F.transform("pairs", lambda p: p["cx"]).alias("centroid"))
+    )
+    q = vecs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    wroute = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("probed_label"))
+    routed = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qv",
+            F.col("label").alias("probed_label"),
+            F.round(cosine_similarity(F.col("qv"), F.col("centroid")), 6).alias("csim"),
+        )
+        .withColumn("route_rank", F.row_number().over(wroute))
+        .filter(F.col("route_rank") <= 4)
+        .drop("csim")
+    )
+    cand = (
+        F.broadcast(routed)
+        .join(vecs, (vecs.label == routed.probed_label) & (vecs.vec_id != routed.query_id))
+        .select(
+            "query_id",
+            "route_rank",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    probes = spark.range(0).sparkSession.createDataFrame([(1,), (2,), (4,)], ["nprobe"])
+    wivf = Window.partitionBy("nprobe", "query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    ivf = (
+        F.broadcast(probes)
+        .join(cand, F.col("route_rank") <= F.col("nprobe"))
+        .withColumn("rn", F.row_number().over(wivf))
+        .filter(F.col("rn") <= 5)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+    bf_sims = (
+        F.broadcast(q)
+        .join(vecs, vecs.vec_id != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    wbf = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    bf = (
+        bf_sims.withColumn("rn", F.row_number().over(wbf))
+        .filter(F.col("rn") <= 5)
+        .select(
+            F.col("query_id").alias("bf_query_id"),
+            F.col("neighbor_id").alias("bf_neighbor_id"),
+        )
+    )
+    hits = (
+        ivf.join(
+            bf,
+            (F.col("bf_query_id") == F.col("query_id"))
+            & (F.col("bf_neighbor_id") == F.col("neighbor_id")),
+            "left",
+        )
+        .select("nprobe", "query_id", "bf_neighbor_id")
+        .groupBy("nprobe", "query_id")
+        .agg(F.count("bf_neighbor_id").alias("n_hit"))
+    )
+    return hits.groupBy(F.col("nprobe").cast("int").alias("nprobe")).agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.round(F.avg(F.col("n_hit") / 5.0), 6).alias("avg_recall"),
+        F.round(F.min(F.col("n_hit") / 5.0), 6).alias("min_recall"),
+    )
