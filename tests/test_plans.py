@@ -425,3 +425,26 @@ def test_scaled_shuffle_partitions_guard(spark):
     except RuntimeError:
         pass
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def test_round10_queries_prune_scans(spark, sf_dir):
+    """Round-10 additions: column pruning must reach the parquet scan —
+    a documents query that drags `text` plus all metadata (or an
+    embeddings query that reads `label` it never uses) is reading
+    multiples of what it needs at 100 TB. Each new query's ReadSchema
+    is pinned to at most the columns its logic references."""
+    limits = {
+        # (query, max columns per scan)
+        "suffix_lcp_dedup": 2,            # doc_id, text
+        "ngram_novelty_curve": 2,         # doc_id, text
+        "split_leakage_audit": 3,         # doc_id, source, text
+        "pretokenizer_token_counts": 2,   # lang, text
+        "count_mean_sketch_frequency": 1, # text
+        "margin_bitext_mining": 3,        # vec_id, label, embedding
+        "ann_recall_audit": 3,            # vec_id, label, embedding
+    }
+    for name, max_cols in limits.items():
+        p = _plan(spark, sf_dir, name)
+        assert p.read_schemas, name
+        bad = [s for s in p.read_schemas if len(s.split(",")) > max_cols]
+        assert not bad, (name, bad)
