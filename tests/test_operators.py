@@ -1333,3 +1333,26 @@ def test_suffix_lcp_spans_brute_force(spark):
     assert out[1].max_dup_span == MAXLEN and out[3].max_dup_span == MAXLEN
     assert out[2].is_dup and 10 <= out[2].max_dup_span < MAXLEN
     assert not out[4].is_dup
+
+
+def test_unigram_chain_cut_equivalence(spark, sf_dir, monkeypatch):
+    """The mid-chain Viterbi lineage cut (UNIGRAM_CHAIN_CUT) is a pure
+    planning optimization — piece tables and word->token dictionaries
+    must be BIT-IDENTICAL with and without it. This is the equivalence
+    guard the flag exists for: if a Spark upgrade changes
+    localCheckpoint/internalCreateDataFrame semantics underneath the
+    cut, this catches the divergence rather than the driver."""
+    from utils_spark.io import load_table
+    from utils_spark.operators import textmodel
+
+    d = load_table(spark, sf_dir, "documents").limit(60)
+    results = {}
+    for flag in (False, True):
+        monkeypatch.setattr(textmodel, "UNIGRAM_CHAIN_CUT", flag)
+        pieces, vocab = textmodel.unigram_train(d, "text", return_vocab=True)
+        results[flag] = (
+            sorted(tuple(r) for r in pieces.collect()),
+            sorted((r["w"], tuple(r["toks"])) for r in vocab.collect()),
+        )
+    assert results[False][0] == results[True][0], "piece tables diverged"
+    assert results[False][1] == results[True][1], "apply dictionaries diverged"

@@ -375,6 +375,20 @@ def test_word_dictionary_broadcast_flagged(spark, sf_dir):
         )
         flagged3 = broadcast_audit(docw.join(F.broadcast(vocab_mixed), "w"))
         assert flagged3 and "documents" in flagged3[0], flagged3
+        # negative control 3b: the null check may wrap a NESTED call
+        # (isnotnull(coalesce(doc_id, ...))) — the paren-balanced
+        # stripper must remove the whole call, not stop at the first ')'
+        # and leave non-text attrs behind to rescue the sentinel filter
+        vocab_nested = (
+            docw.filter(
+                F.coalesce(F.col("doc_id"), F.lit(0)).isNotNull()
+                & ~F.col("w").contains("\x1f")
+            )
+            .groupBy("w")
+            .agg(F.count("*").alias("n"))
+        )
+        flagged3b = broadcast_audit(docw.join(F.broadcast(vocab_nested), "w"))
+        assert flagged3b and "documents" in flagged3b[0], flagged3b
         # negative control 4 (ADVICE r9): unparseable aggregate keys must
         # fail toward UNBOUNDED — a bounded lang-keyed rollup is normally
         # accepted, but if its keys cannot be parsed the audit must flag

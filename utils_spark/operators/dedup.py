@@ -581,6 +581,14 @@ def suffix_lcp_spans(
     """
     from utils_spark.functions import word_tokens
 
+    if bucket_chars >= min_span:
+        # the exactness contract (every span >= min_span is found) holds
+        # only when two suffixes sharing min_span chars necessarily share
+        # a bucket — i.e. bucket_chars < min_span; failing loudly beats a
+        # silent dedup miss
+        raise ValueError(
+            f"bucket_chars ({bucket_chars}) must be < min_span ({min_span})"
+        )
     # suffix construction is CPU-bound map work (O(tokens x tail-join)
     # per doc); a single-file local scan arrives as 1-2 partitions and
     # would serialize it — spread only when scan parallelism is low

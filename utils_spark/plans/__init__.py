@@ -50,8 +50,6 @@ def plan_summary(df: DataFrame) -> PlanSummary:
 # supplier/part) may broadcast freely.
 FACT_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
 
-_NULLCHECK_RE = re.compile(r"isnotnull\([^)]*\)|isnan\([^)]*\)|\bAND\b|\bOR\b|\bNOT\b|[()\s]")
-
 # Column-name heuristics for UNBOUNDED-cardinality columns. Two lists
 # because the bound semantics differ by node type:
 #   * AGGREGATE grouping keys: a word/token/n-gram keyed rollup is
@@ -136,17 +134,45 @@ def _is_reducing(node) -> bool:
     if name == "Filter":
         cond = node.simpleString(65536)
         cond = cond.split("Filter", 1)[1] if "Filter" in cond else cond
-        if _NULLCHECK_RE.sub("", cond) == "":
+        stripped = _strip_nullcheck_calls(cond)
+        if re.sub(r"\bAND\b|\bOR\b|\bNOT\b|[()\s]", "", stripped) == "":
             return False
-        # Strip null/NaN-check predicates FIRST: join-residual
-        # ``isnotnull(doc_id)`` noise must not rescue a condition whose
-        # only REAL predicate is a text sentinel (``NOT contains(w,...)``)
-        # — the all-text-named test applies to the remaining predicates.
-        attrs = _ATTR_RE.findall(re.sub(r"isnotnull\([^)]*\)|isnan\([^)]*\)", "", cond))
+        # Null/NaN-check predicates are stripped FIRST (paren-balanced,
+        # so ``isnotnull(coalesce(a, b))`` removes the whole call, not
+        # just up to the first ')'): join-residual ``isnotnull(doc_id)``
+        # noise must not rescue a condition whose only REAL predicate is
+        # a text sentinel (``NOT contains(w, ...)``) — the
+        # all-text-named test applies to the remaining predicates.
+        attrs = _ATTR_RE.findall(stripped)
         if attrs and all(_UNBOUNDED_TEXT_RE.match(a) for a in attrs):
             return False
         return True
     return False
+
+
+def _strip_nullcheck_calls(cond: str) -> str:
+    """Remove every ``isnotnull(...)``/``isnan(...)`` call from a condition
+    string, matching parentheses so nested calls
+    (``isnotnull(coalesce(src#3, dst#4))``) are removed WHOLE — a
+    ``[^)]*`` regex would stop at the first ')' and leave attribute
+    tokens behind, wrongly rescuing a text-sentinel filter as a bound
+    (the permissive direction for the broadcast audit)."""
+    out, i, n = [], 0, len(cond)
+    while i < n:
+        m = re.compile(r"isnotnull\(|isnan\(", re.IGNORECASE).search(cond, i)
+        if m is None:
+            out.append(cond[i:])
+            break
+        out.append(cond[i : m.start()])
+        depth, j = 1, m.end()
+        while j < n and depth:
+            if cond[j] == "(":
+                depth += 1
+            elif cond[j] == ")":
+                depth -= 1
+            j += 1
+        i = j
+    return "".join(out)
 
 
 def _fact_scans(node) -> list[str]:

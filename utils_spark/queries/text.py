@@ -5048,7 +5048,7 @@ def count_mean_sketch_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cross-engine.
     oracle="""
     WITH docs AS (
-      SELECT doc_id, source, md5(trim(text)) AS fp,
+      SELECT md5(trim(text)) AS fp,
              CASE WHEN CAST(('0x' || substr(md5(source), 1, 15)) AS BIGINT) % 10 < 8
                   THEN 'train' ELSE 'val' END AS split
       FROM documents
@@ -5060,7 +5060,7 @@ def count_mean_sketch_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM docs GROUP BY fp
     ),
     flagged AS (
-      SELECT d.split, d.doc_id, d.fp,
+      SELECT d.split, d.fp,
              CASE WHEN s.n_train > 0 AND s.n_val > 0 THEN 1 ELSE 0 END AS leaked
       FROM docs d JOIN sides s USING (fp)
     )
@@ -5090,9 +5090,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = F.when(
         F.pmod(md5_long(F.col("source")), F.lit(10)) < 8, F.lit("train")
     ).otherwise(F.lit("val"))
-    docs = d.select(
-        "doc_id", F.md5(F.trim("text")).alias("fp"), split.alias("split")
-    )
+    docs = d.select(F.md5(F.trim("text")).alias("fp"), split.alias("split"))
     sides = docs.groupBy("fp").agg(
         F.sum((F.col("split") == "train").cast("int")).alias("n_train"),
         F.sum((F.col("split") == "val").cast("int")).alias("n_val"),

@@ -1226,7 +1226,7 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine_similarity(F.col("qv"), F.col("v")), 6).alias("cosine"),
         )
     )
-    probes = spark.range(0).sparkSession.createDataFrame([(1,), (2,), (4,)], ["nprobe"])
+    probes = spark.createDataFrame([(1,), (2,), (4,)], ["nprobe"])
     wivf = Window.partitionBy("nprobe", "query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     ivf = (
         F.broadcast(probes)
