@@ -171,6 +171,7 @@ _PRIORITY = (
     "pretokenizer_token_counts",  # new
     "ngram_novelty_curve",  # new
     "ann_recall_audit",  # new
+    "stream_cms_sketch_state",  # new
     "support_filter",  # r6
     "binned_agg",  # r6
     "grouping_sets_cube",  # r6

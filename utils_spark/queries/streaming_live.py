@@ -524,3 +524,67 @@ def stream_near_dup_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("canonical_doc").cast("long").alias("canonical_doc"),
         F.col("id_checksum").cast("long").alias("id_checksum"),
     )
+
+
+@register(
+    "stream_cms_sketch_state",
+    # LIVE streaming count-mean-sketch state (§2.9 x the sketch north
+    # star): the document stream's word occurrences hash into k=3 rows x
+    # m=1024 counters — a streaming aggregation whose state is BOUNDED
+    # at 3,072 keys forever, which is the entire point of sketching a
+    # stream (a word-keyed streaming count grows its state by Heaps'
+    # law and eventually evicts or OOMs). The output IS the sketch cell
+    # table, hash-exact against the batch-built sketch.
+    oracle="""
+    WITH occ AS (
+      SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    cells AS (
+      SELECT t.j AS sk_row,
+             CAST(('0x' || substr(md5(occ.w || '#' || t.j), 1, 15)) AS BIGINT) % 1024
+               AS sk_bucket,
+             COUNT(*) AS c
+      FROM occ, UNNEST([0, 1, 2]) AS t(j)
+      GROUP BY 1, 2
+    )
+    SELECT CAST(sk_row AS INT) AS sk_row,
+           CAST(sk_bucket AS BIGINT) AS sk_bucket,
+           CAST(c AS BIGINT) AS c
+    FROM cells
+    """,
+    tags=("streaming", "sketch", "cms", "live", "llm-pipeline"),
+)
+def stream_cms_sketch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE streaming count-mean sketch (the streaming face of
+    `count_mean_sketch_frequency`): word occurrences from the document
+    stream hash into the k x m counter grid via the same deterministic
+    md5 positions, maintained as streaming aggregation state. The state
+    is bounded at 3,072 cells no matter how long the stream runs — the
+    property that makes sketches THE frequency primitive for unbounded
+    ingest, vs a word-keyed running count whose state grows with the
+    vocabulary. The bounded availableNow backfill must equal the
+    batch-built sketch cell-for-cell (hash-exact oracle); on a cluster
+    the identical plan runs unbounded with a processing-time trigger and
+    the sketch is read off as mergeable state."""
+    from utils_spark.functions import md5_long, word_tokens
+    from utils_spark.streaming.windows import read_documents_stream
+
+    m, rows = 1024, 3
+    docs = read_documents_stream(spark, sf_dir)
+    occ = docs.select(F.explode(word_tokens("text")).alias("w"))
+    j = F.explode(F.array(*[F.lit(i) for i in range(rows)])).alias("j")
+    pos = F.pmod(md5_long(F.concat_ws("#", F.col("w"), F.col("j"))), F.lit(m))
+    cells = (
+        occ.select("w", j)
+        .select(F.col("j").alias("sk_row"), pos.alias("sk_bucket"))
+        .groupBy("sk_row", "sk_bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    out = _run_to_table(spark, cells, "complete")
+    return out.select(
+        F.col("sk_row").cast("int").alias("sk_row"),
+        F.col("sk_bucket").cast("long").alias("sk_bucket"),
+        F.col("c").cast("long").alias("c"),
+    )
