@@ -172,6 +172,7 @@ _PRIORITY = (
     "ngram_novelty_curve",  # new
     "ann_recall_audit",  # new
     "stream_cms_sketch_state",  # new
+    "xml_roundtrip_scan",  # new
     "support_filter",  # r6
     "binned_agg",  # r6
     "grouping_sets_cube",  # r6

@@ -187,3 +187,23 @@ def test_read_jsonl_corrupt_line_tolerance(spark, tmp_path):
     bad = [r._corrupt_record for r in rows if r._corrupt_record is not None]
     assert ok == {1: "hello world", 2: "second"}
     assert len(bad) == 2 and "not json" in bad[0]
+
+
+def test_xml_roundtrip_preserves_special_chars(spark, tmp_path):
+    """XML entity escaping must be lossless on the characters XML treats
+    specially (&, <, >, quotes) and on surrounding whitespace — the
+    reader's ignoreSurroundingSpaces default TRIMS element text, which
+    read_xml disables; a trim would silently mutate corpus text."""
+    from utils_spark.io import read_xml, write_xml
+
+    rows = [
+        (1, "a & b < c > d"),
+        (2, '"quoted" and \'apostrophes\''),
+        (3, "  leading and trailing spaces  "),
+        (4, "plain"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    path = str(tmp_path / "xmlrt")
+    write_xml(df, path)
+    back = {r.id: r.text for r in read_xml(spark, path, schema=df.schema).collect()}
+    assert back == dict(rows), back

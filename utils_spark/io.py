@@ -152,3 +152,27 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSON-Lines sink — one self-describing JSON object per row; the
     export format downstream tokenizer/training jobs consume."""
     df.write.mode(mode).json(path)
+
+
+def read_xml(spark: SparkSession, path: str, row_tag: str = "row", schema=None) -> DataFrame:
+    """XML scan (Spark 4 built-in xml source) — the feed format
+    enterprise/library corpora still arrive in (sitemaps, MARC/TEI/
+    PubMed-style exports). ``ignoreSurroundingSpaces`` is disabled so
+    element text round-trips byte-for-byte (the default trims it — a
+    silent corpus mutation). Pass an explicit ``schema`` in production:
+    inference is a full extra pass at 100 TB."""
+    r = (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .option("ignoreSurroundingSpaces", "false")
+    )
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row", mode: str = "overwrite") -> None:
+    """XML sink — one ``<row>`` element per record; entity escaping
+    (&amp;/&lt;/&gt;) is the writer's job and the roundtrip query proves
+    it lossless."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)

@@ -668,3 +668,58 @@ def converter_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total", 4).alias("total"),
         "n_cells_expressing",
     )
+
+
+@register(
+    "xml_roundtrip_scan",
+    # XML sink + scan roundtrip over the documents table (Spark 4's
+    # built-in xml source — the feed format enterprise corpora still
+    # arrive in). Same digest discipline as the JSONL roundtrip: a pass
+    # proves entity escaping (&amp;/&lt;/&gt;) and surrounding-space
+    # handling round-tripped every text byte; the oracle computes the
+    # identical aggregate straight from parquet.
+    oracle="""
+    SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+           CAST(SUM(length(text)) AS BIGINT) AS text_chars,
+           md5(string_agg(text, chr(1) ORDER BY doc_id)) AS text_digest
+    FROM documents
+    GROUP BY source, lang
+    """,
+    tags=("io", "xml", "roundtrip"),
+)
+def xml_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + scan roundtrip: the documents table written as one
+    <row> element per record, rescanned with an explicit schema and
+    ``ignoreSurroundingSpaces`` off (the reader default TRIMS element
+    text — a silent corpus mutation this query would catch), then
+    checksummed per (source, lang) with the same order-canonicalized
+    text digest as `jsonl_roundtrip_scan`. A pass proves XML entity
+    escaping is lossless on real corpus text.
+
+    Scale shape: sink and scan are partition-parallel (no shuffle); the
+    digest aggregation shuffles (source, lang) groups only."""
+    import uuid
+
+    from utils_spark.io import read_xml, write_xml
+
+    d = load_table(spark, sf_dir, "documents")
+    path = f"/tmp/utils_spark_xml_roundtrip_{uuid.uuid4().hex[:12]}"
+    write_xml(d, path)
+    back = read_xml(spark, path, schema=d.schema)
+    return back.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+        F.sum(F.length("text")).cast("long").alias("text_chars"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("doc_id"), F.col("text")))
+                    ),
+                    lambda s: s["text"],
+                ),
+                "\x01",
+            )
+        ).alias("text_digest"),
+    )
