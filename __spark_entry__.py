@@ -37,67 +37,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Least-verified-RECENTLY first: the driver samples a ~50-query prefix of
 # this dict (rows+schema+hash vs the DuckDB oracle -> CORRECTNESS_r{N}).
-# Round-10 rotation (VERDICT r9 "Next round #1"): regenerated mechanically
-# by `python tools/gen_priority.py` from CORRECTNESS_r01..r09.json after
-# the round-9 sample landed 50/50 green (closing the never-sampled
-# backlog). Post-r9 latest-green histogram: r3: 29, r4: 34, r5: 50,
-# r6: 50, r8: 50, r9: 50 — so the 50-slot r10 sample is exactly the
-# 29 r3-latest queries followed by the 21 oldest r4-latest; the remainder
-# continues in oldest-evidence order (rest of r4, then r5, r6, r8, r9).
-# New round-10 queries (soft-unfreeze, VERDICT r9 "Next round #2") are
-# appended BELOW the stale block so they never displace r3/r4 evidence.
+# Round-11 rotation (VERDICT r10 "Next round #1"): regenerated mechanically
+# by `python tools/gen_priority.py` from CORRECTNESS_r01..r10.json after
+# the round-10 sample landed 50/50 green (burning down the r3/r4 block).
+# Post-r10 latest-green histogram: r4: 13, r5: 50, r6: 50, r8: 50,
+# r9: 50, r10: 50, never: 9 — so the 50-slot r11 sample is exactly the
+# 13 r4-latest queries followed by the 37 oldest r5-latest; the remainder
+# continues in oldest-evidence order (rest of r5, the 9 never-sampled
+# round-10 additions at tier 5.5 per the VERDICT r9 soft-unfreeze rule,
+# then r6, r8, r9, r10).
 # Verify with `python tools/gen_priority.py --check` (must exit 0).
 _PRIORITY = (
-    "loess_exact_recovery",  # r3
-    "nth_event_snapshot",  # r3
-    "null_ordering",  # r3
-    "multiway_join_revenue",  # r3
-    "top_orders_by_revenue",  # r3
-    "reorder_to_input",  # r3
-    "sliding_window",  # r3
-    "session_window_native",  # r3
-    "quantile_normalize",  # r3
-    "grouped_correlation",  # r3
-    "grouped_moments",  # r3
-    "token_stats",  # r3
-    "quality_score",  # r3
-    "lang_id_ngram",  # r3
-    "doc_fingerprint",  # r3
-    "minhash_signature",  # r3
-    "bpe_style_tokens",  # r3
-    "chunk_documents",  # r3
-    "benchmark_decontamination",  # r3
-    "corpus_mixture_sample",  # r3
-    "repetition_filter",  # r3
-    "hierarchical_time_rollup",  # r3
-    "cohort_retention",  # r3
-    "min_per_group_join_back",  # r3
-    "having_threshold_join",  # r3
-    "distinct_suppliers_per_attr",  # r3
-    "date_arithmetic",  # r3
-    "embedding_stats",  # r3
-    "label_centroids",  # r3
-    "na_drop_subset",  # r4
-    "array_row_aggs",  # r4
-    "delta_from_median",  # r4
-    "asof_join",  # r4
-    "range_join_bands",  # r4
-    "filter_scan_agg",  # r4
-    "pairwise_ks",  # r4
-    "simhash_signature",  # r4
-    "knee_detection",  # r4
-    "module_score",  # r4
-    "asof_join_forward_tolerance",  # r4
-    "grouped_quantiles",  # r4
-    "distinct_rows",  # r4
-    "group_sizes",  # r4
-    "functional_dependency_check",  # r4
-    "crosstab_proportions",  # r4
-    "group_cv",  # r4
-    "qc_metrics_bundle",  # r4
-    "mds_exact_recovery",  # r4
-    "start_vs_end_test",  # r4
-    "condition_diff_recovery",  # r4
     "multimodal_decode_certificate",  # r4
     "media_dedup_certificate",  # r4
     "video_frame_sampling",  # r4
@@ -161,18 +111,15 @@ _PRIORITY = (
     "top_revenue_supplier",  # r5
     "important_part_values",  # r5
     "semantic_dedup_keep",  # r5
-    # round-10 additions (VERDICT r9 soft-unfreeze: inserted BELOW the
-    # stale r3/r4/r5 block — tier 5.5 in tools/gen_priority.py — so they
-    # never displace old evidence; sampled once the backlog clears)
+    "xml_roundtrip_scan",  # new
     "suffix_lcp_dedup",  # new
-    "margin_bitext_mining",  # new
     "count_mean_sketch_frequency",  # new
     "split_leakage_audit",  # new
     "pretokenizer_token_counts",  # new
     "ngram_novelty_curve",  # new
-    "ann_recall_audit",  # new
     "stream_cms_sketch_state",  # new
-    "xml_roundtrip_scan",  # new
+    "margin_bitext_mining",  # new
+    "ann_recall_audit",  # new
     "support_filter",  # r6
     "binned_agg",  # r6
     "grouping_sets_cube",  # r6
@@ -323,6 +270,56 @@ _PRIORITY = (
     "sessionize",  # r9
     "rolling_time_range",  # r9
     "equidepth_histogram",  # r9
+    "na_drop_subset",  # r10
+    "array_row_aggs",  # r10
+    "delta_from_median",  # r10
+    "asof_join",  # r10
+    "range_join_bands",  # r10
+    "filter_scan_agg",  # r10
+    "pairwise_ks",  # r10
+    "simhash_signature",  # r10
+    "knee_detection",  # r10
+    "module_score",  # r10
+    "asof_join_forward_tolerance",  # r10
+    "grouped_quantiles",  # r10
+    "distinct_rows",  # r10
+    "group_sizes",  # r10
+    "functional_dependency_check",  # r10
+    "crosstab_proportions",  # r10
+    "group_cv",  # r10
+    "qc_metrics_bundle",  # r10
+    "loess_exact_recovery",  # r10
+    "mds_exact_recovery",  # r10
+    "start_vs_end_test",  # r10
+    "condition_diff_recovery",  # r10
+    "nth_event_snapshot",  # r10
+    "null_ordering",  # r10
+    "multiway_join_revenue",  # r10
+    "top_orders_by_revenue",  # r10
+    "reorder_to_input",  # r10
+    "sliding_window",  # r10
+    "session_window_native",  # r10
+    "quantile_normalize",  # r10
+    "grouped_correlation",  # r10
+    "grouped_moments",  # r10
+    "token_stats",  # r10
+    "quality_score",  # r10
+    "lang_id_ngram",  # r10
+    "doc_fingerprint",  # r10
+    "minhash_signature",  # r10
+    "bpe_style_tokens",  # r10
+    "chunk_documents",  # r10
+    "benchmark_decontamination",  # r10
+    "corpus_mixture_sample",  # r10
+    "repetition_filter",  # r10
+    "hierarchical_time_rollup",  # r10
+    "cohort_retention",  # r10
+    "min_per_group_join_back",  # r10
+    "having_threshold_join",  # r10
+    "distinct_suppliers_per_attr",  # r10
+    "date_arithmetic",  # r10
+    "embedding_stats",  # r10
+    "label_centroids",  # r10
 )
 
 
