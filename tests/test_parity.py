@@ -113,6 +113,22 @@ def test_no_oracle_emits_hugeint(duck):
     assert not bad, f"oracles emitting HUGEINT (cast to BIGINT): {bad}"
 
 
+def test_embedding_fixture_dim_matches_oracle_constant(sf_dir):
+    """The IVF/PQ/recall oracles unroll per-dim DuckDB expressions from
+    vector.EMB_DIM (and a few inline `range(1, 65)` SQL literals); the
+    Spark sides are dimension-agnostic. If a fixture regeneration ever
+    changes the embedding dim, this fails loudly instead of the oracles
+    silently rebuilding wrong centroids (ADVICE r10)."""
+    import duckdb
+
+    from utils_spark.queries.vector import EMB_DIM
+
+    (dim,) = duckdb.sql(
+        f"SELECT len(embedding) FROM '{sf_dir}/embeddings.parquet' LIMIT 1"
+    ).fetchone()
+    assert dim == EMB_DIM == 64
+
+
 def test_coverage_doc_mentions_every_query():
     """COVERAGE.md is the judge-facing inventory map — it must not rot.
     Every registered query name appears in COVERAGE.md."""

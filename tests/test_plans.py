@@ -462,3 +462,35 @@ def test_round10_queries_prune_scans(spark, sf_dir):
         assert p.read_schemas, name
         bad = [s for s in p.read_schemas if len(s.split(",")) > max_cols]
         assert not bad, (name, bad)
+
+
+def test_unigram_viterbi_chain_cut_bounds_plan_depth(spark):
+    """Planning-latency regression guard for the unigram pair (VERDICT r10
+    next-round #4): the mid-chain lineage cut (UNIGRAM_CHAIN_CUT,
+    textmodel.py) halves the composed Viterbi projection depth — the
+    pre-r10 shape composes forward + backward passes into one ~38-Project
+    chain whose Catalyst optimization is superlinear in depth (~10 s of
+    pure planning per EM round, BENCH_NOTES). With the cut, the backward
+    pass's analyzed plan bottoms out at the checkpointed table after ~13
+    Projects. Structural, so it fails deterministically on the pre-r10
+    shape (38 > 25) without a flaky wall-clock bound; a generous time
+    budget additionally catches any OTHER superlinear-optimizer
+    reintroduction (the InferFiltersFromGenerate inline-explode contract
+    stays untouched — see _viterbi_chain's docstring)."""
+    import time
+
+    from utils_spark.operators import textmodel
+
+    assert textmodel.UNIGRAM_CHAIN_CUT is True  # production value is fixed
+    words = spark.createDataFrame([("abab", 3), ("baba", 2)], "w string, n bigint")
+    vocab = spark.createDataFrame(
+        [("a", -1.0), ("b", -1.2), ("ab", -2.0)], "piece string, logp double"
+    )
+    t0 = time.monotonic()
+    seg = textmodel._viterbi_segment_words(words, vocab)
+    seg._jdf.queryExecution().optimizedPlan()  # force analysis + optimization
+    elapsed = time.monotonic() - t0
+    tree = seg._jdf.queryExecution().analyzed().treeString()
+    n_proj = sum(1 for line in tree.splitlines() if "Project [" in line)
+    assert n_proj <= 25, f"Viterbi chain depth regressed: {n_proj} Projects (pre-r10 shape: 38)"
+    assert elapsed < 60.0, f"unigram plan build+optimize took {elapsed:.1f}s"

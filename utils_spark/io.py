@@ -85,6 +85,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_low_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition ONLY when scan parallelism is genuinely low (a local
+    single-file parquet arrives as ONE partition because splits happen at
+    row-group granularity), so a CPU-bound downstream stage (hashing,
+    shingling, explode) isn't serialized onto one task. On a cluster read
+    (many files / row groups) the guard is a no-op — no extra Exchange.
+
+    One shared site for the guard (ADVICE r10): `df.rdd.getNumPartitions()`
+    forces a plan→RDD conversion, so if a cheaper partition probe appears
+    in a future Spark it gets swapped in here, once.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, par // 2):
+        df = df.repartition(par)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every star-schema table as a temp view for spark.sql use."""
     for name in TABLES:

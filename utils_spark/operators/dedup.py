@@ -11,6 +11,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from utils_spark.functions import char_shingles, md5_long, minhash_band_structs
+from utils_spark.io import spread_low_parallelism
 from utils_spark.plans import cut_lineage
 
 
@@ -57,10 +58,7 @@ def minhash_lsh_candidates(
     # row-group granularity), which would serialize it. Spread only when
     # the scan's parallelism is actually low — on a cluster read (many
     # files/row groups) this adds no Exchange.
-    spark = df.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, par // 2):
-        df = df.repartition(par)
+    df = spread_low_parallelism(df)
     sig = df.select(
         F.col(key_col).alias("__key"),
         _minhash_sig_col(char_shingles(text_col, shingle_k), n_hashes).alias("sig"),
@@ -115,9 +113,7 @@ def lsh_verified_pairs(
 
     # same single-file-scan parallelism guard as minhash_lsh_candidates:
     # the shingle explode below is CPU-bound map work
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, par // 2):
-        df = df.repartition(par)
+    df = spread_low_parallelism(df)
     cand = minhash_lsh_candidates(
         df, text_col, key_col, n_hashes=n_hashes, n_bands=n_bands,
         shingle_k=shingle_k, min_est_jaccard=min_est_jaccard,
@@ -500,9 +496,7 @@ def substring_window_duplicates(
     # position); a single-file local scan arrives as 1-2 partitions and
     # would serialize it — spread only when scan parallelism is low
     # (same guard as minhash_lsh_candidates)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, par // 2):
-        df = df.repartition(par)
+    df = spread_low_parallelism(df)
     toks = word_tokens(text_col)
     # sequence(1, 0) counts DOWN in Spark — docs shorter than the window
     # must produce an empty index array, not [1, 0]
@@ -593,9 +587,7 @@ def suffix_lcp_spans(
     # per doc); a single-file local scan arrives as 1-2 partitions and
     # would serialize it — spread only when scan parallelism is low
     # (same guard as substring_window_duplicates)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, par // 2):
-        df = df.repartition(par)
+    df = spread_low_parallelism(df)
     toks = word_tokens(text_col)
     n = F.size(toks)
     idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(

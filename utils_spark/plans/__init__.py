@@ -77,6 +77,10 @@ _UNBOUNDED_AGG_KEY_RE = re.compile(
 
 _ATTR_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#\d+")
 
+# \b so an identifier merely ENDING in "isnan"/"isnotnull" (e.g. a column
+# named ``col_isnan``) is not treated as a null-check call opener.
+_NULLCHECK_CALL_RE = re.compile(r"\b(?:isnotnull|isnan)\(", re.IGNORECASE)
+
 
 def _agg_keys(node) -> list[str] | None:
     """Grouping-key attribute names of an Aggregate physical node, or None
@@ -159,7 +163,7 @@ def _strip_nullcheck_calls(cond: str) -> str:
     (the permissive direction for the broadcast audit)."""
     out, i, n = [], 0, len(cond)
     while i < n:
-        m = re.compile(r"isnotnull\(|isnan\(", re.IGNORECASE).search(cond, i)
+        m = _NULLCHECK_CALL_RE.search(cond, i)
         if m is None:
             out.append(cond[i:])
             break

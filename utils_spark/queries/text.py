@@ -21,7 +21,7 @@ from utils_spark.functions import (
     minhash_band_structs,
     word_tokens,
 )
-from utils_spark.io import load_table
+from utils_spark.io import load_table, spread_low_parallelism
 from utils_spark.registry import register
 
 # tiny deterministic English stopword profile for quality/lang scoring
@@ -299,9 +299,7 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # local single-file parquet arrives as ONE partition; the 4x md5
     # hashing is CPU-bound, so spread it when scan parallelism is low
     # (no-op on a many-file cluster read — same guard as minhash_lsh_pairs)
-    par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < max(2, par // 2):
-        d = d.repartition(par)
+    d = spread_low_parallelism(d)
     words = d.select(F.explode(word_tokens("text")).alias("w"))
 
     def hashes():
@@ -384,9 +382,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one md5 per char of text is CPU-bound and a local single-file scan
     # is ONE partition — spread it (round-7 probe measured 3.7 s -> sub-
     # second at sf0.1; no-op when the scan already has parallelism)
-    par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < max(2, par // 2):
-        d = d.repartition(par)
+    d = spread_low_parallelism(d)
     hs = F.when(
         F.length("text") >= 5,
         F.transform(
@@ -820,9 +816,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on the actual scan parallelism so a real cluster read (many files)
     # provably has no extra Exchange in this plan.
     d = load_table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < max(2, par // 2):
-        d = d.repartition(par)
+    d = spread_low_parallelism(d)
     sig = d.select("doc_id", _minhash_sig_col(char_shingles("text", 5), n_hashes).alias("sig"))
     bands = sig.select(
         "doc_id",
@@ -1184,9 +1178,7 @@ def fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairing ever materializes."""
     n_hashes, n_bands = 16, 4
     d = load_table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < max(2, par // 2):
-        d = d.repartition(par)
+    d = spread_low_parallelism(d)
     sig = d.select("doc_id", _minhash_sig_col(char_shingles("text", 5), n_hashes).alias("sig"))
     bands = sig.select(
         "doc_id",
@@ -3891,9 +3883,7 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file local scans arrive as ONE partition; the 48-way bit
     # votes are CPU-bound, so spread them when scan parallelism is low
     # (no-op on a many-file cluster read — same guard as minhash_lsh_pairs)
-    par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < max(2, par // 2):
-        d = d.repartition(par)
+    d = spread_low_parallelism(d)
     sig, band_vals = _simhash_sig48("text")
     clus = (
         d.select("doc_id", sig.alias("sig"), band_vals.alias("band_vals"))
@@ -4331,9 +4321,7 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     CPU-bound fold locally (single-row-group parquet) and provably
     no-ops on a real multi-file cluster scan."""
     d = load_table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < max(2, par // 2):
-        d = d.repartition(par)
+    d = spread_low_parallelism(d)
 
     M32 = F.lit(4294967296)
 
@@ -5231,9 +5219,7 @@ def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # gram construction is CPU-bound map work; spread a low-parallelism
     # single-file scan first (the substring_window_duplicates guard)
-    par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < max(2, par // 2):
-        d = d.repartition(par)
+    d = spread_low_parallelism(d)
     t = word_tokens("text")
     n = F.size(t)
     idx = F.when(n >= 8, F.sequence(F.lit(1), n - 7)).otherwise(

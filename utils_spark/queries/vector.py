@@ -16,6 +16,14 @@ from utils_spark.functions import cosine_similarity, to_double_array
 from utils_spark.io import load_table
 from utils_spark.registry import register
 
+# Fixture embedding dimensionality (TESTDATA.md: embeddings.embedding is
+# array<float>[64] at every SF). The Spark queries are dimension-agnostic,
+# but the DuckDB oracles must UNROLL per-dim expressions (no array AVG),
+# so every generated oracle derives its element list from this ONE
+# constant; tests/test_parity.py asserts the fixture actually has this
+# dim, so a fixture regeneration can't silently skew only the oracles.
+EMB_DIM = 64
+
 
 @register(
     "embedding_stats",
@@ -167,7 +175,7 @@ _IVF_ORACLE = """
     # routes queries by rounded centroid-cosine argmax, and searches the
     # probed bucket — exact cross-engine check of the IVF path
     oracle=_IVF_ORACLE.format(
-        cent_elems=", ".join(f"AVG(e[{d}])" for d in range(1, 65))
+        cent_elems=", ".join(f"AVG(e[{d}])" for d in range(1, EMB_DIM + 1))
     ),
     tags=("vector", "similarity", "ann", "ivf"),
 )
@@ -233,7 +241,7 @@ def perturbed_copies(seed: DataFrame, offset: int, scale: float) -> DataFrame:
     return seed.select(
         (F.col("vec_id") + offset).alias("new_id"),
         F.transform(
-            F.sequence(F.lit(1), F.lit(64)),
+            F.sequence(F.lit(1), F.lit(EMB_DIM)),
             lambda i: F.element_at(F.col("v"), i)
             + F.lit(scale) * (((F.col("vec_id") * 31 + i * 17) % 13) - 6),
         ).alias("v"),
@@ -403,7 +411,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- IVF-PQ (product quantization) -----------------------------------------
 
 _PQ_M = 8  # subspaces
-_PQ_SUBDIM = 8  # dims per subspace (8 x 8 = the 64-dim embedding)
+_PQ_SUBDIM = 8  # dims per subspace (8 x 8 = the EMB_DIM=64 embedding)
 _PQ_K = 16  # codes per subspace codebook
 _PQ_TRAIN_LIMIT = 512  # deterministic training sample: vec_id < 512
 _PQ_ROUNDS = 2  # Lloyd iterations
@@ -657,7 +665,7 @@ def _ivfadc_oracle() -> str:
     encoding, query routing to the 2 nearest coarse cells by L2, then
     per-(query, cell) residual distance tables and ADC top-5 over the
     probed cells only — the full IVFADC pipeline replayed independently."""
-    cent_elems = ", ".join(f"ROUND(AVG(e[{d}]), 6)" for d in range(1, 65))
+    cent_elems = ", ".join(f"ROUND(AVG(e[{d}]), 6)" for d in range(1, EMB_DIM + 1))
     avg_elems = ", ".join(f"ROUND(AVG(sub[{d}]), 6)" for d in range(1, _PQ_SUBDIM + 1))
     parts = [
         f"""
@@ -1171,7 +1179,7 @@ def margin_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(AVG(n_hit / 5.0), 6) AS avg_recall,
            ROUND(MIN(n_hit / 5.0), 6) AS min_recall
     FROM hits GROUP BY nprobe
-    """.format(cent_elems=", ".join(f"AVG(e[{d}])" for d in range(1, 65))),
+    """.format(cent_elems=", ".join(f"AVG(e[{d}])" for d in range(1, EMB_DIM + 1))),
     tags=("vector", "similarity", "ann", "ivf", "recall", "llm-pipeline"),
 )
 def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
