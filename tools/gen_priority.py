@@ -84,9 +84,28 @@ def main() -> None:
         print("rotation check OK: 50-prefix covers the stalest evidence", file=sys.stderr)
         return
 
-    for q in order:
-        tag = "new" if ev[q] is None else f"r{ev[q]}"
-        print(f'    "{q}",  # {tag}')
+    body = "\n".join(
+        f'    "{q}",  # {"new" if ev[q] is None else f"r{ev[q]}"}' for q in order
+    )
+
+    if "--write" in sys.argv:
+        # Rewrite the `_PRIORITY = (...)` tuple in __spark_entry__.py in
+        # place (round-11 lesson: hand-pasting the 272-line body once left
+        # a stray tuple tail behind — a SyntaxError the checker then hit).
+        # Only the tuple body changes; the explanatory comment block above
+        # it is the round author's to update.
+        path = f"{REPO}/__spark_entry__.py"
+        src = open(path).read()
+        start = src.index("_PRIORITY = (") + len("_PRIORITY = (")
+        end = src.index("\n)", start)
+        open(path, "w").write(src[:start] + "\n" + body + src[end:])
+        import ast
+
+        ast.parse(open(path).read())  # refuse to leave a broken file
+        print(f"wrote {len(order)}-entry _PRIORITY to {path}", file=sys.stderr)
+        return
+
+    print(body)
 
 
 if __name__ == "__main__":
