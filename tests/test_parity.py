@@ -129,6 +129,26 @@ def test_embedding_fixture_dim_matches_oracle_constant(sf_dir):
     assert dim == EMB_DIM == 64
 
 
+def test_embedding_oracle_range_literals_match_emb_dim():
+    """A few embedding oracles keep inline `range(1, 65)` SQL literals
+    (inside raw triple-quoted strings where .format() would force brace
+    escaping). If EMB_DIM ever changes, every dim-sized literal must
+    change with it — this pins them: any range upper bound > 16 in an
+    embedding oracle must be exactly EMB_DIM + 1 (sub-16 bounds are the
+    PQ subspace (9) and query-specific small ranges)."""
+    import re
+
+    from utils_spark.queries.vector import EMB_DIM
+
+    bad = []
+    for name, q in REGISTRY.items():
+        if q.oracle and "embedding" in q.oracle.lower():
+            for m in re.finditer(r"range\(1, (\d+)\)", q.oracle):
+                if int(m.group(1)) > 16 and int(m.group(1)) != EMB_DIM + 1:
+                    bad.append((name, m.group(0)))
+    assert not bad, f"dim-sized range literals out of sync with EMB_DIM: {bad}"
+
+
 def test_coverage_doc_mentions_every_query():
     """COVERAGE.md is the judge-facing inventory map — it must not rot.
     Every registered query name appears in COVERAGE.md."""
