@@ -6,6 +6,7 @@ oracle-comparison practice).
 from __future__ import annotations
 
 import math
+import os
 
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -13,8 +14,12 @@ from hypothesis import strategies as st
 
 pytestmark = pytest.mark.filterwarnings("ignore")
 
+# Deep one-off runs: SPARK_GRAFT_FUZZ_EXAMPLES=60 python -m pytest
+# tests/test_property_fuzz.py (CI default stays 12 to keep the suite fast)
+FUZZ_EXAMPLES = int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "12"))
+
 SETTINGS = dict(
-    max_examples=12,
+    max_examples=FUZZ_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
@@ -139,7 +144,7 @@ def test_skewed_group_count_matches_plain(spark):
         max_size=8,
     )
 )
-@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@settings(max_examples=max(30, FUZZ_EXAMPLES), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_boilerplate_rules_idempotent_and_preserving(spark, lines):
     """The line filter must be idempotent (stripping twice == once) and
     must keep every line no rule matches, byte-for-byte, in order."""
@@ -172,7 +177,7 @@ def test_boilerplate_rules_idempotent_and_preserving(spark, lines):
 
 
 @given(reps=st.integers(min_value=1, max_value=50), alpha=st.integers(min_value=1, max_value=8))
-@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@settings(max_examples=max(20, FUZZ_EXAMPLES), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_char_entropy_bounds(spark, reps, alpha):
     """Shannon char entropy obeys 0 <= h <= ln(distinct_chars), with
     equality at 0 for single-char docs and at ln(d) for uniform docs."""
