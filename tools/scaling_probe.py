@@ -26,6 +26,15 @@ def main() -> None:
         i = args.index("--trials")
         trials = int(args[i + 1])
         del args[i : i + 2]
+    # --noop: time to the noop sink (bench.py's protocol) instead of
+    # .collect(). collect() charges driver-side row materialization to the
+    # query, so output-proportional queries (sessionize: 9.5k -> 95k rows)
+    # read ~3x for 10x data while their actual plan is flat (1.04x under
+    # noop). Use --noop when adjudicating a CHECK flag; the default stays
+    # collect() for comparability with the r8-r10 probe tables.
+    use_noop = "--noop" in args
+    if use_noop:
+        args.remove("--noop")
     names = args
     if not names:
         print("usage: python tools/scaling_probe.py [--trials N] query ...")
@@ -44,7 +53,11 @@ def main() -> None:
             best = None
             for _ in range(trials):
                 t0 = time.perf_counter()
-                n = len(qd.fn(spark, sf_dir).collect())
+                if use_noop:
+                    qd.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                    n = -1
+                else:
+                    n = len(qd.fn(spark, sf_dir).collect())
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             times[sf_dir] = (best, n)
