@@ -48,56 +48,6 @@ def entry(spark: SparkSession) -> DataFrame:
 # then r6, r8, r9, r10).
 # Verify with `python tools/gen_priority.py --check` (must exit 0).
 _PRIORITY = (
-    "multimodal_decode_certificate",  # r4
-    "media_dedup_certificate",  # r4
-    "video_frame_sampling",  # r4
-    "skew_salted_join",  # r4
-    "train_holdout_split",  # r4
-    "stream_stateful_dedup",  # r4
-    "stream_custom_state_profile",  # r4
-    "stream_static_enrich",  # r4
-    "stream_stream_interval_join",  # r4
-    "boilerplate_strip",  # r4
-    "vocab_coverage",  # r4
-    "char_entropy_filter",  # r4
-    "curation_pipeline",  # r4
-    "strict_na_aggregation",  # r5
-    "pairwise_ks_one_sided",  # r5
-    "spline_trend_fits",  # r5
-    "batch_correction",  # r5
-    "pca_embedding",  # r5
-    "denoised_feature_selection",  # r5
-    "cca_anchor_identity",  # r5
-    "cluster_blobs_certificate",  # r5
-    "harmony_shift_recovery",  # r5
-    "sweep_exact_recovery",  # r5
-    "csv_roundtrip_scan",  # r5
-    "jsonl_roundtrip_scan",  # r5
-    "orc_roundtrip_scan",  # r5
-    "converter_roundtrip",  # r5
-    "audio_energy_certificate",  # r5
-    "image_stats_certificate",  # r5
-    "cluster_pipeline",  # r5
-    "embedding_near_dup",  # r5
-    "approx_sketch_aggs",  # r5
-    "zorder_layout",  # r5
-    "stream_tumbling_counts",  # r5
-    "stream_session_windows",  # r5
-    "stream_session_windows_append",  # r5
-    "stream_curation_funnel",  # r5
-    "stream_sliding_counts",  # r5
-    "sequence_packing",  # r5
-    "pii_scrub",  # r5
-    "dedup_keep_best",  # r5
-    "quality_classifier_filter",  # r5
-    "bm25_retrieval",  # r5
-    "importance_weights_dsir",  # r5
-    "curated_export_roundtrip",  # r5
-    "cross_doc_ngram_duplication",  # r5
-    "lm_perplexity_filter",  # r5
-    "bpe_merge_candidates",  # r5
-    "corpus_datasheet",  # r5
-    "line_level_dedup",  # r5
     "incremental_dedup_batch",  # r5
     "k_anonymity_audit",  # r5
     "windowed_event_dedup",  # r5
@@ -320,6 +270,56 @@ _PRIORITY = (
     "date_arithmetic",  # r10
     "embedding_stats",  # r10
     "label_centroids",  # r10
+    "strict_na_aggregation",  # r11
+    "pairwise_ks_one_sided",  # r11
+    "spline_trend_fits",  # r11
+    "batch_correction",  # r11
+    "pca_embedding",  # r11
+    "denoised_feature_selection",  # r11
+    "cca_anchor_identity",  # r11
+    "cluster_blobs_certificate",  # r11
+    "harmony_shift_recovery",  # r11
+    "sweep_exact_recovery",  # r11
+    "csv_roundtrip_scan",  # r11
+    "jsonl_roundtrip_scan",  # r11
+    "orc_roundtrip_scan",  # r11
+    "converter_roundtrip",  # r11
+    "multimodal_decode_certificate",  # r11
+    "media_dedup_certificate",  # r11
+    "video_frame_sampling",  # r11
+    "audio_energy_certificate",  # r11
+    "image_stats_certificate",  # r11
+    "cluster_pipeline",  # r11
+    "embedding_near_dup",  # r11
+    "approx_sketch_aggs",  # r11
+    "skew_salted_join",  # r11
+    "train_holdout_split",  # r11
+    "zorder_layout",  # r11
+    "stream_tumbling_counts",  # r11
+    "stream_session_windows",  # r11
+    "stream_session_windows_append",  # r11
+    "stream_stateful_dedup",  # r11
+    "stream_custom_state_profile",  # r11
+    "stream_static_enrich",  # r11
+    "stream_stream_interval_join",  # r11
+    "stream_curation_funnel",  # r11
+    "stream_sliding_counts",  # r11
+    "sequence_packing",  # r11
+    "pii_scrub",  # r11
+    "boilerplate_strip",  # r11
+    "dedup_keep_best",  # r11
+    "vocab_coverage",  # r11
+    "char_entropy_filter",  # r11
+    "curation_pipeline",  # r11
+    "quality_classifier_filter",  # r11
+    "bm25_retrieval",  # r11
+    "importance_weights_dsir",  # r11
+    "curated_export_roundtrip",  # r11
+    "cross_doc_ngram_duplication",  # r11
+    "lm_perplexity_filter",  # r11
+    "bpe_merge_candidates",  # r11
+    "corpus_datasheet",  # r11
+    "line_level_dedup",  # r11
 )
 
 

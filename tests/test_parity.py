@@ -143,7 +143,7 @@ def test_embedding_oracle_range_literals_match_emb_dim():
     bad = []
     for name, q in REGISTRY.items():
         if q.oracle and "embedding" in q.oracle.lower():
-            for m in re.finditer(r"range\(1, (\d+)\)", q.oracle):
+            for m in re.finditer(r"range\(\s*1\s*,\s*(\d+)\s*\)", q.oracle):
                 if int(m.group(1)) > 16 and int(m.group(1)) != EMB_DIM + 1:
                     bad.append((name, m.group(0)))
     assert not bad, f"dim-sized range literals out of sync with EMB_DIM: {bad}"

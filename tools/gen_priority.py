@@ -98,10 +98,11 @@ def main() -> None:
         src = open(path).read()
         start = src.index("_PRIORITY = (") + len("_PRIORITY = (")
         end = src.index("\n)", start)
-        open(path, "w").write(src[:start] + "\n" + body + src[end:])
+        new_src = src[:start] + "\n" + body + src[end:]
         import ast
 
-        ast.parse(open(path).read())  # refuse to leave a broken file
+        ast.parse(new_src)  # refuse to leave a broken file
+        open(path, "w").write(new_src)
         print(f"wrote {len(order)}-entry _PRIORITY to {path}", file=sys.stderr)
         return
 

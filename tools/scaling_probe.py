@@ -4,10 +4,19 @@ Run from the repo root on an IDLE box (the bench discipline):
 
     python tools/scaling_probe.py q1 q2 ...          # probe listed queries
     python tools/scaling_probe.py --trials 3 q1 ...  # min-of-N (default 2)
+    python tools/scaling_probe.py --noop q1 ...      # noop-sink timing
+                                                     # (bench.py protocol)
 
-One warm local[32] JVM; each query is timed to full materialization
-(count of collected rows) at both SFs, min over trials, and the table row
-is printed in the BENCH_NOTES.md format.
+One warm local[32] JVM; two timing protocols. Default: each query is
+timed to full materialization (count of collected rows) at both SFs, min
+over trials — comparable with the r8-r10 probe tables, but it charges
+driver-side output materialization to the query. --noop times to the
+noop sink instead (bench.py's protocol), isolating plan cost from output
+volume. In default mode, any >3.0x CHECK flag whose output row count also
+grew >3x is auto-re-timed under noop and both numbers are printed, so
+output-bound ratios adjudicate themselves (r11 lesson: sessionize read
+3.43x under collect but 0.99x under noop — its output grows 10x with the
+data). Table rows print in the BENCH_NOTES.md format.
 """
 
 from __future__ import annotations
@@ -62,12 +71,34 @@ def main() -> None:
                 best = dt if best is None else min(best, dt)
             times[sf_dir] = (best, n)
         t1, t10 = times["/root/testdata/sf0.01"][0], times["/root/testdata/sf0.1"][0]
-        rows.append((name, t1, t10, t10 / t1))
+        n1, n10 = times["/root/testdata/sf0.01"][1], times["/root/testdata/sf0.1"][1]
+        rows.append((name, t1, t10, t10 / t1, n1, n10))
         print(f"| {name} | {t1:.2f} s | {t10:.2f} s | {t10 / t1:.2f}× |", flush=True)
     print()
-    for name, t1, t10, r in sorted(rows, key=lambda x: -x[3]):
+    for name, t1, t10, r, n1, n10 in sorted(rows, key=lambda x: -x[3]):
         flag = "  <-- CHECK" if r > 3.0 else ""
         print(f"{name}: {t1:.2f} -> {t10:.2f} ({r:.2f}x){flag}")
+        # Auto-adjudicate output-bound CHECK flags: if the flagged query's
+        # output also grew >3x, the collect() protocol is charging driver
+        # materialization to the plan — re-time under the noop sink and
+        # print both so the flag carries its own adjudication.
+        if r > 3.0 and not use_noop and n1 > 0 and n10 / n1 > 3.0:
+            qd = reg[name]
+            noop = {}
+            for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+                best = None
+                for _ in range(trials):
+                    t0 = time.perf_counter()
+                    qd.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                noop[sf_dir] = best
+            nt1, nt10 = noop["/root/testdata/sf0.01"], noop["/root/testdata/sf0.1"]
+            print(
+                f"  output grew {n1} -> {n10} rows ({n10 / n1:.1f}x); "
+                f"noop-sink adjudication: {nt1:.2f} -> {nt10:.2f} "
+                f"({nt10 / nt1:.2f}x)"
+            )
     spark.stop()
 
 
