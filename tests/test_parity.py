@@ -174,3 +174,35 @@ def test_queries_md_matches_registry():
     assert total == len(REGISTRY)
     assert oracled == sum(1 for q in REGISTRY.values() if q.oracle)
     assert committed == render(), "QUERIES.md is stale — run python tools/gen_queries_md.py"
+
+
+def test_gen_priority_write_validates_before_touching_file(tmp_path):
+    """`gen_priority --write` must never leave a broken __spark_entry__.py:
+    the rewritten source is ast.parse'd BEFORE the file is overwritten, so
+    a body that would be a SyntaxError leaves the file byte-identical
+    (round-12 ADVICE — the original wrote first and validated after)."""
+    import pathlib
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo / "tools"))
+    from gen_priority import rewrite_priority
+
+    target = tmp_path / "entry_stub.py"
+    original = 'X = 1\n_PRIORITY = (\n    "old_query",  # r5\n)\nY = 2\n'
+    target.write_text(original)
+
+    # Good body: file is rewritten in place, result parses, tail intact.
+    rewrite_priority(str(target), '    "new_query",  # r11')
+    rewritten = target.read_text()
+    assert '"new_query"' in rewritten and '"old_query"' not in rewritten
+    assert rewritten.startswith("X = 1\n") and rewritten.endswith("Y = 2\n")
+
+    # Bad body (unterminated string -> SyntaxError): raises AND the file
+    # on disk is untouched — the failure mode the guard exists for.
+    before = target.read_text()
+    import pytest as _pytest
+
+    with _pytest.raises(SyntaxError):
+        rewrite_priority(str(target), '    "unterminated')
+    assert target.read_text() == before

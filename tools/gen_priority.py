@@ -58,6 +58,25 @@ def stale_order(ev: dict[str, int | None]) -> list[str]:
     return sorted(ev, key=lambda q: stale_key(ev[q]))
 
 
+def rewrite_priority(path: str, body: str) -> None:
+    """Replace the `_PRIORITY = (...)` tuple body in `path` in place.
+
+    The new source is built in memory and `ast.parse`d BEFORE the file is
+    touched, so a body that would produce a SyntaxError leaves the
+    committed file byte-identical (round-11 lesson: a hand-paste once left
+    a stray tuple tail behind; round-12 ADVICE: the original --write wrote
+    first and validated after, leaving the broken file on disk).
+    """
+    import ast
+
+    src = open(path).read()
+    start = src.index("_PRIORITY = (") + len("_PRIORITY = (")
+    end = src.index("\n)", start)
+    new_src = src[:start] + "\n" + body + src[end:]
+    ast.parse(new_src)  # refuse to leave a broken file
+    open(path, "w").write(new_src)
+
+
 def main() -> None:
     ev = evidence()
     order = stale_order(ev)
@@ -95,14 +114,7 @@ def main() -> None:
         # Only the tuple body changes; the explanatory comment block above
         # it is the round author's to update.
         path = f"{REPO}/__spark_entry__.py"
-        src = open(path).read()
-        start = src.index("_PRIORITY = (") + len("_PRIORITY = (")
-        end = src.index("\n)", start)
-        new_src = src[:start] + "\n" + body + src[end:]
-        import ast
-
-        ast.parse(new_src)  # refuse to leave a broken file
-        open(path, "w").write(new_src)
+        rewrite_priority(path, body)
         print(f"wrote {len(order)}-entry _PRIORITY to {path}", file=sys.stderr)
         return
 

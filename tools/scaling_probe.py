@@ -6,6 +6,8 @@ Run from the repo root on an IDLE box (the bench discipline):
     python tools/scaling_probe.py --trials 3 q1 ...  # min-of-N (default 2)
     python tools/scaling_probe.py --noop q1 ...      # noop-sink timing
                                                      # (bench.py protocol)
+    python tools/scaling_probe.py --check-threshold 1.5 q1 ...
+                                                     # custom CHECK ratio
 
 One warm local[32] JVM; two timing protocols. Default: each query is
 timed to full materialization (count of collected rows) at both SFs, min
@@ -34,6 +36,13 @@ def main() -> None:
     if "--trials" in args:
         i = args.index("--trials")
         trials = int(args[i + 1])
+        del args[i : i + 2]
+    # CHECK-flag ratio; lower it to force the auto-adjudication path on a
+    # query that sits under 3.0x (e.g. to validate the noop re-timing).
+    check_threshold = 3.0
+    if "--check-threshold" in args:
+        i = args.index("--check-threshold")
+        check_threshold = float(args[i + 1])
         del args[i : i + 2]
     # --noop: time to the noop sink (bench.py's protocol) instead of
     # .collect(). collect() charges driver-side row materialization to the
@@ -76,13 +85,13 @@ def main() -> None:
         print(f"| {name} | {t1:.2f} s | {t10:.2f} s | {t10 / t1:.2f}× |", flush=True)
     print()
     for name, t1, t10, r, n1, n10 in sorted(rows, key=lambda x: -x[3]):
-        flag = "  <-- CHECK" if r > 3.0 else ""
+        flag = "  <-- CHECK" if r > check_threshold else ""
         print(f"{name}: {t1:.2f} -> {t10:.2f} ({r:.2f}x){flag}")
         # Auto-adjudicate output-bound CHECK flags: if the flagged query's
         # output also grew >3x, the collect() protocol is charging driver
         # materialization to the plan — re-time under the noop sink and
         # print both so the flag carries its own adjudication.
-        if r > 3.0 and not use_noop and n1 > 0 and n10 / n1 > 3.0:
+        if r > check_threshold and not use_noop and n1 > 0 and n10 / n1 > 3.0:
             qd = reg[name]
             noop = {}
             for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
