@@ -176,6 +176,24 @@ def test_queries_md_matches_registry():
     assert committed == render(), "QUERIES.md is stale — run python tools/gen_queries_md.py"
 
 
+def test_bench_query_lists_resolve_in_registry():
+    """bench.py's headline/tracked names must stay valid registry keys —
+    a query rename would otherwise only surface as rc!=0 in the driver's
+    per-round BENCH_rN.json. Headline entries additionally need oracles:
+    they ARE the in-artifact DuckDB 2x-gate denominator."""
+    import pathlib
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo))
+    import bench
+
+    missing = [n for n in bench.BENCH_QUERIES + bench.TRACKED_QUERIES if n not in REGISTRY]
+    assert not missing, f"bench.py names not in registry: {missing}"
+    unoracled = [n for n in bench.BENCH_QUERIES if REGISTRY[n].oracle is None]
+    assert not unoracled, f"headline queries without DuckDB oracles: {unoracled}"
+
+
 def test_gen_priority_write_validates_before_touching_file(tmp_path):
     """`gen_priority --write` must never leave a broken __spark_entry__.py:
     the rewritten source is ast.parse'd BEFORE the file is overwritten, so
