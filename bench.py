@@ -150,30 +150,55 @@ def main() -> None:
     )
 
 
+_DUCK_CHILD = r"""
+import json, sys, time
+import duckdb
+
+spec = json.load(open(sys.argv[1]))
+con = duckdb.connect()
+for t in spec["tables"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{spec['sf_dir']}/{t}.parquet'")
+timings = {}
+for name, sql in spec["oracles"]:
+    runs = []
+    for _rep in range(2):
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()  # full materialization, like the noop sink
+        runs.append(time.perf_counter() - t0)
+    print(f"# duckdb {name}: {min(runs):.3f}s", file=sys.stderr)
+    timings[name] = round(min(runs), 4)
+print(json.dumps(timings))
+"""
+
+
 def _duckdb_baseline(registry, sf_dir: str) -> tuple[float, dict[str, float]]:
     """Min-of-2 DuckDB timings of the headline queries' oracle SQL on the
-    same parquet files — the brief's 2x gate denominator, measured on the
-    same machine AFTER spark.stop() so neither engine sees the other's
-    resident footprint."""
-    import duckdb
+    same parquet files — the brief's 2x gate denominator, run in a FRESH
+    python subprocess. spark.stop() (ADVICE r6) is not enough: the py4j
+    JVM (~3 GB RSS) outlives it inside the bench process, and DuckDB
+    measured in that process reads 1.3-2.4x slower than in a clean one
+    (round 12: in-process minhash 4.6-8.6 s vs 2.6-3.0 s fresh — an
+    INFLATED denominator that flattered the spark_vs_duckdb ratio on
+    hosts where the residue bites). A fresh process gives DuckDB the
+    same clean machine state Spark's own JVM got at launch."""
+    import subprocess
+    import tempfile
 
     from utils_spark.io import TABLES
 
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        sql = registry[name].oracle
-        if not sql:
-            continue
-        runs = []
-        for _rep in range(2):
-            t0 = time.perf_counter()
-            con.execute(sql).fetchall()  # full materialization, like the noop sink
-            runs.append(time.perf_counter() - t0)
-        print(f"# duckdb {name}: {min(runs):.3f}s", file=sys.stderr)
-        timings[name] = round(min(runs), 4)
+    oracles = [(n, registry[n].oracle) for n in BENCH_QUERIES if registry[n].oracle]
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
+        json.dump({"tables": list(TABLES), "sf_dir": sf_dir, "oracles": oracles}, f)
+        spec_path = f.name
+    out = subprocess.run(
+        [sys.executable, "-c", _DUCK_CHILD, spec_path],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    os.unlink(spec_path)
+    print(out.stderr, file=sys.stderr, end="")
+    timings: dict[str, float] = json.loads(out.stdout.strip().splitlines()[-1])
     return round(sum(timings.values()), 4), timings
 
 
