@@ -94,7 +94,9 @@ def spread_low_parallelism(df: DataFrame) -> DataFrame:
 
     One shared site for the guard (ADVICE r10): `df.rdd.getNumPartitions()`
     forces a plan→RDD conversion, so if a cheaper partition probe appears
-    in a future Spark it gets swapped in here, once.
+    in a future Spark it gets swapped in here, once. Measured r12: the
+    probe costs ~0-1 ms warm on the call-site plan shapes (scan + narrow
+    transforms) — conversion cost is NOT a reason to avoid the guard.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, par // 2):
