@@ -1,0 +1,106 @@
+"""Vanilla driver-loop simulator — the pre-round insurance gate.
+
+Replicates the driver's t2 oracle check EXACTLY (the details that have
+bitten before are load-bearing):
+
+  * a PLAIN SparkSession (not utils_spark.session.get_spark) — round 4's
+    INVALID_CONF_VALUE crash was vanilla-session-only and invisible to
+    every factory-session test;
+  * sf0.01 parquet, DuckDB views over the same files;
+  * columns sorted BY NAME before value comparison (the driver's hash
+    protocol), rows stringified and sorted.
+
+Usage (from the repo root, idle box not required — this is correctness):
+
+    python tools/driver_sim.py                # the driver's ~50-prefix
+    python tools/driver_sim.py --full         # all registered queries
+    python tools/driver_sim.py --prefix 80    # custom prefix length
+    python tools/driver_sim.py name1 name2    # just the named queries
+
+Exit code 0 iff every compared query matches (and entry() smokes >0 rows
+when running the prefix/full modes).
+"""
+
+from __future__ import annotations
+
+import itertools
+import sys
+import time
+
+REPO = __file__.rsplit("/tools/", 1)[0]
+sys.path.insert(0, REPO)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i].lower())
+    return sorted(tuple(str(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    args = list(sys.argv[1:])
+    prefix = 50
+    full = "--full" in args
+    if full:
+        args.remove("--full")
+    if "--prefix" in args:
+        i = args.index("--prefix")
+        prefix = int(args[i + 1])
+        del args[i : i + 2]
+    names_filter = args  # explicit query names, if any
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", "8g")
+        .appName("driver_sim")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import duckdb
+
+    import __spark_entry__ as E
+    from utils_spark.io import TABLES
+
+    qs, os_ = E.queries(), E.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    if names_filter:
+        names = names_filter
+    elif full:
+        names = list(qs)
+    else:
+        names = list(itertools.islice(qs.keys(), prefix))
+
+    bad, rows_only = [], []
+    t0 = time.time()
+    for name in names:
+        if name not in os_:
+            rows_only.append(name)
+            continue
+        sdf = qs[name](spark, SF_DIR)
+        s = norm([tuple(r) for r in sdf.collect()], sdf.columns)
+        res = con.execute(os_[name])
+        d = norm(res.fetchall(), [c[0] for c in res.description])
+        if s != d:
+            bad.append(name)
+            print(f"MISMATCH {name}: spark {len(s)} rows vs oracle {len(d)}")
+    if not names_filter:
+        entry_rows = len(E.entry(spark).collect())
+        print(f"entry rows: {entry_rows}")
+        if entry_rows <= 0:
+            bad.append("__entry__")
+    print(f"{len(names)} queries in {time.time() - t0:.0f}s; rows-only: {len(rows_only)}")
+    print("ALL GREEN" if not bad else f"FAILED: {bad}")
+    spark.stop()
+    return 0 if not bad else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
