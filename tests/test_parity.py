@@ -224,3 +224,23 @@ def test_gen_priority_write_validates_before_touching_file(tmp_path):
     with _pytest.raises(SyntaxError):
         rewrite_priority(str(target), '    "unterminated')
     assert target.read_text() == before
+
+
+def test_driver_sim_norm_matches_driver_protocol():
+    """driver_sim.norm must replicate the driver's compare: columns sorted
+    case-insensitively BY NAME (not positionally), rows stringified and
+    sorted — the exact protocol the oracle column-aliasing rule exists
+    for. A positional compare would pass queries the driver fails."""
+    import pathlib
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo / "tools"))
+    from driver_sim import norm
+
+    # same logical table, opposite column order on the two sides
+    spark_side = norm([(1, "a"), (2, "b")], ["num", "Alpha"])
+    oracle_side = norm([("a", 1), ("b", 2)], ["Alpha", "num"])
+    assert spark_side == oracle_side
+    # value drift must still be visible after normalization
+    assert norm([(1, "a")], ["num", "Alpha"]) != norm([("a", 2)], ["Alpha", "num"])
