@@ -194,10 +194,14 @@ def _duckdb_baseline(registry, sf_dir: str) -> tuple[float, dict[str, float]]:
         [sys.executable, "-c", _DUCK_CHILD, spec_path],
         capture_output=True,
         text=True,
-        check=True,
     )
     os.unlink(spec_path)
+    # surface the child's stderr whether it succeeded (per-query progress
+    # lines) or died (the actual DuckDB error) — an opaque CalledProcessError
+    # would leave the driver's BENCH_rN tail useless for diagnosis
     print(out.stderr, file=sys.stderr, end="")
+    if out.returncode != 0:
+        raise RuntimeError(f"duckdb baseline subprocess failed (rc={out.returncode})")
     timings: dict[str, float] = json.loads(out.stdout.strip().splitlines()[-1])
     return round(sum(timings.values()), 4), timings
 

@@ -226,6 +226,38 @@ def test_gen_priority_write_validates_before_touching_file(tmp_path):
     assert target.read_text() == before
 
 
+def test_bench_duckdb_baseline_subprocess_paths(monkeypatch):
+    """The DuckDB 2x-gate denominator runs in a fresh subprocess (the r12
+    JVM-residue fix). Success must return parsed per-query timings;
+    a failing oracle must raise with rc surfaced (not an opaque
+    CalledProcessError with hidden stderr)."""
+    import pathlib
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo))
+    import bench
+
+    class _Q:
+        def __init__(self, oracle):
+            self.oracle = oracle
+
+    monkeypatch.setattr(bench, "BENCH_QUERIES", ["tiny"])
+    total, timings = bench._duckdb_baseline(
+        {"tiny": _Q("SELECT count(*) AS n FROM region")}, "/root/testdata/sf0.001"
+    )
+    assert set(timings) == {"tiny"} and total == timings["tiny"] >= 0
+
+    monkeypatch.setattr(bench, "BENCH_QUERIES", ["broken"])
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="duckdb baseline subprocess failed"):
+        bench._duckdb_baseline(
+            {"broken": _Q("SELECT definitely_not_a_column FROM nowhere")},
+            "/root/testdata/sf0.001",
+        )
+
+
 def test_driver_sim_norm_matches_driver_protocol():
     """driver_sim.norm must replicate the driver's compare: columns sorted
     case-insensitively BY NAME (not positionally), rows stringified and
