@@ -190,19 +190,26 @@ def _duckdb_baseline(registry, sf_dir: str) -> tuple[float, dict[str, float]]:
     with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
         json.dump({"tables": list(TABLES), "sf_dir": sf_dir, "oracles": oracles}, f)
         spec_path = f.name
-    out = subprocess.run(
-        [sys.executable, "-c", _DUCK_CHILD, spec_path],
-        capture_output=True,
-        text=True,
-    )
-    os.unlink(spec_path)
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", _DUCK_CHILD, spec_path],
+            capture_output=True,
+            text=True,
+        )
+    finally:
+        # even on KeyboardInterrupt/OSError mid-run (round-12 ADVICE: the
+        # spec file used to leak when subprocess.run itself raised)
+        os.unlink(spec_path)
     # surface the child's stderr whether it succeeded (per-query progress
     # lines) or died (the actual DuckDB error) — an opaque CalledProcessError
     # would leave the driver's BENCH_rN tail useless for diagnosis
     print(out.stderr, file=sys.stderr, end="")
-    if out.returncode != 0:
+    stdout_lines = out.stdout.strip().splitlines()
+    if out.returncode != 0 or not stdout_lines:
+        # empty stdout with rc=0 hits the same diagnostic path as a crash —
+        # an IndexError here would mask the stderr just printed above
         raise RuntimeError(f"duckdb baseline subprocess failed (rc={out.returncode})")
-    timings: dict[str, float] = json.loads(out.stdout.strip().splitlines()[-1])
+    timings: dict[str, float] = json.loads(stdout_lines[-1])
     return round(sum(timings.values()), 4), timings
 
 

@@ -226,6 +226,42 @@ def test_gen_priority_write_validates_before_touching_file(tmp_path):
     assert target.read_text() == before
 
 
+def test_gen_priority_write_regenerates_rationale_comment(tmp_path):
+    """--write replaces the contiguous # block above `_PRIORITY = (` with
+    the generated round-stamped rationale (round-12 VERDICT #4: the
+    hand-maintained comment narrated the r11 rotation above the r12
+    tuple). Must be idempotent and leave non-comment context intact."""
+    import pathlib
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo / "tools"))
+    from gen_priority import rewrite_priority
+
+    target = tmp_path / "entry_stub.py"
+    target.write_text(
+        "X = 1\n"
+        "# STALE: round-11 rotation rationale\n"
+        "# second stale line\n"
+        '_PRIORITY = (\n    "old_query",  # r5\n)\nY = 2\n'
+    )
+    comment = "# GENERATED rationale line 1\n# line 2"
+    rewrite_priority(str(target), '    "new_query",  # r11', comment)
+    out = target.read_text()
+    assert "STALE" not in out and "# GENERATED rationale line 1" in out
+    assert out.startswith("X = 1\n") and out.endswith("Y = 2\n")
+    assert '"new_query"' in out and '"old_query"' not in out
+
+    # Idempotent: a second --write with the same inputs is a byte no-op.
+    rewrite_priority(str(target), '    "new_query",  # r11', comment)
+    assert target.read_text() == out
+
+    # Without a comment arg the existing block is left alone (the
+    # original contract the prior test pins).
+    rewrite_priority(str(target), '    "third_query",  # r12')
+    assert "# GENERATED rationale line 1" in target.read_text()
+
+
 def test_bench_duckdb_baseline_subprocess_paths(monkeypatch):
     """The DuckDB 2x-gate denominator runs in a fresh subprocess (the r12
     JVM-residue fix). Success must return parsed per-query timings;

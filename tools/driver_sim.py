@@ -38,6 +38,9 @@ def norm(rows, cols):
     return sorted(tuple(str(r[i]) for i in order) for r in rows)
 
 
+USAGE = "usage: driver_sim.py [--full] [--prefix N] [query_name ...]"
+
+
 def main() -> int:
     args = list(sys.argv[1:])
     prefix = 50
@@ -46,9 +49,27 @@ def main() -> int:
         args.remove("--full")
     if "--prefix" in args:
         i = args.index("--prefix")
+        if i + 1 >= len(args) or not args[i + 1].isdigit():
+            print(f"--prefix needs an integer value\n{USAGE}", file=sys.stderr)
+            return 2
         prefix = int(args[i + 1])
         del args[i : i + 2]
+    bad_flags = [a for a in args if a.startswith("-")]
+    if bad_flags:
+        print(f"unknown flags: {bad_flags}\n{USAGE}", file=sys.stderr)
+        return 2
     names_filter = args  # explicit query names, if any
+
+    # Validate names against the registry BEFORE the Spark session spins
+    # up (round-12 ADVICE: a typo used to surface as a bare KeyError deep
+    # in the loop after ~20 s of JVM startup).
+    import __spark_entry__ as E
+
+    qs, os_ = E.queries(), E.oracle_sql()
+    unknown = [n for n in names_filter if n not in qs]
+    if unknown:
+        print(f"unknown query names: {unknown}\n{USAGE}", file=sys.stderr)
+        return 2
 
     from pyspark.sql import SparkSession
 
@@ -63,10 +84,8 @@ def main() -> int:
 
     import duckdb
 
-    import __spark_entry__ as E
     from utils_spark.io import TABLES
 
-    qs, os_ = E.queries(), E.oracle_sql()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
@@ -83,6 +102,13 @@ def main() -> int:
     for name in names:
         if name not in os_:
             rows_only.append(name)
+            if names_filter:
+                # Explicitly requested: still EXECUTE it (rows-only count)
+                # so a diff-touched query can never look green without
+                # having run (round-12 ADVICE). Prefix/full modes keep the
+                # driver's skip semantics — those samples are oracle-only.
+                n_rows = qs[name](spark, SF_DIR).count()
+                print(f"rows-only {name}: {n_rows} rows (no oracle)")
             continue
         sdf = qs[name](spark, SF_DIR)
         s = norm([tuple(r) for r in sdf.collect()], sdf.columns)

@@ -58,7 +58,7 @@ def stale_order(ev: dict[str, int | None]) -> list[str]:
     return sorted(ev, key=lambda q: stale_key(ev[q]))
 
 
-def rewrite_priority(path: str, body: str) -> None:
+def rewrite_priority(path: str, body: str, comment: str | None = None) -> None:
     """Replace the `_PRIORITY = (...)` tuple body in `path` in place.
 
     The new source is built in memory and `ast.parse`d BEFORE the file is
@@ -66,13 +66,28 @@ def rewrite_priority(path: str, body: str) -> None:
     committed file byte-identical (round-11 lesson: a hand-paste once left
     a stray tuple tail behind; round-12 ADVICE: the original --write wrote
     first and validated after, leaving the broken file on disk).
+
+    When `comment` is given, the contiguous `#` comment block immediately
+    above `_PRIORITY = (` is replaced too (round-12 VERDICT #4: the
+    hand-maintained rationale went stale — the r11 narrative sat above the
+    r12 tuple — so --write now emits a round-stamped rationale atomically
+    with the tuple it describes).
     """
     import ast
 
     src = open(path).read()
-    start = src.index("_PRIORITY = (") + len("_PRIORITY = (")
+    decl = src.index("_PRIORITY = (")
+    start = decl + len("_PRIORITY = (")
     end = src.index("\n)", start)
-    new_src = src[:start] + "\n" + body + src[end:]
+    head = src[:decl]
+    if comment is not None:
+        # Strip the contiguous trailing comment block (if any) above the
+        # declaration, then install the freshly generated one.
+        lines = head.splitlines(keepends=True)
+        while lines and lines[-1].lstrip().startswith("#"):
+            lines.pop()
+        head = "".join(lines) + comment.rstrip("\n") + "\n"
+    new_src = head + "_PRIORITY = (" + "\n" + body + src[end:]
     ast.parse(new_src)  # refuse to leave a broken file
     open(path, "w").write(new_src)
 
@@ -108,13 +123,38 @@ def main() -> None:
     )
 
     if "--write" in sys.argv:
-        # Rewrite the `_PRIORITY = (...)` tuple in __spark_entry__.py in
-        # place (round-11 lesson: hand-pasting the 272-line body once left
-        # a stray tuple tail behind — a SyntaxError the checker then hit).
-        # Only the tuple body changes; the explanatory comment block above
-        # it is the round author's to update.
+        # Rewrite the `_PRIORITY = (...)` tuple AND its rationale comment
+        # in __spark_entry__.py in place (round-11 lesson: hand-pasting the
+        # 272-line body once left a stray tuple tail behind; round-12
+        # VERDICT #4: the hand-maintained comment went stale — generate it).
+        rounds = sorted(
+            int(re.search(r"r0*(\d+)", f.rsplit("/", 1)[1]).group(1))
+            for f in glob.glob(f"{REPO}/CORRECTNESS_r*.json")
+        )
+        comp: dict[str, int] = {}
+        for q in order[:50]:
+            key = "never-sampled" if ev[q] is None else f"r{ev[q]}-latest"
+            comp[key] = comp.get(key, 0) + 1
+        comp_str = " + ".join(
+            f"{n} {k}" for k, n in sorted(comp.items(), key=lambda kv: stale_key(
+                None if kv[0] == "never-sampled" else int(kv[0][1:-7])))
+        )
+        comment = "\n".join([
+            "# Least-verified-RECENTLY first: the driver samples a ~50-query prefix of",
+            "# this dict (rows+schema+hash vs the DuckDB oracle -> CORRECTNESS_r{N}).",
+            "# GENERATED by `python tools/gen_priority.py --write` from",
+            f"# CORRECTNESS_r{rounds[0]:02d}..r{rounds[-1]:02d}.json — do not hand-edit.",
+            "# Latest-green histogram at generation: "
+            + str({k: hist[k] for k in sorted(
+                hist, key=lambda k: 0.0 if k == "never" else float(k[1:]))})
+            + ".",
+            f"# The 50-slot sample for round {rounds[-1] + 1} is: {comp_str};",
+            "# the remainder continues in oldest-evidence order (never-sampled",
+            "# queries rank at tier 5.5 per the VERDICT r9 soft-unfreeze rule).",
+            "# Verify with `python tools/gen_priority.py --check` (must exit 0).",
+        ])
         path = f"{REPO}/__spark_entry__.py"
-        rewrite_priority(path, body)
+        rewrite_priority(path, body, comment)
         print(f"wrote {len(order)}-entry _PRIORITY to {path}", file=sys.stderr)
         return
 
