@@ -262,6 +262,31 @@ def test_gen_priority_write_regenerates_rationale_comment(tmp_path):
     assert "# GENERATED rationale line 1" in target.read_text()
 
 
+def test_driver_sim_argv_validation_fails_fast():
+    """driver_sim is a gate tool: bad argv must exit 2 with a usage line
+    BEFORE the Spark JVM spins up (round-12 ADVICE — `--prefix` with a
+    missing value used to IndexError and an unknown query name KeyError'd
+    ~20 s into the run). All three paths are pre-Spark, so they complete
+    in registry-import time."""
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    tool = str(repo / "tools" / "driver_sim.py")
+    for argv, needle in [
+        (["--prefix"], "--prefix needs an integer"),
+        (["--prefix", "abc"], "--prefix needs an integer"),
+        (["no_such_query_xyz"], "unknown query names"),
+        (["--bogus-flag"], "unknown flags"),
+    ]:
+        out = subprocess.run(
+            [sys.executable, tool, *argv], capture_output=True, text=True, cwd=repo
+        )
+        assert out.returncode == 2, (argv, out.returncode, out.stderr)
+        assert needle in out.stderr and "usage:" in out.stderr, (argv, out.stderr)
+
+
 def test_bench_duckdb_baseline_subprocess_paths(monkeypatch):
     """The DuckDB 2x-gate denominator runs in a fresh subprocess (the r12
     JVM-residue fix). Success must return parsed per-query timings;
@@ -291,6 +316,21 @@ def test_bench_duckdb_baseline_subprocess_paths(monkeypatch):
         bench._duckdb_baseline(
             {"broken": _Q("SELECT definitely_not_a_column FROM nowhere")},
             "/root/testdata/sf0.001",
+        )
+
+    # rc=0 with empty stdout must hit the SAME diagnostic RuntimeError,
+    # not an IndexError that masks the stderr just printed (round-12
+    # ADVICE). Simulate by stubbing the child run.
+    import subprocess as _sp
+
+    class _Empty:
+        returncode, stdout, stderr = 0, "", ""
+
+    monkeypatch.setattr(bench, "BENCH_QUERIES", ["tiny"])
+    monkeypatch.setattr(_sp, "run", lambda *a, **k: _Empty())
+    with _pytest.raises(RuntimeError, match="duckdb baseline subprocess failed"):
+        bench._duckdb_baseline(
+            {"tiny": _Q("SELECT count(*) AS n FROM region")}, "/root/testdata/sf0.001"
         )
 
 
