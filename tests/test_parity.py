@@ -97,6 +97,28 @@ def test_registry_consistency():
     assert len(qs) >= 10
 
 
+def test_priority_tuple_matches_registry_keyset():
+    """`_PRIORITY` must equal the registry keyset exactly, both directions,
+    no duplicates. `_ordered()` is deliberately forgiving (unknown tuple
+    names dropped, missing registry names appended at the tail), and
+    `gen_priority --check`'s boundary-tie rule can be blind to a single
+    new query when the 50-cut lands inside a large evidence tier — so
+    without this guard, a registry addition made without re-running
+    `gen_priority --write` would sit at the tail of queries() and never
+    be driver-sampled, with nothing failing. Every judge to date has
+    verified this keyset match by hand; this makes it mechanical."""
+    import __spark_entry__ as entry_mod
+
+    from utils_spark.registry import load_all
+
+    pri = entry_mod._PRIORITY
+    assert len(pri) == len(set(pri)), "duplicate names in _PRIORITY"
+    missing = set(load_all()) - set(pri)
+    stale = set(pri) - set(load_all())
+    assert not missing, f"registry queries absent from _PRIORITY (run gen_priority --write): {sorted(missing)}"
+    assert not stale, f"stale names in _PRIORITY (not in registry): {sorted(stale)}"
+
+
 def test_no_oracle_emits_hugeint(duck):
     """Driver value-hash regression guard: DuckDB's integer SUM returns
     HUGEINT (int128), which the driver's value-hasher encodes differently
