@@ -369,6 +369,53 @@ def test_driver_sim_argv_validation_fails_fast():
         assert needle in out.stderr and "usage:" in out.stderr, (argv, out.stderr)
 
 
+def test_shuffle_probe_helpers_and_argv():
+    """tools/shuffle_probe.py reads per-stage shuffle-write bytes from the
+    status REST API; its snapshot/delta math and byte formatting are pure
+    and pinned here. Bad argv must exit 2 before a JVM starts (same
+    fail-fast contract as driver_sim)."""
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo / "tools"))
+    from shuffle_probe import fmt_bytes, shuffle_write_snapshot
+
+    stages = [
+        {"stageId": 1, "attemptId": 0, "shuffleWriteBytes": 100},
+        {"stageId": 2, "attemptId": 0, "shuffleWriteBytes": 250},
+        {"stageId": 2, "attemptId": 1, "shuffleWriteBytes": 50},  # AQE retry
+        {"stageId": 3, "attemptId": 0},  # map-only stage: no shuffle key
+    ]
+    total, seen = shuffle_write_snapshot(stages)
+    assert total == 400
+    assert seen == {(1, 0), (2, 0), (2, 1), (3, 0)}
+    # the delta rule run_delta applies: only attempts NOT seen before count
+    after = stages + [{"stageId": 4, "attemptId": 0, "shuffleWriteBytes": 77}]
+    delta = sum(
+        s.get("shuffleWriteBytes", 0)
+        for s in after
+        if (s["stageId"], s.get("attemptId", 0)) not in seen
+    )
+    assert delta == 77
+
+    assert fmt_bytes(512) == "512 B"
+    assert fmt_bytes(2048) == "2.0 KB"
+    assert fmt_bytes(3 * 1024 * 1024) == "3.0 MB"
+
+    tool = str(repo / "tools" / "shuffle_probe.py")
+    for argv, needle in [
+        (["not_a_query_xyz"], "unknown query names"),
+        (["--check"], "--check needs"),
+    ]:
+        out = subprocess.run(
+            [sys.executable, tool, *argv], capture_output=True, text=True, cwd=repo
+        )
+        assert out.returncode == 2, (argv, out.returncode, out.stderr)
+        assert needle in out.stderr, (argv, out.stderr)
+
+
 def test_bench_duckdb_baseline_subprocess_paths(monkeypatch):
     """The DuckDB 2x-gate denominator runs in a fresh subprocess (the r12
     JVM-residue fix). Success must return parsed per-query timings;

@@ -1,0 +1,151 @@
+"""Shuffle-VOLUME scaling probe: noise-immune 100 TB evidence.
+
+The wall-clock probes (tools/scaling_probe.py) ride on host noise — this
+round's box swings ±20% between idle runs. Shuffle bytes do not: for a
+fixed plan, partitioning, and dataset they are deterministic, so the
+sf0.01 → sf0.1 growth RATIO of a query's shuffle volume is a
+host-independent witness of how its network cost scales with data. A
+bucketed/banded design (cost tracks duplicate density) grows ~linearly
+with the 10× data; a doc×doc or pair-explosion design grows ~100×. That
+distinction — not seconds — is what breaks at 1000 executors.
+
+    python tools/shuffle_probe.py                 # default heavy-shuffle set
+    python tools/shuffle_probe.py q1 q2 ...       # named registry queries
+    python tools/shuffle_probe.py --check 15 ...  # custom CHECK ratio
+
+For each query at each SF the probe runs the plan to the noop sink in
+one warm UI-enabled JVM and reads the per-stage shuffle-write bytes from
+Spark's public status REST API (/api/v1/applications/<id>/stages),
+summing the delta attributable to that run. Prints a BENCH_NOTES-ready
+table; exits 1 if any query's bytes ratio exceeds the CHECK threshold
+(default 15× for 10× data — linear plus compression/partition slack).
+
+Bytes ratios are comparable across rounds and hosts; re-run after
+touching any heavy-shuffle operator.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import urllib.request
+
+REPO = __file__.rsplit("/tools/", 1)[0]
+sys.path.insert(0, REPO)
+
+SF_SMALL = "/root/testdata/sf0.01"
+SF_BIG = "/root/testdata/sf0.1"
+
+# Heavy-shuffle queries: the banded/bucketed dedup + similarity designs
+# whose scale story depends on NOT being pair-quadratic, the multi-join
+# and window shapes, and the iterative graph operator.
+DEFAULT_QUERIES = [
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "multiway_join_revenue",
+    "grouped_quantiles",
+    "pairwise_ks",
+    "sessionize",
+    "suffix_lcp_dedup",
+    "louvain_communities",
+]
+
+
+def completed_stages(ui_url: str, app_id: str) -> list[dict]:
+    with urllib.request.urlopen(
+        f"{ui_url}/api/v1/applications/{app_id}/stages?status=complete"
+    ) as r:
+        return json.load(r)
+
+
+def shuffle_write_snapshot(stages: list[dict]) -> tuple[int, set[tuple[int, int]]]:
+    """Total shuffle-write bytes over completed stage attempts, plus the
+    attempt keyset (so a delta can exclude everything already finished)."""
+    total, seen = 0, set()
+    for s in stages:
+        key = (s["stageId"], s.get("attemptId", 0))
+        seen.add(key)
+        total += s.get("shuffleWriteBytes", 0)
+    return total, seen
+
+
+def run_delta(spark, fn, sf_dir: str, ui_url: str, app_id: str) -> int:
+    """Shuffle-write bytes attributable to one noop-sink run of fn."""
+    _, before = shuffle_write_snapshot(completed_stages(ui_url, app_id))
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    after = completed_stages(ui_url, app_id)
+    return sum(
+        s.get("shuffleWriteBytes", 0)
+        for s in after
+        if (s["stageId"], s.get("attemptId", 0)) not in before
+    )
+
+
+def fmt_bytes(n: int) -> str:
+    for unit in ("B", "KB", "MB", "GB"):
+        if n < 1024 or unit == "GB":
+            return f"{n:.1f} {unit}" if unit != "B" else f"{n} B"
+        n /= 1024
+    return f"{n:.1f} GB"
+
+
+def main() -> int:
+    args = list(sys.argv[1:])
+    check = 15.0
+    if "--check" in args:
+        i = args.index("--check")
+        if i + 1 >= len(args):
+            print("--check needs a ratio value", file=sys.stderr)
+            return 2
+        check = float(args[i + 1])
+        del args[i : i + 2]
+    names = args or DEFAULT_QUERIES
+
+    from utils_spark.registry import load_all
+
+    reg = load_all()
+    unknown = [n for n in names if n not in reg]
+    if unknown:
+        print(f"unknown query names: {unknown}", file=sys.stderr)
+        return 2
+
+    from utils_spark.session import get_spark
+
+    spark = get_spark(app_name="shuffle_probe", extra_conf={"spark.ui.enabled": "true"})
+    spark.sparkContext.setLogLevel("ERROR")
+    ui_url = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    if not ui_url:
+        print("Spark UI unavailable (existing session with ui disabled?)", file=sys.stderr)
+        return 2
+
+    # warm the JVM/codegen off the books
+    spark.range(100_000).selectExpr("id % 7 AS k").groupBy("k").count().write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    flagged = []
+    print("| query | sf0.01 shuffle | sf0.1 shuffle | bytes ratio (10x data) |")
+    print("|---|---|---|---|")
+    for name in names:
+        small = run_delta(spark, reg[name].fn, SF_SMALL, ui_url, app_id)
+        big = run_delta(spark, reg[name].fn, SF_BIG, ui_url, app_id)
+        # a fully map-side/broadcast plan shuffles ~0 at both SFs: linear
+        ratio = (big / small) if small > 0 else (0.0 if big == 0 else float("inf"))
+        mark = ""
+        if small > 0 and ratio > check:
+            mark = f" **CHECK >{check:g}×**"
+            flagged.append(name)
+        rtxt = "~0× (no shuffle)" if small == 0 and big == 0 else f"{ratio:.1f}×"
+        print(f"| {name} | {fmt_bytes(small)} | {fmt_bytes(big)} | {rtxt}{mark} |")
+
+    spark.stop()
+    if flagged:
+        print(f"\nCHECK-flagged (bytes ratio > {check:g}× for 10× data): {flagged}")
+        return 1
+    print(f"\nall ratios ≤ {check:g}× — shuffle volume scales ~linearly with data")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
