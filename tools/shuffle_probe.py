@@ -69,16 +69,21 @@ def shuffle_write_snapshot(stages: list[dict]) -> tuple[int, set[tuple[int, int]
     return total, seen
 
 
-def run_delta(spark, fn, sf_dir: str, ui_url: str, app_id: str) -> int:
-    """Shuffle-write bytes attributable to one noop-sink run of fn."""
+def run_delta(spark, fn, sf_dir: str, ui_url: str, app_id: str) -> tuple[int, int]:
+    """(shuffle-write bytes, spill bytes) attributable to one noop-sink
+    run of fn. Spill = memory + disk bytes spilled: a nonzero reading
+    means a partition outgrew executor memory at THIS scale — the
+    per-partition sizing contract (SURVEY §7: partitions must fit) is
+    already broken before any 100× scale-up."""
     _, before = shuffle_write_snapshot(completed_stages(ui_url, app_id))
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     after = completed_stages(ui_url, app_id)
-    return sum(
-        s.get("shuffleWriteBytes", 0)
-        for s in after
-        if (s["stageId"], s.get("attemptId", 0)) not in before
+    fresh = [s for s in after if (s["stageId"], s.get("attemptId", 0)) not in before]
+    shuffle = sum(s.get("shuffleWriteBytes", 0) for s in fresh)
+    spill = sum(
+        s.get("memoryBytesSpilled", 0) + s.get("diskBytesSpilled", 0) for s in fresh
     )
+    return shuffle, spill
 
 
 def fmt_bytes(n: int) -> str:
@@ -124,26 +129,32 @@ def main() -> int:
         "noop"
     ).mode("overwrite").save()
 
-    flagged = []
-    print("| query | sf0.01 shuffle | sf0.1 shuffle | bytes ratio (10x data) |")
-    print("|---|---|---|---|")
+    flagged, spilled = [], []
+    print("| query | sf0.01 shuffle | sf0.1 shuffle | bytes ratio (10x data) | sf0.1 spill |")
+    print("|---|---|---|---|---|")
     for name in names:
-        small = run_delta(spark, reg[name].fn, SF_SMALL, ui_url, app_id)
-        big = run_delta(spark, reg[name].fn, SF_BIG, ui_url, app_id)
+        small, _ = run_delta(spark, reg[name].fn, SF_SMALL, ui_url, app_id)
+        big, big_spill = run_delta(spark, reg[name].fn, SF_BIG, ui_url, app_id)
         # a fully map-side/broadcast plan shuffles ~0 at both SFs: linear
         ratio = (big / small) if small > 0 else (0.0 if big == 0 else float("inf"))
         mark = ""
         if small > 0 and ratio > check:
             mark = f" **CHECK >{check:g}×**"
             flagged.append(name)
+        if big_spill:
+            spilled.append(name)
         rtxt = "~0× (no shuffle)" if small == 0 and big == 0 else f"{ratio:.1f}×"
-        print(f"| {name} | {fmt_bytes(small)} | {fmt_bytes(big)} | {rtxt}{mark} |")
+        stxt = fmt_bytes(big_spill) if big_spill else "0"
+        print(f"| {name} | {fmt_bytes(small)} | {fmt_bytes(big)} | {rtxt}{mark} | {stxt} |")
 
     spark.stop()
-    if flagged:
-        print(f"\nCHECK-flagged (bytes ratio > {check:g}× for 10× data): {flagged}")
+    if flagged or spilled:
+        if flagged:
+            print(f"\nCHECK-flagged (bytes ratio > {check:g}× for 10× data): {flagged}")
+        if spilled:
+            print(f"\nSPILL-flagged (partition outgrew memory at test scale): {spilled}")
         return 1
-    print(f"\nall ratios ≤ {check:g}× — shuffle volume scales ~linearly with data")
+    print(f"\nall ratios ≤ {check:g}× and zero spills — shuffle volume scales ~linearly")
     return 0
 
 
