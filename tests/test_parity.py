@@ -380,7 +380,11 @@ def test_shuffle_probe_helpers_and_argv():
 
     repo = pathlib.Path(__file__).resolve().parent.parent
     sys.path.insert(0, str(repo / "tools"))
-    from shuffle_probe import fmt_bytes, shuffle_write_snapshot
+    from shuffle_probe import default_queries, fmt_bytes, shuffle_write_snapshot
+
+    # default set = bench's registry-guarded headline+tracked lists
+    assert set(default_queries()) <= set(REGISTRY)
+    assert "minhash_lsh_pairs" in default_queries()
 
     stages = [
         {"stageId": 1, "attemptId": 0, "shuffleWriteBytes": 100},

@@ -9,7 +9,7 @@ bucketed/banded design (cost tracks duplicate density) grows ~linearly
 with the 10× data; a doc×doc or pair-explosion design grows ~100×. That
 distinction — not seconds — is what breaks at 1000 executors.
 
-    python tools/shuffle_probe.py                 # default heavy-shuffle set
+    python tools/shuffle_probe.py                 # bench headline+tracked set
     python tools/shuffle_probe.py q1 q2 ...       # named registry queries
     python tools/shuffle_probe.py --check 15 ...  # custom CHECK ratio
 
@@ -36,19 +36,14 @@ sys.path.insert(0, REPO)
 SF_SMALL = "/root/testdata/sf0.01"
 SF_BIG = "/root/testdata/sf0.1"
 
-# Heavy-shuffle queries: the banded/bucketed dedup + similarity designs
-# whose scale story depends on NOT being pair-quadratic, the multi-join
-# and window shapes, and the iterative graph operator.
-DEFAULT_QUERIES = [
-    "minhash_lsh_pairs",
-    "ngram_jaccard_pairs",
-    "multiway_join_revenue",
-    "grouped_quantiles",
-    "pairwise_ks",
-    "sessionize",
-    "suffix_lcp_dedup",
-    "louvain_communities",
-]
+def default_queries() -> list[str]:
+    """Probe bench.py's full headline + tracked set by default — the same
+    registry-guarded lists the driver benches every round, so the probe
+    table stays in sync with the bench surface with no hand-kept list
+    (the bench-lists test already pins these names to the registry)."""
+    import bench
+
+    return list(bench.BENCH_QUERIES) + list(bench.TRACKED_QUERIES)
 
 
 def completed_stages(ui_url: str, app_id: str) -> list[dict]:
@@ -104,7 +99,7 @@ def main() -> int:
             return 2
         check = float(args[i + 1])
         del args[i : i + 2]
-    names = args or DEFAULT_QUERIES
+    names = args or default_queries()
 
     from utils_spark.registry import load_all
 
