@@ -155,7 +155,10 @@ def test_collect_sites_match_adjudicated_whitelist():
     scalar/centroid table (adjudicated r9/r10: k×d centroids, ≤8-row
     merge tables, bin edges, data-derived k, bounded COO). New sites must
     be added here deliberately, with the boundedness argument in the
-    call-site docstring — not slipped in silently."""
+    call-site docstring — not slipped in silently. Counted via ast (real
+    `.collect()` Call nodes), so a comment or docstring mentioning
+    .collect() neither fails nor masks the ratchet."""
+    import ast
     import pathlib
 
     # file -> adjudicated count of bounded collect() call sites
@@ -169,7 +172,13 @@ def test_collect_sites_match_adjudicated_whitelist():
     pkg = pathlib.Path(__file__).resolve().parent.parent / "utils_spark"
     found: dict[str, int] = {}
     for path in sorted(pkg.rglob("*.py")):
-        n = path.read_text().count(".collect()")
+        n = sum(
+            1
+            for node in ast.walk(ast.parse(path.read_text()))
+            if isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr == "collect"
+        )
         if n:
             found[str(path.relative_to(pkg))] = n
     assert found == WHITELIST, (
@@ -380,7 +389,12 @@ def test_shuffle_probe_helpers_and_argv():
 
     repo = pathlib.Path(__file__).resolve().parent.parent
     sys.path.insert(0, str(repo / "tools"))
-    from shuffle_probe import default_queries, fmt_bytes, shuffle_write_snapshot
+    from shuffle_probe import (
+        default_queries,
+        fmt_bytes,
+        scaling_flag,
+        shuffle_write_snapshot,
+    )
 
     # default set = bench's registry-guarded headline+tracked lists
     assert set(default_queries()) <= set(REGISTRY)
@@ -408,10 +422,19 @@ def test_shuffle_probe_helpers_and_argv():
     assert fmt_bytes(2048) == "2.0 KB"
     assert fmt_bytes(3 * 1024 * 1024) == "3.0 MB"
 
+    # CHECK-flag logic: linear passes, superlinear flags, no-shuffle passes,
+    # and 0 -> nonzero (broadcast flipped to shuffle) flags despite ratio=inf
+    assert scaling_flag(100, 1000, 15.0) is None
+    assert scaling_flag(100, 2000, 15.0) == "**CHECK >15×**"
+    assert scaling_flag(0, 0, 15.0) is None
+    assert scaling_flag(0, 1, 15.0) == "**CHECK 0→shuffle**"
+
     tool = str(repo / "tools" / "shuffle_probe.py")
     for argv, needle in [
         (["not_a_query_xyz"], "unknown query names"),
         (["--check"], "--check needs"),
+        (["--check", "abc"], "--check needs"),  # non-numeric: exit 2, not a traceback
+        (["--check", "minhash_lsh_pairs"], "--check needs"),  # query name eaten as value
     ]:
         out = subprocess.run(
             [sys.executable, tool, *argv], capture_output=True, text=True, cwd=repo

@@ -81,6 +81,20 @@ def run_delta(spark, fn, sf_dir: str, ui_url: str, app_id: str) -> tuple[int, in
     return shuffle, spill
 
 
+def scaling_flag(small: int, big: int, check: float) -> str | None:
+    """CHECK mark for a (sf0.01, sf0.1) shuffle-bytes pair, or None if clean.
+
+    0 → nonzero is the WORST superlinear signal (e.g. a broadcast join
+    flipping to a shuffle join at the larger SF) — it must flag even
+    though the ratio is inf rather than a comparable number.
+    """
+    if small > 0 and big / small > check:
+        return f"**CHECK >{check:g}×**"
+    if small == 0 and big > 0:
+        return "**CHECK 0→shuffle**"
+    return None
+
+
 def fmt_bytes(n: int) -> str:
     for unit in ("B", "KB", "MB", "GB"):
         if n < 1024 or unit == "GB":
@@ -97,7 +111,13 @@ def main() -> int:
         if i + 1 >= len(args):
             print("--check needs a ratio value", file=sys.stderr)
             return 2
-        check = float(args[i + 1])
+        try:
+            check = float(args[i + 1])
+        except ValueError:
+            # fail-fast contract (exit 2 + usage) must hold for a
+            # non-numeric value too, e.g. `--check abc` or `--check q1`
+            print(f"--check needs a ratio value, got {args[i + 1]!r}", file=sys.stderr)
+            return 2
         del args[i : i + 2]
     names = args or default_queries()
 
@@ -132,9 +152,9 @@ def main() -> int:
         big, big_spill = run_delta(spark, reg[name].fn, SF_BIG, ui_url, app_id)
         # a fully map-side/broadcast plan shuffles ~0 at both SFs: linear
         ratio = (big / small) if small > 0 else (0.0 if big == 0 else float("inf"))
-        mark = ""
-        if small > 0 and ratio > check:
-            mark = f" **CHECK >{check:g}×**"
+        flag = scaling_flag(small, big, check)
+        mark = f" {flag}" if flag else ""
+        if flag:
             flagged.append(name)
         if big_spill:
             spilled.append(name)
