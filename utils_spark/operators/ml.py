@@ -105,10 +105,26 @@ def knn_graph(
     model, so buckets and therefore the candidate-pair set are IDENTICAL
     to ``model.approxSimilarityJoin`` — but the banded join itself is
     native DataFrame ops: per-table hash ``floor(<v,u_j>/L)``, explode →
-    (table, bucket) equi-join → per-pair min (dups across tables
-    collapse; distance is identical per dup) → two-stage top-k. Flatter
-    plan than the MLlib wrapper (one explode instead of its
-    dataset-tagging union machinery), pure JVM expressions end to end."""
+    (table, bucket) equi-join → per-bucket top-k prefilter → per-pair min
+    (dups across tables collapse; distance is identical per dup) → global
+    top-k. Flatter plan than the MLlib wrapper (one explode instead of
+    its dataset-tagging union machinery), pure JVM expressions end to end.
+
+    Scale contract (r14 shuffle-probe fix): within-bucket candidate pairs
+    grow ~quadratically with bucket occupancy, so shuffling them all into
+    the (src, dst) dedup makes NETWORK cost density-superlinear (measured
+    17.6× bytes for 10× data before the fix). The join therefore carries
+    a merge hint — a self-join of equal sides is never broadcastable at
+    real scale, and SMJ output stays hash-clustered by (table, bucket) —
+    so the per-(table, bucket, src) top-k window needs only a local sort,
+    no exchange, and the candidate stream that reaches the wire is
+    ≤ n·num_hash_tables·k rows (linear). The prefilter is EXACT, not
+    approximate: both windows rank by the same total order (dist asc,
+    dst asc), and a dst in src's global top-k has rank ≤ k within every
+    bucket it shares with src, because the bucket's members (each key at
+    most once per bucket) are a subset of the global candidate union —
+    so it always survives the local cut. The quadratic pair enumeration
+    still happens, but as in-partition CPU, not shuffle."""
     work = _to_vector_col(df, array_col, "__feat").select(F.col(key_col).alias("__key"), "__feat")
     model = _fitted_brp_lsh(work, bucket_length, num_hash_tables)
     jvecs = model._java_obj.randUnitVectors()  # type: ignore[attr-defined]
@@ -141,15 +157,28 @@ def knn_graph(
             lambda acc, x: acc + x,
         )
     )
-    pairs = (
+    cands = (
         hashed.alias("a")
-        .join(hashed.alias("b"), ["__ht", "__hv"])
+        .hint("merge")
+        .join(hashed.alias("b").hint("merge"), ["__ht", "__hv"])
         .filter(F.col("a.__key") != F.col("b.__key"))
-        .select(F.col("a.__key").alias("src"), F.col("b.__key").alias("dst"), dist.alias("dist"))
+        .select(
+            "__ht",
+            "__hv",
+            F.col("a.__key").alias("src"),
+            F.col("b.__key").alias("dst"),
+            dist.alias("dist"),
+        )
         .filter(F.col("dist") <= max_distance)
-        .groupBy("src", "dst")
-        .agg(F.min("dist").alias("dist"))
     )
+    # exact per-bucket cut (see docstring) — keeps the wire linear in n
+    wb = Window.partitionBy("__ht", "__hv", "src").orderBy(F.asc("dist"), F.asc("dst"))
+    local = (
+        cands.withColumn("__brn", F.row_number().over(wb))
+        .filter(F.col("__brn") <= k)
+        .select("src", "dst", "dist")
+    )
+    pairs = local.groupBy("src", "dst").agg(F.min("dist").alias("dist"))
     w = Window.partitionBy("src").orderBy(F.asc("dist"), F.asc("dst"))
     return pairs.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop("__rn")
 
