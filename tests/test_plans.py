@@ -494,3 +494,37 @@ def test_unigram_viterbi_chain_cut_bounds_plan_depth(spark):
     n_proj = sum(1 for line in tree.splitlines() if "Project [" in line)
     assert n_proj <= 25, f"Viterbi chain depth regressed: {n_proj} Projects (pre-r10 shape: 38)"
     assert elapsed < 60.0, f"unigram plan build+optimize took {elapsed:.1f}s"
+
+
+def test_knn_graph_bucket_prefilter_before_wire(spark):
+    """knn_graph's r14 scale contract (the full-registry shuffle sweep's
+    one real flag, fixed): the LSH (table, bucket) self-join is a single
+    merge-hinted SortMergeJoin — a self-join of equal sides is never
+    broadcastable at real scale — whose output stays clustered by the
+    join keys, so the exact per-(table, bucket, src) top-k window runs
+    with only a local sort. Pinned structurally via the exchange count:
+    exactly 4 (two explode-side shuffles feeding the SMJ, the (src, dst)
+    dedup on the PREFILTERED ≤ n·tables·k stream, the final per-src
+    top-k). A 5th exchange means the bucket window lost the join's
+    clustering and is re-shuffling the quadratic candidate stream — the
+    17.6×-bytes-for-10×-data regression this contract exists to block.
+    WindowGroupLimit presence additionally pins that the row_number ≤ k
+    cut happens during the sorts, not after full materialization."""
+    import pyspark.sql.functions as F
+
+    from utils_spark.operators.ml import knn_graph
+
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        F.array(
+            (F.col("id") % 13).cast("double"), (F.col("id") % 5).cast("double")
+        ).alias("v"),
+    )
+    p = plan_summary(knn_graph(df, "k", "v", k=3, bucket_length=2.0))
+    assert p.n_sortmerge_joins == 1, p.text[:1500]
+    assert p.n_broadcast_joins == 0, p.text[:1500]
+    assert p.n_exchanges == 4, p.text[:1500]
+    import re as _re
+
+    n_wgl = len(_re.findall(r"^\(\d+\) WindowGroupLimit", p.text, _re.MULTILINE))
+    assert n_wgl >= 2, f"WindowGroupLimit cuts missing from plan:\n{p.text[:1500]}"
