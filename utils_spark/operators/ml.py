@@ -124,7 +124,10 @@ def knn_graph(
     bucket it shares with src, because the bucket's members (each key at
     most once per bucket) are a subset of the global candidate union —
     so it always survives the local cut. The quadratic pair enumeration
-    still happens, but as in-partition CPU, not shuffle."""
+    still happens, but as in-partition CPU, not shuffle — so at growing
+    data DENSITY (points per unit volume), shrink ``bucket_length`` to
+    hold expected bucket occupancy near O(k): that bounds the local CPU
+    too, at the usual LSH recall-tuning cost."""
     work = _to_vector_col(df, array_col, "__feat").select(F.col(key_col).alias("__key"), "__feat")
     model = _fitted_brp_lsh(work, bucket_length, num_hash_tables)
     jvecs = model._java_obj.randUnitVectors()  # type: ignore[attr-defined]
