@@ -394,6 +394,7 @@ def test_shuffle_probe_helpers_and_argv():
         fmt_bytes,
         scaling_flag,
         shuffle_write_snapshot,
+        stage_flag,
     )
 
     # default set = bench's registry-guarded headline+tracked lists
@@ -429,12 +430,23 @@ def test_shuffle_probe_helpers_and_argv():
     assert scaling_flag(0, 0, 15.0) is None
     assert scaling_flag(0, 1, 15.0) == "**CHECK 0→shuffle**"
 
+    # driver-side gate: stage counts must be size-stable (1.5×+2 slack
+    # absorbs AQE re-planning; real growth = data-dependent loop sweeps)
+    assert stage_flag(10, 10) is None
+    assert stage_flag(10, 17) is None  # = 1.5*10+2, boundary passes
+    assert stage_flag(10, 18) == "**CHECK stages**"
+    assert stage_flag(2, 5) is None
+    assert stage_flag(2, 6) == "**CHECK stages**"
+
     tool = str(repo / "tools" / "shuffle_probe.py")
     for argv, needle in [
         (["not_a_query_xyz"], "unknown query names"),
         (["--check"], "--check needs"),
         (["--check", "abc"], "--check needs"),  # non-numeric: exit 2, not a traceback
         (["--check", "minhash_lsh_pairs"], "--check needs"),  # query name eaten as value
+        (["--sf-small"], "--sf-small needs"),
+        (["--sf-small", "/nonexistent_dir_xyz"], "--sf-small needs"),
+        (["--sf-big", "/nonexistent_dir_xyz"], "--sf-big needs"),
     ]:
         out = subprocess.run(
             [sys.executable, tool, *argv], capture_output=True, text=True, cwd=repo
