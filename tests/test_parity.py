@@ -455,6 +455,44 @@ def test_shuffle_probe_helpers_and_argv():
         assert needle in out.stderr, (argv, out.stderr)
 
 
+def test_skew_probe_helpers_and_argv():
+    """tools/skew_probe.py reports per-task shuffle-read max/median per
+    stage (straggler-risk witness). Pure ratio/flag helpers pinned here;
+    bad argv must exit 2 before a JVM starts (the standing fail-fast
+    contract shared with shuffle_probe/driver_sim)."""
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo / "tools"))
+    from skew_probe import MIN_TASK, skew_flag, skew_ratio
+
+    assert skew_ratio(100.0, 900.0) == 9.0
+    # median 0 with a nonzero max IS maximal skew, not a divide-by-zero
+    assert skew_ratio(0.0, 5e6) == 5e6
+    # flag needs BOTH ratio > check AND absolute max > MIN_TASK
+    assert skew_flag(100.0, 900.0, 8.0) is None  # 9x but only 900 B
+    assert skew_flag(1e6, 3e6, 8.0) is None  # big but only 3x
+    assert skew_flag(1e6, 9e6, 8.0) == "**CHECK >8×**"
+    assert skew_flag(0.0, 2 * MIN_TASK, 8.0) == "**CHECK >8×**"
+
+    tool = str(repo / "tools" / "skew_probe.py")
+    for argv, needle in [
+        ([], "usage:"),
+        (["not_a_query_xyz"], "unknown query names"),
+        (["--check"], "--check needs"),
+        (["--check", "abc"], "--check needs"),
+        (["--sf"], "--sf needs"),
+        (["--sf", "/nonexistent_dir_xyz", "minhash_lsh_pairs"], "--sf needs"),
+    ]:
+        out = subprocess.run(
+            [sys.executable, tool, *argv], capture_output=True, text=True, cwd=repo
+        )
+        assert out.returncode == 2, (argv, out.returncode, out.stderr)
+        assert needle in out.stderr, (argv, out.stderr)
+
+
 def test_bench_duckdb_baseline_subprocess_paths(monkeypatch):
     """The DuckDB 2x-gate denominator runs in a fresh subprocess (the r12
     JVM-residue fix). Success must return parsed per-query timings;
