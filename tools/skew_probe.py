@@ -46,14 +46,20 @@ def completed_stages(ui_url: str, app_id: str) -> list[dict]:
         return json.load(r)
 
 
-def task_read_quantiles(ui_url: str, app_id: str, stage_id: int, attempt: int) -> tuple[float, float, float]:
-    """(min, median, max) per-task shuffle-read bytes of one stage."""
+def task_read_quantiles(
+    ui_url: str, app_id: str, stage_id: int, attempt: int
+) -> tuple[float, float, float, float]:
+    """(min, median, max) per-task shuffle-read bytes of one stage, plus
+    the stage's max per-task peakExecutionMemory — the positive witness
+    that partitions FIT (spill=0 only witnesses that none overflowed)."""
     with urllib.request.urlopen(
         f"{ui_url}/api/v1/applications/{app_id}/stages/{stage_id}/{attempt}"
         f"/taskSummary?quantiles=0.0,0.5,1.0"
     ) as r:
-        q = json.load(r)["shuffleReadMetrics"]["readBytes"]
-    return q[0], q[1], q[2]
+        summary = json.load(r)
+    q = summary["shuffleReadMetrics"]["readBytes"]
+    peak = summary.get("peakExecutionMemory", [0.0, 0.0, 0.0])[-1]
+    return q[0], q[1], q[2], peak
 
 
 def skew_ratio(median: float, mx: float) -> float:
@@ -131,8 +137,11 @@ def main() -> int:
     ).mode("overwrite").save()
 
     flagged = []
-    print("| query | worst stage read | tasks | median task | max task | max/median |")
-    print("|---|---|---|---|---|---|")
+    print(
+        "| query | worst stage read | tasks | median task | max task "
+        "| max/median | peak task mem |"
+    )
+    print("|---|---|---|---|---|---|---|")
     for name in args:
         before = {
             (s["stageId"], s.get("attemptId", 0))
@@ -146,16 +155,18 @@ def main() -> int:
             and s.get("shuffleReadBytes", 0) >= MIN_STAGE
         ]
         worst = None  # (ratio, stage_read, n_tasks, med, mx, flag)
+        peak_mem = 0.0  # max per-task peakExecutionMemory over probed stages
         for s in fresh:
-            _, med, mx = task_read_quantiles(
+            _, med, mx, peak = task_read_quantiles(
                 ui_url, app_id, s["stageId"], s.get("attemptId", 0)
             )
+            peak_mem = max(peak_mem, peak)
             r = skew_ratio(med, mx)
             if worst is None or r > worst[0]:
                 worst = (r, s["shuffleReadBytes"], s.get("numCompleteTasks", 0), med, mx,
                          skew_flag(med, mx, check))
         if worst is None:
-            print(f"| {name} | (no stage ≥ {fmt_bytes(MIN_STAGE)} read) | — | — | — | — |")
+            print(f"| {name} | (no stage ≥ {fmt_bytes(MIN_STAGE)} read) | — | — | — | — | — |")
             continue
         r, stage_read, n_tasks, med, mx, flag = worst
         mark = f" {flag}" if flag else ""
@@ -163,7 +174,7 @@ def main() -> int:
             flagged.append(name)
         print(
             f"| {name} | {fmt_bytes(stage_read)} | {n_tasks} | {fmt_bytes(med)} "
-            f"| {fmt_bytes(mx)} | {r:.1f}×{mark} |"
+            f"| {fmt_bytes(mx)} | {r:.1f}×{mark} | {fmt_bytes(peak_mem)} |"
         )
 
     spark.stop()
