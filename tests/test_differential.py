@@ -219,3 +219,60 @@ def test_random_differential_joins(spark, duck, sf_dir, seed):
     srows = sorted(tuple(str(x) for x in r) for r in sdf.collect())
     drows = sorted(tuple(str(x) for x in r) for r in duck.execute(sql).fetchall())
     assert srows == drows, f"seed={seed} group={group} o>{o_pred} c<{c_pred}"
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_knn_graph_differential_vs_numpy_lsh_union(spark, seed):
+    """Whole-operator differential for knn_graph (hash → bucket join →
+    r14 per-bucket top-k prefilter → cross-table dedup → global top-k)
+    against an independent numpy re-derivation of the SAME LSH scheme:
+    hashes = floor(v·u_j / L) per table, candidates = union over tables
+    of same-bucket others, exact distances, top-k by (dist, dst). Pins
+    the r14 prefilter's exactness argument permanently — any cut that
+    drops a true global winner diverges here. Integer-valued vectors
+    keep every distance float-exact, so ties at the k boundary (which
+    the fixture deliberately contains via repeated coordinates) compare
+    with == not tolerance."""
+    import math
+    import random as _random
+
+    from utils_spark.operators.ml import _fitted_brp_lsh, _to_vector_col, knn_graph
+
+    rng = _random.Random(seed)
+    n, d, k, L, tables = 300, 3, 5, 3.0, 3
+    pts = {i: [float(rng.randrange(0, 12)) for _ in range(d)] for i in range(n)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in pts.items()], "id bigint, v array<double>"
+    )
+    got = {
+        (r.src, r.dst): r.dist
+        for r in knn_graph(df, "id", "v", k=k, bucket_length=L, num_hash_tables=tables).collect()
+    }
+
+    work = _to_vector_col(df, "v", "__feat").select(F.col("id").alias("__key"), "__feat")
+    model = _fitted_brp_lsh(work, L, tables)
+    units = [
+        [float(x) for x in u.toArray()]
+        for u in model._java_obj.randUnitVectors()  # type: ignore[attr-defined]
+    ]
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i, v in pts.items():
+        for t, u in enumerate(units):
+            h = math.floor(sum(a * b for a, b in zip(v, u)) / L)
+            buckets.setdefault((t, h), []).append(i)
+    want: dict[tuple[int, int], float] = {}
+    for i, v in pts.items():
+        cand = set()
+        for t, u in enumerate(units):
+            h = math.floor(sum(a * b for a, b in zip(v, u)) / L)
+            cand.update(j for j in buckets[(t, h)] if j != i)
+        scored = sorted(
+            (math.sqrt(sum((a - b) ** 2 for a, b in zip(v, pts[j]))), j) for j in cand
+        )
+        for dist, j in scored[:k]:
+            want[(i, j)] = dist
+    assert set(got) == set(want), (
+        f"edge sets diverge: missing={sorted(set(want) - set(got))[:5]} "
+        f"extra={sorted(set(got) - set(want))[:5]}"
+    )
+    assert all(got[e] == want[e] for e in want)
