@@ -219,7 +219,10 @@ def main() -> int:
     spark.stop()
     if flagged or spilled or stage_flagged:
         if flagged:
-            print(f"\nCHECK-flagged (bytes ratio > {check:g}× for 10× data): {flagged}")
+            print(
+                f"\nCHECK-flagged (bytes ratio > {check:g}× for "
+                f"{s_small}→{s_big} data): {flagged}"
+            )
         if stage_flagged:
             print(f"\nSTAGE-flagged (stage count grows with data — driver-side loop?): {stage_flagged}")
         if spilled:

@@ -100,6 +100,14 @@ def knn_graph(
     neighbors per src. LSH bounds candidate pairs (vs. O(n²) crossJoin);
     tune bucket_length/num_hash_tables for recall-vs-cost.
 
+    PRECONDITION: ``key_col`` must be unique per row. The per-bucket
+    top-k prefilter's exactness proof (below) counts each key at most
+    once per (table, bucket); duplicate keys inflate within-bucket
+    row_number ranks and can silently drop a true global top-k neighbor
+    from every bucket it shares with its src. All in-repo callers pass a
+    primary key (d_docid / e_id / a synthetic row id); dedup upstream if
+    yours is not.
+
     The hash family is MLlib's BucketedRandomProjectionLSH — the seeded
     random unit vectors come from the (cached, data-independent) fitted
     model, so buckets and therefore the candidate-pair set are IDENTICAL
