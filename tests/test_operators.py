@@ -1356,3 +1356,120 @@ def test_unigram_chain_cut_equivalence(spark, sf_dir, monkeypatch):
         )
     assert results[False][0] == results[True][0], "piece tables diverged"
     assert results[False][1] == results[True][1], "apply dictionaries diverged"
+
+
+# ---------------------------------------------------------------- M22 ambient
+
+
+def _ambient_reference(rows, lower, n_sims, seed):
+    """Pure-Python replay of ambient_pvalues (hashlib md5, exact integer
+    micro-grid) — an engine-independent oracle for the whole operator:
+    ambient profile, observed statistic, the md5 inverse-CDF Monte-Carlo
+    null, p-values and the limited flag."""
+    import hashlib
+    from collections import Counter
+
+    MICRO = 1_000_000
+    lnm = lambda x: round(math.log(x) * MICRO)  # noqa: E731
+    counts = Counter(rows)  # (barcode, gene) -> y
+    totals = Counter()
+    for (b, _), y in counts.items():
+        totals[b] += y
+    genes = sorted({g for _, g in counts})
+    pooled = Counter()
+    for (b, g), y in counts.items():
+        if totals[b] <= lower:
+            pooled[g] += y
+    n1 = {g: pooled.get(g, 0) + 1 for g in genes}
+    denom = sum(n1.values())
+    p = {g: n1[g] / denom for g in genes}
+    lp = {g: lnm(p[g]) for g in genes}
+    # inverse-CDF bounds in gene order (last hi pinned to 1.0)
+    bounds, acc = [], 0.0
+    for i, g in enumerate(genes):
+        lo = acc
+        acc += p[g]
+        bounds.append((g, lo, 1.0 if i == len(genes) - 1 else acc))
+    tested = {b: t for b, t in totals.items() if t > lower}
+    obs = {}
+    for (b, g), y in counts.items():
+        if b in tested:
+            obs[b] = obs.get(b, 0) + y * lp[g] - sum(lnm(i) for i in range(1, y + 1))
+    tmax = max(tested.values(), default=0)
+    lsim = {}  # (r, j) -> cumulative micro stat
+    for r in range(1, n_sims + 1):
+        occ, cum = Counter(), 0
+        for j in range(1, tmax + 1):
+            h = int(hashlib.md5(f"{r}:{j}:{seed}".encode()).hexdigest()[:15], 16)
+            u = (h + 1) / float(1 << 60)
+            g = next(g for g, lo, hi in bounds if lo < u <= hi)
+            occ[g] += 1
+            cum += lp[g] - lnm(occ[g])
+            lsim[(r, j)] = cum
+    out = {}
+    for b, t in tested.items():
+        nbelow = sum(1 for r in range(1, n_sims + 1) if lsim[(r, t)] <= obs[b])
+        out[b] = (t, obs[b], (nbelow + 1) / (n_sims + 1), nbelow == 0)
+    return out
+
+
+def test_ambient_pvalues_matches_pure_python_replay(spark):
+    """Whole-operator differential vs the hashlib/integer-grid replay:
+    every tested barcode's (total, statistic, p-value, limited) must be
+    EXACTLY equal — the operator's claim is bit-level determinism."""
+    from utils_spark.operators.qc import ambient_pvalues
+
+    # 3 genes, skewed profile; barcodes 0..5 ambient-ish, 6..9 heavier
+    rows = []
+    for b in range(10):
+        size = 4 if b < 6 else 9 + b
+        for i in range(size):
+            g = ["a", "b", "c"][(b * 7 + i * 3) % 3] if b != 9 else "c"
+            rows.append((f"bc{b}", g))
+    df = spark.createDataFrame(rows, ["bc", "gene"])
+    got = {
+        r["bc"]: (r["total"], r["obs_micro"], r["pvalue"], r["limited"])
+        for r in ambient_pvalues(df, "bc", "gene", lower=5, n_sims=40, seed=7).collect()
+    }
+    want = _ambient_reference(rows, lower=5, n_sims=40, seed=7)
+    assert set(got) == set(want)
+    for b in want:
+        assert got[b][0] == want[b][0], (b, "total", got[b], want[b])
+        assert got[b][1] == want[b][1], (b, "obs_micro", got[b], want[b])
+        assert math.isclose(got[b][2], want[b][2], rel_tol=0, abs_tol=0), (b, got[b], want[b])
+        assert got[b][3] == want[b][3], (b, "limited", got[b], want[b])
+
+
+def test_ambient_pvalues_properties_and_planted_outlier(spark):
+    """Invariants: p ∈ [1/(R+1), 1] on the (R+1)-grid; limited ⇔ p at its
+    floor; BH never decreases a p-value; ambient barcodes are excluded.
+    A barcode drawing ONLY the rarest gene (planted non-ambient signal)
+    must hit the p-value floor with limited=True, and a barcode matching
+    the ambient profile must not."""
+    from utils_spark.operators.qc import ambient_pvalues
+
+    rows = []
+    # ambient pool: 30 barcodes of 4 events, 90% gene 'x', 10% 'y'
+    for b in range(30):
+        for i in range(4):
+            rows.append((f"amb{b}", "y" if (b * 4 + i) % 10 == 0 else "x"))
+    # conformer: 40 events shaped like the ambient profile
+    rows += [("conf", "y" if i % 10 == 0 else "x") for i in range(40)]
+    # planted: 40 events, all the rare gene
+    rows += [("planted", "y")] * 40
+    df = spark.createDataFrame(rows, ["bc", "gene"])
+    R = 100
+    res = {
+        r["bc"]: r
+        for r in ambient_pvalues(df, "bc", "gene", lower=10, n_sims=R, seed=11).collect()
+    }
+    assert set(res) == {"conf", "planted"}
+    floor = 1.0 / (R + 1)
+    for r in res.values():
+        assert floor - 1e-12 <= r["pvalue"] <= 1.0
+        k = r["pvalue"] * (R + 1)
+        assert abs(k - round(k)) < 1e-9, "p must sit on the (R+1) grid"
+        assert r["limited"] == (abs(r["pvalue"] - floor) < 1e-12)
+        assert r["p_adjusted"] >= r["pvalue"] - 1e-12
+    assert res["planted"]["limited"] and abs(res["planted"]["pvalue"] - floor) < 1e-12
+    assert res["conf"]["pvalue"] > 0.2 and not res["conf"]["limited"]

@@ -528,3 +528,21 @@ def test_knn_graph_bucket_prefilter_before_wire(spark):
 
     n_wgl = len(_re.findall(r"^\(\d+\) WindowGroupLimit", p.text, _re.MULTILINE))
     assert n_wgl >= 2, f"WindowGroupLimit cuts missing from plan:\n{p.text[:1500]}"
+
+
+def test_ambient_significance_null_grid_broadcast(spark, sf_dir):
+    """M22 ambient test scale contract: the Monte-Carlo null is R·max(T)
+    rows regardless of barcode count, and it must reach the barcode side
+    as a BROADCAST of per-total sim arrays — a shuffle join on `total`
+    would hash millions of barcodes onto ~dozens of distinct-total keys
+    (pathological skew at scale). Also pinned: the tiny ambient-profile /
+    denominator / tmax sides all broadcast (≥4 broadcast joins, incl. the
+    inverse-CDF range join), no CartesianProduct ever, and the shared
+    (barcode, gene) aggregate is served from the cache (InMemoryTableScan)
+    instead of rescanning the corpus per branch."""
+    import re as _re
+
+    p = _plan(spark, sf_dir, "ambient_pool_significance")
+    assert not _re.search(r"^\(\d+\) CartesianProduct", p.text, _re.MULTILINE), p.text[:1500]
+    assert p.n_broadcast_joins >= 4, p.text[:1500]
+    assert "InMemoryTableScan" in p.text, "shared counts aggregate must be cached"

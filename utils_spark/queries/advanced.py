@@ -700,3 +700,141 @@ def pairwise_cvm(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cvm_stat"),
     )
+
+
+@register(
+    "ambient_pool_significance",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY user_id, event_type
+    ),
+    totals AS (
+      SELECT user_id, CAST(SUM(y) AS BIGINT) AS total FROM counts GROUP BY user_id
+    ),
+    genes AS (SELECT DISTINCT event_type FROM events),
+    pool AS (
+      SELECT c.event_type, CAST(SUM(c.y) AS BIGINT) AS pooled
+      FROM counts c JOIN totals t USING (user_id)
+      WHERE t.total <= 60
+      GROUP BY c.event_type
+    ),
+    prof0 AS (
+      SELECT g.event_type, CAST(COALESCE(p.pooled, 0) + 1 AS BIGINT) AS n1
+      FROM genes g LEFT JOIN pool p USING (event_type)
+    ),
+    prof AS (
+      SELECT event_type, n1 / (SELECT CAST(SUM(n1) AS BIGINT) FROM prof0) AS p
+      FROM prof0
+    ),
+    prof2 AS (
+      SELECT event_type, p, CAST(ROUND(LN(p) * 1000000) AS BIGINT) AS lp FROM prof
+    ),
+    cum AS (
+      SELECT event_type, lp,
+             SUM(p) OVER w - p AS lo,
+             CASE WHEN row_number() OVER (ORDER BY event_type DESC) = 1 THEN 1.0
+                  ELSE SUM(p) OVER w END AS hi
+      FROM prof2
+      WINDOW w AS (ORDER BY event_type ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    -- 512 is a CONSTANT grid cap (DuckDB range() cannot take a subquery):
+    -- per-user totals are <=99 at every shipped SF; an undershoot drops the
+    -- inner join on j = total and fails parity LOUDLY (missing rows)
+    draws AS (
+      SELECT r.range AS r, j.range AS j,
+             (CAST(('0x' || substr(md5(CAST(r.range AS VARCHAR) || ':' ||
+                    CAST(j.range AS VARCHAR) || ':290'), 1, 15)) AS BIGINT) + 1)
+               / 1152921504606846976.0 AS u
+      FROM range(1, 201) r, range(1, 513) j
+    ),
+    assigned AS (
+      SELECT d.r, d.j, c.lp, c.event_type
+      FROM draws d JOIN cum c ON d.u > c.lo AND d.u <= c.hi
+    ),
+    terms AS (
+      SELECT r, j,
+             lp - CAST(ROUND(LN(CAST(row_number() OVER
+                   (PARTITION BY r, event_type ORDER BY j) AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS term
+      FROM assigned
+    ),
+    grid AS (
+      SELECT r, j,
+             CAST(SUM(term) OVER (PARTITION BY r ORDER BY j
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS lsim
+      FROM terms
+    ),
+    obs AS (
+      SELECT c.user_id, t.total,
+             CAST(SUM(c.y * p2.lp
+               - CAST(COALESCE(list_sum(list_transform(range(1, c.y + 1),
+                     i -> CAST(ROUND(LN(CAST(i AS DOUBLE)) * 1000000) AS BIGINT))), 0)
+                 AS BIGINT)) AS BIGINT) AS obs_micro
+      FROM counts c
+      JOIN totals t USING (user_id)
+      JOIN prof2 p2 USING (event_type)
+      WHERE t.total > 60
+      GROUP BY c.user_id, t.total
+    ),
+    pv AS (
+      SELECT o.user_id, o.total, o.obs_micro,
+             CAST(COUNT(*) FILTER (WHERE g.lsim <= o.obs_micro) AS BIGINT) AS nbelow
+      FROM obs o JOIN grid g ON g.j = o.total
+      GROUP BY o.user_id, o.total, o.obs_micro
+    ),
+    scored AS (
+      SELECT user_id, total, obs_micro,
+             (nbelow + 1) / 201.0 AS pvalue,
+             (nbelow = 0) AS limited
+      FROM pv
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (ORDER BY pvalue, user_id) AS rk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM scored
+    ),
+    adj AS (
+      SELECT *,
+             LEAST(1.0, MIN(pvalue * n / rk) OVER (ORDER BY pvalue DESC, user_id DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS padj
+      FROM ranked
+    )
+    SELECT user_id, total,
+           ROUND(obs_micro / 1000000.0, 6) AS obs_ll,
+           ROUND(pvalue, 6) AS pvalue,
+           ROUND(padj, 6) AS p_adjusted,
+           limited,
+           (padj <= 0.05) AS is_cell
+    FROM adj
+    """,
+    tags=("advanced", "M22", "qc", "stats"),
+)
+def ambient_pool_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """emptyDrops-style ambient-pool Monte-Carlo test (reference M22:
+    R/wrapper.R:70-76; Lun et al. 2019): users with ≤60 events form the
+    ambient pool; every heavier user gets a multinomial goodness-of-fit
+    statistic against the pooled event-type profile and a seeded
+    Monte-Carlo p-value (200 simulations shared across users by total,
+    md5-uniform draws), then BH over W4 and an `is_cell` call at FDR 5%.
+
+    The whole null sample is replayed by the oracle bit-identically: all
+    likelihood terms live on a 1e-6 integer grid (exact long sums) and
+    the simulated draws come from the md5 inverse-CDF (see
+    operators/qc.py ambient_pvalues)."""
+    from utils_spark.operators.qc import ambient_pvalues
+
+    e = load_table(spark, sf_dir, "events")
+    res = ambient_pvalues(
+        e, "user_id", "event_type", lower=60, n_sims=200, seed=290, fdr=0.05
+    )
+    return res.select(
+        "user_id",
+        "total",
+        F.round(F.col("obs_micro") / 1000000.0, 6).alias("obs_ll"),
+        F.round("pvalue", 6).alias("pvalue"),
+        F.round("p_adjusted", 6).alias("p_adjusted"),
+        "limited",
+        "is_cell",
+    )
