@@ -466,7 +466,7 @@ def test_skew_probe_helpers_and_argv():
 
     repo = pathlib.Path(__file__).resolve().parent.parent
     sys.path.insert(0, str(repo / "tools"))
-    from skew_probe import MIN_TASK, skew_flag, skew_ratio
+    from skew_probe import MIN_CPU_MS, MIN_TASK, cpu_flag, skew_flag, skew_ratio
 
     assert skew_ratio(100.0, 900.0) == 9.0
     # median 0 with a nonzero max IS maximal skew, not a divide-by-zero
@@ -476,6 +476,12 @@ def test_skew_probe_helpers_and_argv():
     assert skew_flag(1e6, 3e6, 8.0) is None  # big but only 3x
     assert skew_flag(1e6, 9e6, 8.0) == "**CHECK >8×**"
     assert skew_flag(0.0, 2 * MIN_TASK, 8.0) == "**CHECK >8×**"
+    # CPU flag (r15): needs BOTH ratio > check AND max task >= MIN_CPU_MS —
+    # a 100 ms straggler is scheduling jitter, not a hot quadratic bucket
+    assert cpu_flag(20.0, 400.0, 4.0) is None  # 20x but sub-second
+    assert cpu_flag(800.0, 2400.0, 4.0) is None  # >=1 s but only 3x
+    assert cpu_flag(200.0, MIN_CPU_MS, 4.0) == "**CPU >4×**"
+    assert cpu_flag(0.0, 2 * MIN_CPU_MS, 4.0) == "**CPU >4×**"
 
     tool = str(repo / "tools" / "skew_probe.py")
     for argv, needle in [
@@ -483,6 +489,8 @@ def test_skew_probe_helpers_and_argv():
         (["not_a_query_xyz"], "unknown query names"),
         (["--check"], "--check needs"),
         (["--check", "abc"], "--check needs"),
+        (["--cpu-check"], "--cpu-check needs"),
+        (["--cpu-check", "abc"], "--cpu-check needs"),
         (["--sf"], "--sf needs"),
         (["--sf", "/nonexistent_dir_xyz", "minhash_lsh_pairs"], "--sf needs"),
     ]:
