@@ -455,3 +455,40 @@ def test_suffix_lcp_spans_fuzz(spark, docs, bucket_chars):
         assert r.n_suffixes == len(sfx[i]), (i, r)
         assert r.max_dup_span == best, (i, r.max_dup_span, best, docs)
         assert r.is_dup == (best >= 5)
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=7),  # barcode id
+                  st.integers(min_value=0, max_value=3)),  # gene id
+        min_size=6,
+        max_size=60,
+    ),
+    lower=st.integers(min_value=1, max_value=8),
+    n_sims=st.integers(min_value=5, max_value=25),
+    seed=st.integers(min_value=0, max_value=9),
+)
+@settings(max_examples=max(8, FUZZ_EXAMPLES // 2), deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_ambient_pvalues_fuzz(spark, data, lower, n_sims, seed):
+    """Whole-operator differential fuzz: ambient_pvalues on arbitrary tiny
+    (barcode, gene) multisets must EXACTLY reproduce the pure-python
+    hashlib/integer-grid replay — totals, micro statistics, p-values and
+    limited flags — across arbitrary lower/n_sims/seed. Empty tested sets
+    (everything ambient) must yield an empty result, not an error."""
+    from tests.test_operators import _ambient_reference
+
+    from utils_spark.operators.qc import ambient_pvalues
+
+    rows = [(f"b{b}", f"g{g}") for b, g in data]
+    df = spark.createDataFrame(rows, ["bc", "gene"])
+    got = {
+        r["bc"]: (r["total"], r["obs_micro"], r["pvalue"], r["limited"])
+        for r in ambient_pvalues(
+            df, "bc", "gene", lower=lower, n_sims=n_sims, seed=seed
+        ).collect()
+    }
+    want = _ambient_reference(rows, lower=lower, n_sims=n_sims, seed=seed)
+    assert set(got) == set(want)
+    for b, (t, obs, pv, lim) in want.items():
+        assert got[b] == (t, obs, pv, lim), (b, got[b], (t, obs, pv, lim))
