@@ -476,12 +476,17 @@ def test_skew_probe_helpers_and_argv():
     assert skew_flag(1e6, 3e6, 8.0) is None  # big but only 3x
     assert skew_flag(1e6, 9e6, 8.0) == "**CHECK >8×**"
     assert skew_flag(0.0, 2 * MIN_TASK, 8.0) == "**CHECK >8×**"
-    # CPU flag (r15): needs BOTH ratio > check AND max task >= MIN_CPU_MS —
+    # CPU flag (r15): needs ratio > check AND max task >= MIN_CPU_MS —
     # a 100 ms straggler is scheduling jitter, not a hot quadratic bucket
     assert cpu_flag(20.0, 400.0, 4.0) is None  # 20x but sub-second
     assert cpu_flag(800.0, 2400.0, 4.0) is None  # >=1 s but only 3x
     assert cpu_flag(200.0, MIN_CPU_MS, 4.0) == "**CPU >4×**"
     assert cpu_flag(0.0, 2 * MIN_CPU_MS, 4.0) == "**CPU >4×**"
+    # ... AND the stage must READ a shuffle: map-stage imbalance is the
+    # input's row-group layout, not the plan's partitioning (r15 sweep:
+    # every map flag traced to single-row-group fixture parquet)
+    assert cpu_flag(0.0, 2 * MIN_CPU_MS, 4.0, shuffle_read=0.0) is None
+    assert cpu_flag(200.0, MIN_CPU_MS, 4.0, shuffle_read=1024.0) == "**CPU >4×**"
 
     tool = str(repo / "tools" / "skew_probe.py")
     for argv, needle in [

@@ -94,11 +94,24 @@ def skew_flag(median: float, mx: float, check: float) -> str | None:
     return None
 
 
-def cpu_flag(median_ms: float, max_ms: float, check: float) -> str | None:
+def cpu_flag(
+    median_ms: float, max_ms: float, check: float, shuffle_read: float = 1.0
+) -> str | None:
     """Flag when the slowest task BURNED check× the median executorRunTime
     AND ran long enough (≥ MIN_CPU_MS) that scheduling jitter can't
     explain it — one task grinding a quadratic hot bucket while its
-    siblings finish is exactly this signature."""
+    siblings finish is exactly this signature.
+
+    Only REDUCE-side stages (shuffle_read > 0) are flag-eligible: their
+    task layout is the PLAN's doing (partitioning keys, AQE coalescing),
+    which is what the gate polices. Map-stage imbalance is the INPUT's
+    layout — the r15 full-registry sweep ground-truthed every map-side
+    flag to the test fixtures being single-row-group parquet files (one
+    task per table can read rows at all, however many byte-range splits
+    Spark makes), which no plan change can fix and production many-file
+    inputs don't exhibit. Map stages are still reported, marked (map)."""
+    if shuffle_read <= 0:
+        return None
     if max_ms >= MIN_CPU_MS and skew_ratio(median_ms, max_ms) > check:
         return f"**CPU >{check:g}×**"
     return None
@@ -201,11 +214,13 @@ def main() -> int:
             # field should still surface the LONGEST task, with its task
             # count — a 1-task stage cannot exhibit measurable skew)
             rc = skew_ratio(rt_med, rt_max)
+            stage_read = s.get("shuffleReadBytes", 0)
             if rt_max >= MIN_CPU_MS and (
                 worst_cpu is None or (rc, rt_max) > (worst_cpu[0], worst_cpu[2])
             ):
-                worst_cpu = (rc, rt_med, rt_max, cpu_flag(rt_med, rt_max, cpu_check),
-                             s.get("numCompleteTasks", 0))
+                worst_cpu = (rc, rt_med, rt_max,
+                             cpu_flag(rt_med, rt_max, cpu_check, stage_read),
+                             s.get("numCompleteTasks", 0), stage_read)
             if s.get("shuffleReadBytes", 0) < MIN_STAGE:
                 continue
             r = skew_ratio(med, mx)
@@ -215,8 +230,8 @@ def main() -> int:
         if worst_cpu is None:
             cpu_txt = f"(no task ≥ {MIN_CPU_MS / 1000:g} s) | — | —"
         else:
-            rc, rt_med, rt_max, cflag, cpu_tasks = worst_cpu
-            cmark = f" {cflag}" if cflag else ""
+            rc, rt_med, rt_max, cflag, cpu_tasks, cpu_read = worst_cpu
+            cmark = f" {cflag}" if cflag else (" (map)" if cpu_read <= 0 else "")
             if cflag:
                 cpu_flagged.append(name)
             cpu_txt = (
