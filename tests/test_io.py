@@ -207,3 +207,95 @@ def test_xml_roundtrip_preserves_special_chars(spark, tmp_path):
     write_xml(df, path)
     back = {r.id: r.text for r in read_xml(spark, path, schema=df.schema).collect()}
     assert back == dict(rows), back
+
+
+# --- S11: Illumina fastq filename-rewrite sink (reference R/utils.R:60-80) ---
+
+
+def _touch(d, names):
+    for n in names:
+        open(os.path.join(d, n), "w").close()
+
+
+def test_fastq_rename_manifest_pattern_and_gsub(spark):
+    """The plan matches the reference's anchored per-sample pattern exactly:
+    `^{samp}_R.+_001.fastq.gz$` — so chunk 002 files, other samples, and
+    prefix-trap names (CO-NSC10 when the sample is CO-NSC1) are excluded —
+    and the rename is the reference's gsub insert of `_S1_L001`."""
+    from utils_spark.io import fastq_rename_manifest
+
+    manifest = spark.createDataFrame(
+        [
+            ("CO-NSC1_R1_001.fastq.gz",),
+            ("CO-NSC1_R2_001.fastq.gz",),
+            ("CO-NSC1_R1_002.fastq.gz",),  # wrong chunk -> excluded
+            ("OTHER_R1_001.fastq.gz",),  # sample not requested
+            ("CO-NSC10_R1_001.fastq.gz",),  # prefix trap: needs `_R` right after sample
+            ("xCO-NSC1_R1_001.fastq.gz",),  # unanchored-prefix trap
+        ],
+        "filename string",
+    )
+    plan = fastq_rename_manifest(manifest, ["CO-NSC1"]).collect()
+    got = sorted((r["sample"], r["src_name"], r["dst_name"]) for r in plan)
+    assert got == [
+        ("CO-NSC1", "CO-NSC1_R1_001.fastq.gz", "CO-NSC1_S1_L001_R1_001.fastq.gz"),
+        ("CO-NSC1", "CO-NSC1_R2_001.fastq.gz", "CO-NSC1_S1_L001_R2_001.fastq.gz"),
+    ]
+
+
+def test_fastq_rename_manifest_norename_and_multisample(spark):
+    from utils_spark.io import fastq_rename_manifest
+
+    manifest = spark.createDataFrame(
+        [("A_R1_001.fastq.gz",), ("B_R1_001.fastq.gz",)], "filename string"
+    )
+    plan = fastq_rename_manifest(manifest, ["A", "B"], rename=False).collect()
+    assert sorted((r["sample"], r["dst_name"]) for r in plan) == [
+        ("A", "A_R1_001.fastq.gz"),
+        ("B", "B_R1_001.fastq.gz"),
+    ]
+
+
+def test_fastq_rename_plan_never_shuffles_manifest(spark):
+    """Scale contract: the samples side broadcasts into a nested-loop join;
+    the manifest (the only large input) crosses no Exchange."""
+    from utils_spark.io import fastq_rename_manifest
+
+    manifest = spark.createDataFrame([("A_R1_001.fastq.gz",)], "filename string")
+    plan = fastq_rename_manifest(manifest, ["A"])
+    phys = plan._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in phys
+    assert "Exchange hashpartitioning" not in phys
+
+
+def test_cellranger_rename_fastq_end_to_end(spark):
+    """End-to-end parity with `cellranger_renamefastq` (R/utils.R:60-80):
+    list src_dir, plan, symlink into out_dir; links resolve to sources."""
+    import tempfile
+
+    from utils_spark.io import cellranger_rename_fastq
+
+    with tempfile.TemporaryDirectory() as d:
+        src, out = os.path.join(d, "src"), os.path.join(d, "out")
+        os.makedirs(src)
+        _touch(
+            src,
+            [
+                "S1_R1_001.fastq.gz",
+                "S1_R2_001.fastq.gz",
+                "S2_R1_001.fastq.gz",
+                "S1_I1_001.fastq.gz",  # index read: no `_R` -> excluded
+                "notes.txt",
+            ],
+        )
+        n = cellranger_rename_fastq(spark, src, out, ["S1", "S2"])
+        assert n == 3
+        links = sorted(os.listdir(out))
+        assert links == [
+            "S1_S1_L001_R1_001.fastq.gz",
+            "S1_S1_L001_R2_001.fastq.gz",
+            "S2_S1_L001_R1_001.fastq.gz",
+        ]
+        for ln in links:
+            tgt = os.readlink(os.path.join(out, ln))
+            assert os.path.exists(tgt) and tgt.startswith(src)

@@ -14,7 +14,11 @@ Catalyst pushes filters/column pruning into the parquet reader
 
 from __future__ import annotations
 
+import os
+import re
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # the driver-provided star schema (TESTDATA.md)
 TABLES = (
@@ -195,3 +199,115 @@ def write_xml(df: DataFrame, path: str, row_tag: str = "row", mode: str = "overw
     (&amp;/&lt;/&gt;) is the writer's job and the roundtrip query proves
     it lossless."""
     df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)
+
+
+# ---------------------------------------------------------------------------
+# S11: Illumina fastq filename-rewrite sink (reference R/utils.R:60-80)
+# ---------------------------------------------------------------------------
+
+def list_files_manifest(spark: SparkSession, src_dir: str, filename_col: str = "filename") -> DataFrame:
+    """One-row-per-file manifest of a directory (the `list.files(src_dir)`
+    step of the reference's `cellranger_renamefastq`, R/utils.R:66).
+
+    Driver-side listing is appropriate here: a manifest is metadata, not
+    data — bounded by file count, and directory listing is not a
+    distributable operation anyway. At object-store scale the equivalent
+    manifest usually already exists as a file; read it with
+    ``read_delimited`` / ``read_jsonl`` instead and feed it to
+    ``fastq_rename_manifest`` unchanged.
+    """
+    names = sorted(os.listdir(src_dir))
+    return spark.createDataFrame([(n,) for n in names], f"{filename_col} string")
+
+
+def fastq_rename_manifest(
+    manifest: DataFrame,
+    samples: list[str],
+    filename_col: str = "filename",
+    rename: bool = True,
+) -> DataFrame:
+    """Compute the Illumina-convention rename plan for cellranger inputs
+    (reference `cellranger_renamefastq`, R/utils.R:60-80).
+
+    For each sample, select manifest rows matching the reference's anchored
+    pattern ``^{sample}_R.+_001.fastq.gz$`` and compute the renamed target
+    by substituting every occurrence of the sample name with
+    ``{sample}_S1_L001`` (the reference's global `gsub`; lane is fixed to
+    L001 per its documented convention). With ``rename=False`` the target
+    keeps the source name (link-only mode), matching the reference flag.
+
+    Sample names are treated as LITERALS (regex-escaped) — the reference
+    passes them into R regexes unescaped, which silently misfires on names
+    containing metacharacters; real sample IDs are alphanumeric-with-dashes,
+    where the two behaviors agree.
+
+    Returns ``(sample, src_name, dst_name)`` — one row per (sample, file)
+    match, exactly the links the reference would create.
+
+    Scale: the samples list becomes a BROADCAST side of a nested-loop join
+    (the per-sample regex predicate is non-equi by nature), so the manifest
+    — the only potentially large input — is never shuffled; cost is a
+    map-side O(files x samples) regex scan.
+    """
+    spark = manifest.sparkSession
+    rows = [
+        (
+            s,
+            "^" + re.escape(s) + "_R.+_001\\.fastq\\.gz$",
+            re.escape(s),
+            (s + "_S1_L001").replace("\\", "\\\\").replace("$", "\\$"),
+        )
+        for s in samples
+    ]
+    sdf = spark.createDataFrame(rows, "sample string, _patt string, _sub string, _rep string")
+    joined = manifest.join(
+        F.broadcast(sdf), F.regexp_like(F.col(filename_col), F.col("_patt")), "inner"
+    )
+    dst = (
+        F.regexp_replace(F.col(filename_col), F.col("_sub"), F.col("_rep"))
+        if rename
+        else F.col(filename_col)
+    )
+    return joined.select(
+        "sample",
+        F.col(filename_col).alias("src_name"),
+        dst.alias("dst_name"),
+    )
+
+
+def link_rename_manifest(plan: DataFrame, src_dir: str, out_dir: str) -> int:
+    """Materialize a rename plan as symlinks ``out_dir/dst_name ->
+    src_dir/src_name`` (the reference's `R.utils::createLink` loop,
+    R/utils.R:73-75). Returns the number of links created.
+
+    Driver-side by design: symlink creation is a filesystem mutation that
+    must happen on one node's view of the FS, and a rename plan is bounded
+    by file count (metadata, not data). Streamed via ``toLocalIterator`` so
+    driver memory stays one-partition-bounded even for huge manifests.
+    Raises ``FileExistsError`` on a pre-existing link — a rename plan that
+    collides is a caller bug worth surfacing, not silently skipping.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    n = 0
+    for row in plan.toLocalIterator():
+        os.symlink(
+            os.path.join(src_dir, row["src_name"]),
+            os.path.join(out_dir, row["dst_name"]),
+        )
+        n += 1
+    return n
+
+
+def cellranger_rename_fastq(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    samples: list[str],
+    rename: bool = True,
+) -> int:
+    """End-to-end parity entrypoint for the reference's
+    `cellranger_renamefastq(src_dir, out_dir, samples, rename)`
+    (R/utils.R:60-80): list -> plan -> symlink. Returns links created."""
+    manifest = list_files_manifest(spark, src_dir)
+    plan = fastq_rename_manifest(manifest, samples, rename=rename)
+    return link_rename_manifest(plan, src_dir, out_dir)
