@@ -299,3 +299,18 @@ def test_cellranger_rename_fastq_end_to_end(spark):
         for ln in links:
             tgt = os.readlink(os.path.join(out, ln))
             assert os.path.exists(tgt) and tgt.startswith(src)
+
+
+def test_fastq_rename_sample_names_are_literals(spark):
+    """Pin the documented divergence from the reference: sample names are
+    regex-ESCAPED (the reference passes them into R regexes raw, which
+    misfires on metacharacters). `A.B` must match only the literal dot."""
+    from utils_spark.io import fastq_rename_manifest
+
+    manifest = spark.createDataFrame(
+        [("A.B_R1_001.fastq.gz",), ("AxB_R1_001.fastq.gz",)], "filename string"
+    )
+    plan = fastq_rename_manifest(manifest, ["A.B"]).collect()
+    assert [(r["src_name"], r["dst_name"]) for r in plan] == [
+        ("A.B_R1_001.fastq.gz", "A.B_S1_L001_R1_001.fastq.gz")
+    ]
