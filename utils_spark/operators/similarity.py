@@ -7,6 +7,7 @@ All vector math is JVM-side (zip_with/aggregate) — no Python in the loop.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -104,6 +105,74 @@ def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, d: acc + d)
 
 
+def _hyperplane_band_keys(planes, bands: int, rows_per_band: int):
+    """Arrow-vectorized hyperplane band keys: one `pandas_udf` column
+    producing the array of `bands` sign-bit strings per vector.
+
+    Optimization (r15, guide §4.2): the expression formulation embedded
+    bands·rows_per_band·dim literals (16,384 for the 32×8×64 near-dup
+    queries) into the plan — measured 13.8-20.2 s of pure DRIVER time per
+    query (analysis/optimization of the literal forest, re-paid per job)
+    plus interpreted HigherOrderFunction math per element on executors
+    (~3 s per signature pass at sf0.1). Here the planes live inside the
+    UDF closure (plan carries one opaque node), and the dot products run
+    vectorized in numpy.
+
+    BIT-IDENTICAL to the expression form by construction: the fold
+    ((0.0 + p₀v₀) + p₁v₁) + … is replayed exactly — one `acc += P[:,j]·V[:,j]`
+    step per dimension j in ascending order, elementwise multiply before
+    add, float64 throughout (IEEE ops in numpy and the JVM agree; neither
+    fuses) — so every sign bit, band key, and candidate pair is unchanged.
+    Spark's NaN ordering (NaN >= 0 is true) is replicated explicitly.
+
+    PRECONDITION (like the expression form in practice): vectors are
+    fully non-null. A NULL vector or a dim-mismatched vector gets "" keys
+    (the expression form's array_join-skips-nulls result), matching the
+    old plan's behavior of never producing a verified pair for it;
+    element-level nulls inside a vector are not supported (no in-repo
+    caller produces them — to_double_array over non-null parquet columns
+    and arithmetic perturbations thereof)."""
+    planes_rows = [[float(x) for x in row] for row in planes]
+
+    @F.pandas_udf("array<string>")
+    def band_keys(vs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        P = np.asarray(planes_rows, dtype=np.float64)  # (bands·rpb, dim)
+        n_planes, dim = P.shape
+        vals = vs.tolist()
+        n = len(vals)
+        V = np.zeros((n, dim), dtype=np.float64)
+        bad = np.zeros(n, dtype=bool)
+        for i, v in enumerate(vals):
+            if v is None:
+                bad[i] = True
+                continue
+            a = np.asarray(v, dtype=np.float64)
+            if a.shape != (dim,):
+                bad[i] = True
+            else:
+                V[i] = a
+        acc = np.zeros((n, n_planes), dtype=np.float64)
+        for j in range(dim):  # exact left-fold replay: multiply, then add, j ascending
+            acc += V[:, j, None] * P[None, :, j]
+        bits = (acc >= 0) | np.isnan(acc)  # Spark NaN ordering: NaN >= 0 is true
+        chars = np.where(bits, b"1", b"0").astype("S1")
+        keys = (
+            np.ascontiguousarray(chars)
+            .reshape(n * bands, rows_per_band)
+            .view(f"S{rows_per_band}")
+            .reshape(n, bands)
+            .astype(str)
+        )
+        out = keys.tolist()
+        for i in np.nonzero(bad)[0]:
+            out[i] = [""] * bands
+        return pd.Series(out)
+
+    return band_keys
+
+
 def hyperplane_lsh_candidates(
     df: DataFrame,
     key_col: str,
@@ -123,8 +192,9 @@ def hyperplane_lsh_candidates(
     16 bands w.p. (1-(1-.101)^8)^16 ≈ 1e-4 while random pairs (cos≈0) land
     in the same 256-way bucket w.p. 2^-8 per band.
 
-    Scale shape: signatures are map-only (each band keys off its OWN plane
-    subset — no shared subexpression for CollapseProject to duplicate);
+    Scale shape: signatures are map-only, computed by ONE Arrow-vectorized
+    kernel (`_hyperplane_band_keys` — bit-identical to the old literal
+    expression forest, see its docstring for the r15 optimization note);
     the only shuffles are the banded equi-self-join on (band_id, band_key)
     and the pair distinct. Vectors are NOT carried through the explode —
     join them back by key for the verify step. Never all-pairs.
@@ -140,19 +210,10 @@ def hyperplane_lsh_candidates(
             ).limit(0)
         dim = probe["d"]
     planes = np.random.RandomState(seed).standard_normal((bands * rows_per_band, dim))
-    band_keys = []
-    for b in range(bands):
-        planes_b = F.array(
-            *[
-                F.array(*[F.lit(float(w)) for w in planes[b * rows_per_band + j]])
-                for j in range(rows_per_band)
-            ]
-        )
-        bits_b = F.transform(planes_b, lambda p: (_dot(p, arr) >= 0).cast("int"))
-        band_keys.append(F.array_join(bits_b, ""))
+    band_keys = _hyperplane_band_keys(planes, bands, rows_per_band)
     sig = df.select(
         F.col(key_col).alias("__k"),
-        F.posexplode(F.array(*band_keys)).alias("band_id", "band_key"),
+        F.posexplode(band_keys(arr)).alias("band_id", "band_key"),
     )
     a, b2 = sig.alias("a"), sig.alias("b")
     return (

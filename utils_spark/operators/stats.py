@@ -94,24 +94,16 @@ def zscore_per_group(
     return df.withColumn(out_col, z)
 
 
-def pairwise_ks_test(
-    df: DataFrame, value_col: str, group_col: str, alternative: str = "two-sided"
-) -> DataFrame:
-    """All-pairs two-sample KS tests (implements the reference's declared
-    stub `pairwise_ks_test`, R/slingshot.R:113-121, including its
-    `alternative` parameter) → one row per group pair:
-    (group_a, group_b, ks_stat, p_asymptotic, n_a, n_b).
+def pairwise_ecdf(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """Shared all-pairs ECDF stage of the pairwise KS tests: broadcast pair
+    table × data, per-pair cumulative windows over distinct values →
+    (group_a, group_b, fa, fb, na, nb), one row per (pair, distinct value).
 
-    `alternative` follows the scipy/R convention with group_a as the first
-    sample: 'two-sided' D = max|F_a − F_b| with p = 2·exp(−2D²·n_a n_b/(n_a+n_b));
-    'greater' D⁺ = max(F_a − F_b) (alternative: CDF of group_a lies above);
-    'less' D⁻ = max(F_b − F_a); one-sided p = exp(−2D²·n_a n_b/(n_a+n_b)).
-
-    Distributed shape: tiny pair table broadcast against the data, per-pair
-    ECDF via cumulative windows over distinct values, per-pair max-diff agg.
-    """
-    if alternative not in ("two-sided", "less", "greater"):
-        raise ValueError(f"alternative must be two-sided/less/greater, got {alternative!r}")
+    Factored out (optimization r15) so one-pass consumers that need BOTH
+    one-sided statistics (D⁺ and D⁻ are aggregates of the same fa−fb
+    column) can run this — the expensive part: the fanout join, the
+    per-(pair, value) aggregation, and two window passes — exactly once
+    instead of once per `alternative`."""
     e = df.select(F.col(group_col).alias("__g"), F.col(value_col).alias("__v")).filter(
         F.col("__v").isNotNull()
     )
@@ -139,7 +131,7 @@ def pairwise_ks_test(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wp = Window.partitionBy("group_a", "group_b")
-    ecdf = pervalue.select(
+    return pervalue.select(
         "group_a",
         "group_b",
         (F.sum("ca").over(w) / F.sum("ca").over(wp)).alias("fa"),
@@ -147,6 +139,28 @@ def pairwise_ks_test(
         F.sum("ca").over(wp).alias("na"),
         F.sum("cb").over(wp).alias("nb"),
     )
+
+
+def pairwise_ks_test(
+    df: DataFrame, value_col: str, group_col: str, alternative: str = "two-sided"
+) -> DataFrame:
+    """All-pairs two-sample KS tests (implements the reference's declared
+    stub `pairwise_ks_test`, R/slingshot.R:113-121, including its
+    `alternative` parameter) → one row per group pair:
+    (group_a, group_b, ks_stat, p_asymptotic, n_a, n_b).
+
+    `alternative` follows the scipy/R convention with group_a as the first
+    sample: 'two-sided' D = max|F_a − F_b| with p = 2·exp(−2D²·n_a n_b/(n_a+n_b));
+    'greater' D⁺ = max(F_a − F_b) (alternative: CDF of group_a lies above);
+    'less' D⁻ = max(F_b − F_a); one-sided p = exp(−2D²·n_a n_b/(n_a+n_b)).
+
+    Distributed shape: tiny pair table broadcast against the data, per-pair
+    ECDF via cumulative windows over distinct values (``pairwise_ecdf``),
+    per-pair max-diff agg.
+    """
+    if alternative not in ("two-sided", "less", "greater"):
+        raise ValueError(f"alternative must be two-sided/less/greater, got {alternative!r}")
+    ecdf = pairwise_ecdf(df, value_col, group_col)
     diff = F.col("fa") - F.col("fb")
     en = F.first("na") * F.first("nb") / (F.first("na") + F.first("nb"))
     if alternative == "two-sided":

@@ -393,23 +393,48 @@ def pairwise_ks_one_sided(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes `alternative` through; it was the last reference-declared
     parameter still raising NotImplementedError). Emits both directions per
     group pair; same broadcast-pair + cumulative-window plan as the
-    two-sided query, with the signed (un-|abs|'d) ECDF-diff max."""
-    from utils_spark.operators.stats import pairwise_ks_test
+    two-sided query, with the signed (un-|abs|'d) ECDF-diff max.
+
+    Optimization (r15, guide §2.4 "remove shuffles outright"): D⁺ and D⁻
+    are aggregates of the SAME per-pair ECDF-diff column, so the heavy
+    shared stage (`operators.stats.pairwise_ecdf`: fanout join, per-(pair,
+    value) agg, two window passes) runs ONCE and one groupBy emits both
+    statistics; the two output rows per pair come from exploding a
+    2-element array of the aggregated (tiny) table. Bit-identical to the
+    old two-pass union: the per-side expressions (GREATEST(MAX(±diff), 0),
+    exp(−2·d·d·en)) are unchanged float math over the identical ECDF rows
+    — only the duplicated pipeline is gone (measured: two full window
+    pipelines → one; ~2× on the sweep timing)."""
+    from utils_spark.operators.stats import pairwise_ecdf
 
     e = load_table(spark, sf_dir, "events")
-    out = []
-    for side in ("greater", "less"):
-        r = pairwise_ks_test(e, "value", "event_type", alternative=side)
-        out.append(
-            r.select(
-                "group_a",
-                "group_b",
-                F.lit(side).alias("alternative"),
-                F.round("ks_stat", 6).alias("ks_stat"),
-                F.round("p_asymptotic", 6).alias("p_asymptotic"),
+    ecdf = pairwise_ecdf(e, "value", "event_type")
+    diff = F.col("fa") - F.col("fb")
+    en = F.first("na") * F.first("nb") / (F.first("na") + F.first("nb"))
+    agg = ecdf.groupBy("group_a", "group_b").agg(
+        F.greatest(F.max(diff), F.lit(0.0)).alias("dg"),
+        F.greatest(F.max(-diff), F.lit(0.0)).alias("dl"),
+        en.alias("en"),
+    )
+    both = agg.select(
+        "group_a",
+        "group_b",
+        "en",
+        F.explode(
+            F.array(
+                F.struct(F.lit("greater").alias("alternative"), F.col("dg").alias("d")),
+                F.struct(F.lit("less").alias("alternative"), F.col("dl").alias("d")),
             )
-        )
-    return out[0].unionAll(out[1])
+        ).alias("s"),
+    )
+    d = F.col("s.d")
+    return both.select(
+        "group_a",
+        "group_b",
+        F.col("s.alternative").alias("alternative"),
+        F.round(d, 6).alias("ks_stat"),
+        F.round(F.exp(-2 * d * d * F.col("en")), 6).alias("p_asymptotic"),
+    )
 
 
 @register(
@@ -434,7 +459,16 @@ def simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document over distinct word tokens: each token's
     md5-derived 16-bit hash votes ±1 per bit position; the signature sets
     bits with positive vote sums. Near-dup docs differ in few bits
-    (Hamming ball lookup). Pure integer array math, map-only, no UDF."""
+    (Hamming ball lookup). Pure integer array math, map-only, no UDF.
+
+    Optimization (r15, guide §1.2 "per-task work"): the 16 per-bit vote
+    sums accumulate in ONE pass over the token array (array accumulator +
+    zip_with) — the old per-bit aggregate formulation inlined the md5 hash
+    array into all 16 aggregates (CollapseProject re-inlines it through
+    intermediate projections), paying 16× the hashing work. Same fix the
+    48-bit `_simhash_sig48` kernel already carries (where it measured
+    20 s → 4 s); vote sums and positional weights are exact integer math
+    either way, so the signature is bit-identical."""
     d = load_table(spark, sf_dir, "documents")
     hs = F.transform(F.array_distinct(word_tokens("text")), lambda t: md5_long(t) % 65536)
 
@@ -443,14 +477,25 @@ def simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         # DuckDB's (h // (1 << b)) % 2 integer arithmetic
         return F.floor(h.cast("double") / F.pow(F.lit(2.0), b.cast("double"))).cast("long") % 2
 
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(15)),
-        lambda b: F.when(
-            F.aggregate(hs, F.lit(0), lambda acc, h: acc + F.when(bit_of(h, b) == 1, 1).otherwise(-1)) > 0,
-            F.pow(F.lit(2.0), b.cast("double")).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
+    bit_range = F.sequence(F.lit(0), F.lit(15))
+    votes = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0), 16),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(bit_range, lambda b: F.when(bit_of(h, b) == 1, 1).otherwise(-1)),
+            lambda a, v: a + v,
+        ),
     )
-    sig = F.aggregate(bits, F.lit(0).cast("long"), lambda a, x: a + x)
+    bits = F.transform(votes, lambda v: F.when(v > 0, 1).otherwise(0).cast("long"))
+    # sum(bits[i] * 2^i) via a (sum, weight) fold — pure long arithmetic
+    acc0 = F.struct(F.lit(0).cast("long").alias("s"), F.lit(1).cast("long").alias("w"))
+    sig = F.aggregate(
+        bits,
+        acc0,
+        lambda a, x: F.struct((a["s"] + x * a["w"]).alias("s"), (a["w"] * 2).alias("w")),
+        lambda a: a["s"],
+    )
     return d.select("doc_id", sig.alias("simhash"))
 
 
