@@ -563,3 +563,32 @@ def test_refine_partition_is_subpartition(spark):
     left = {got[n] for n in [0, 1, 2, 3]}
     right = {got[n] for n in [10, 11, 12, 13]}
     assert len(left) == 1 and len(right) == 1 and left != right, (left, right)
+
+
+def test_knn_graph_hot_bucket_salting_output_identity(spark, monkeypatch):
+    """r15 skew fix differential: the occupancy-adaptive salted path must
+    return the IDENTICAL edge set (src, dst, dist — exact doubles) as the
+    single-path plan. The data packs every point into one giant LSH bucket
+    per table (bucket_length far above the value spread), so lowering the
+    hot threshold forces the salted twin; the default threshold keeps the
+    r14 single path on the same rows. Also pins that the salted plan keeps
+    the per-bucket window clustered on the salted join keys (no exchange
+    between the merge join and the window — the r14 linear-wire property)."""
+    import utils_spark.operators.ml as ml
+
+    df = spark.range(600).select(
+        F.col("id").alias("k"),
+        F.array(
+            (F.col("id") % 7).cast("double"), (F.col("id") % 3).cast("double")
+        ).alias("v"),
+    )
+    base = {tuple(r) for r in ml.knn_graph(df, "k", "v", k=5, bucket_length=100.0).collect()}
+    monkeypatch.setattr(ml, "_HOT_BUCKET_OCCUPANCY", 50)
+    monkeypatch.setattr(ml, "_TARGET_SLICE_OCCUPANCY", 64)
+    salted_df = ml.knn_graph(df, "k", "v", k=5, bucket_length=100.0)
+    salted = {tuple(r) for r in salted_df.collect()}
+    assert salted == base
+    # structural pin: two merge joins (cold + salted twin), and no Exchange
+    # may sit between a SortMergeJoin and its per-bucket Window cut
+    plan = salted_df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("SortMergeJoin") >= 2, plan[:2000]

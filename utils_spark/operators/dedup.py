@@ -63,6 +63,16 @@ def minhash_lsh_candidates(
         F.col(key_col).alias("__key"),
         _minhash_sig_col(char_shingles(text_col, shingle_k), n_hashes).alias("sig"),
     )
+    return _lsh_candidates_from_sig(sig, n_hashes, n_bands, min_est_jaccard)
+
+
+def _lsh_candidates_from_sig(
+    sig: DataFrame, n_hashes: int, n_bands: int, min_est_jaccard: float
+) -> DataFrame:
+    """Banding + band-bucket self-join over a prepared (__key, sig) frame —
+    the shared tail of `minhash_lsh_candidates`, factored out (r15) so
+    `lsh_verified_pairs` can feed it signatures derived from its cached
+    shingle frame instead of re-shingling the corpus a second time."""
     bands = sig.select(
         "__key",
         "sig",
@@ -110,15 +120,31 @@ def lsh_verified_pairs(
     j = 0.9); exact verification then removes every false positive.
     """
     from utils_spark.functions import char_shingles as _shingles
+    from utils_spark.queries.text import _minhash_sig_col
 
     # same single-file-scan parallelism guard as minhash_lsh_candidates:
     # the shingle explode below is CPU-bound map work
     df = spread_low_parallelism(df)
-    cand = minhash_lsh_candidates(
-        df, text_col, key_col, n_hashes=n_hashes, n_bands=n_bands,
-        shingle_k=shingle_k, min_est_jaccard=min_est_jaccard,
-    ).select("key_a", "key_b")
-    shingled = df.select(F.col(key_col).alias("__k"), _shingles(text_col, shingle_k).alias("grams"))
+    # ONE shingling pass serves all four consumers (r15, guide §1.2/§5):
+    # the signature stage, both exact-verify gram sides, and the size
+    # table each re-derived char_shingles from the raw text before —
+    # measured ~60 s of duplicated executor CPU per run at sf0.1 across
+    # the broadcast builds alone. The persisted frame is one gram-array
+    # row per doc (~shingle_k× the corpus bytes; MEMORY_AND_DISK, so
+    # executors spill rather than OOM). At extreme corpus scale where
+    # even spilling one shingled copy is unwanted, recomputing the
+    # map-side shingling is the first thing to trade back — but then
+    # prefer flipping this persist off over paying 4× shingle CPU
+    # everywhere else.
+    shingled = df.select(
+        F.col(key_col).alias("__k"), _shingles(text_col, shingle_k).alias("grams")
+    ).persist()
+    sig = shingled.select(
+        F.col("__k").alias("__key"), _minhash_sig_col(F.col("grams"), n_hashes).alias("sig")
+    )
+    cand = _lsh_candidates_from_sig(sig, n_hashes, n_bands, min_est_jaccard).select(
+        "key_a", "key_b"
+    )
     sz = shingled.select("__k", F.size("grams").alias("sz"))
     g = shingled.select("__k", F.explode("grams").alias("gram"))
     inter = (

@@ -86,6 +86,17 @@ def bisecting_clusters(
     return model.transform(work).drop("__feat")
 
 
+# knn_graph hot-bucket salting thresholds (r15, guide §2.5): a bucket is
+# "hot" above _HOT_BUCKET_OCCUPANCY members (cold worst case ≈ 1024² ≈ 1M
+# distance evals per bucket, sub-second); hot buckets are sliced to
+# ~_TARGET_SLICE_OCCUPANCY probe rows per salt, capped at _MAX_BUCKET_SALTS
+# (bounds build-side replication of a hot bucket to ≤ 64×its own rows).
+_HOT_BUCKET_OCCUPANCY = 1024
+_TARGET_SLICE_OCCUPANCY = 256
+_MAX_BUCKET_SALTS = 64
+_MAX_HOT_BUCKETS = 100_000  # census collect/broadcast guard (~few MB of rows)
+
+
 def knn_graph(
     df: DataFrame,
     key_col: str,
@@ -135,7 +146,39 @@ def knn_graph(
     still happens, but as in-partition CPU, not shuffle — so at growing
     data DENSITY (points per unit volume), shrink ``bucket_length`` to
     hold expected bucket occupancy near O(k): that bounds the local CPU
-    too, at the usual LSH recall-tuning cost."""
+    too, at the usual LSH recall-tuning cost.
+
+    Skew contract (r15, guide §2.5): bucket occupancy is data-skew-shaped
+    (boilerplate-heavy corpora, or a mistuned bucket_length, concentrate
+    points in few buckets), and a hot bucket's quadratic enumeration is
+    ONE task — the r15 CPU witness measured a 23-32 s single task on the
+    deliberately-pinned knn_snn_lisi fixture while 31 cores idled. Since
+    the hot unit is a single join KEY, neither AQE skew-join (can't split
+    a key) nor AQE coalescing (byte-blind: these partitions are CPU-dense
+    but byte-light, so it GLUES them together) helps. Fix: an occupancy
+    census (one light (table, bucket) count, materialized eagerly: the
+    hot list is bounded by rows/_HOT_BUCKET_OCCUPANCY, guarded by
+    _MAX_HOT_BUCKETS, and when EMPTY the exact r14 single-path 4-exchange
+    plan is emitted, so no-skew consumers pay only the census pass)
+    routes buckets above
+    _HOT_BUCKET_OCCUPANCY through a SALTED twin of the merge join — the
+    probe side keyed by pmod(xxhash64(key), nsalt) (deterministic, task-
+    retry-safe), the build side exploded nsalt ways, nsalt =
+    ceil(occ / _TARGET_SLICE_OCCUPANCY) capped at _MAX_BUCKET_SALTS — so
+    a hot bucket's pair enumeration fans out across nsalt tasks. The
+    probe side is pinned with an explicit repartition (user-specified
+    partition counts are exempt from AQE's byte-based coalescing, which
+    would otherwise re-serialize the CPU-dense slices). EXACTNESS is
+    unchanged: salt is a pure function of src, so every per-(table,
+    bucket, src) window group lives wholly in one slice and each (table,
+    bucket) pair set is generated exactly once (hot XOR cold path); the
+    per-pair min and global top-k below see the identical candidate
+    multiset. No-skew inputs pay only the census aggregation — the hot
+    path is empty, and replication cost is bounded by nsalt × (hot rows
+    only), never a blanket constant on the whole corpus. PRECONDITION:
+    hot buckets are FEW (skew means few giant keys — the census result
+    above the threshold must fit a broadcast); uniformly-high occupancy
+    is bucket_length's tuning domain, not salting's."""
     work = _to_vector_col(df, array_col, "__feat").select(F.col(key_col).alias("__key"), "__feat")
     model = _fitted_brp_lsh(work, bucket_length, num_hash_tables)
     jvecs = model._java_obj.randUnitVectors()  # type: ignore[attr-defined]
@@ -168,27 +211,100 @@ def knn_graph(
             lambda acc, x: acc + x,
         )
     )
-    cands = (
-        hashed.alias("a")
-        .hint("merge")
-        .join(hashed.alias("b").hint("merge"), ["__ht", "__hv"])
-        .filter(F.col("a.__key") != F.col("b.__key"))
+
+    def _bucket_topk(joined, extra_part_cols: list[str]):
+        # candidate enumeration + the exact per-bucket cut (see docstring):
+        # the window's partition keys extend the join's clustering, so it
+        # needs only a local sort — never an exchange of the candidates
+        cands = (
+            joined.filter(F.col("a.__key") != F.col("b.__key"))
+            .select(
+                "__ht",
+                "__hv",
+                *extra_part_cols,
+                F.col("a.__key").alias("src"),
+                F.col("b.__key").alias("dst"),
+                dist.alias("dist"),
+            )
+            .filter(F.col("dist") <= max_distance)
+        )
+        wb = Window.partitionBy("__ht", "__hv", *extra_part_cols, "src").orderBy(
+            F.asc("dist"), F.asc("dst")
+        )
+        return (
+            cands.withColumn("__brn", F.row_number().over(wb))
+            .filter(F.col("__brn") <= k)
+            .select("src", "dst", "dist")
+        )
+
+    # occupancy census → hot buckets take the salted join (see docstring).
+    # The census is materialized EAGERLY: the hot list is bounded by
+    # construction (≤ rows/_HOT_BUCKET_OCCUPANCY entries, loud error past
+    # _MAX_HOT_BUCKETS — at that point bucket_length is catastrophically
+    # mistuned and no salting rescues a broadcast that size), and knowing
+    # it is EMPTY lets the no-skew case keep the exact r14 single-path
+    # 4-exchange plan — measured +1.6-2.3 s per consumer when the salted
+    # twin stayed in the plan unconditionally.
+    occ = hashed.groupBy("__ht", "__hv").agg(F.count("*").alias("__occ"))
+    hot_rows = (
+        occ.filter(F.col("__occ") > _HOT_BUCKET_OCCUPANCY)
         .select(
             "__ht",
             "__hv",
-            F.col("a.__key").alias("src"),
-            F.col("b.__key").alias("dst"),
-            dist.alias("dist"),
+            F.least(
+                F.ceil(F.col("__occ") / F.lit(_TARGET_SLICE_OCCUPANCY)),
+                F.lit(_MAX_BUCKET_SALTS),
+            ).cast("long").alias("__nsalt"),
         )
-        .filter(F.col("dist") <= max_distance)
+        .limit(_MAX_HOT_BUCKETS + 1)
+        .collect()
     )
-    # exact per-bucket cut (see docstring) — keeps the wire linear in n
-    wb = Window.partitionBy("__ht", "__hv", "src").orderBy(F.asc("dist"), F.asc("dst"))
-    local = (
-        cands.withColumn("__brn", F.row_number().over(wb))
-        .filter(F.col("__brn") <= k)
-        .select("src", "dst", "dist")
-    )
+    if len(hot_rows) > _MAX_HOT_BUCKETS:
+        raise ValueError(
+            f"knn_graph: more than {_MAX_HOT_BUCKETS} LSH buckets exceed "
+            f"occupancy {_HOT_BUCKET_OCCUPANCY} — bucket_length={bucket_length} "
+            "is far too coarse for this data density; shrink it (see the "
+            "bucket-occupancy tuning rule in the docstring) instead of "
+            "relying on hot-bucket salting."
+        )
+    if not hot_rows:
+        local = _bucket_topk(
+            hashed.alias("a").hint("merge").join(hashed.alias("b").hint("merge"), ["__ht", "__hv"]),
+            [],
+        )
+    else:
+        spark = df.sparkSession
+        hot = F.broadcast(
+            spark.createDataFrame(hot_rows, schema="__ht int, __hv long, __nsalt long")
+        )
+        cold = hashed.join(hot, ["__ht", "__hv"], "left_anti")
+        local_cold = _bucket_topk(
+            cold.alias("a").hint("merge").join(cold.alias("b").hint("merge"), ["__ht", "__hv"]),
+            [],
+        )
+        n_part = int(hashed.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        hot_a = (
+            hashed.join(hot, ["__ht", "__hv"])
+            .withColumn("__salt", F.pmod(F.xxhash64("__key"), F.col("__nsalt")))
+            .drop("__nsalt")
+            # user-specified partition count: exempt from AQE byte-based
+            # coalescing, which would re-merge the CPU-dense byte-light slices
+            .repartition(n_part, "__ht", "__hv", "__salt")
+        )
+        hot_b = (
+            hashed.join(hot, ["__ht", "__hv"])
+            .withColumn(
+                "__salt", F.explode(F.sequence(F.lit(0).cast("long"), F.col("__nsalt") - 1))
+            )
+            .drop("__nsalt")
+        )
+        local_hot = _bucket_topk(
+            hot_a.alias("a")
+            .hint("merge")
+            .join(hot_b.alias("b").hint("merge"), ["__ht", "__hv", "__salt"]),
+            ["__salt"],
+        )
+        local = local_cold.unionByName(local_hot)
     pairs = local.groupBy("src", "dst").agg(F.min("dist").alias("dist"))
     w = Window.partitionBy("src").orderBy(F.asc("dist"), F.asc("dst"))
     return pairs.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop("__rn")
