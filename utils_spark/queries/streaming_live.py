@@ -30,18 +30,48 @@ from pyspark.sql import functions as F
 from utils_spark.registry import register
 
 
-def _run_to_table(spark: SparkSession, stream_df: DataFrame, mode: str) -> DataFrame:
+def _source_rows(spark: SparkSession, sf_dir: str, table: str) -> int:
+    """Measured row count of a stream's source table (parquet metadata
+    count — footer row counts, no column decode), for sizing the streaming
+    query's state partitioning. Deliberately NOT memoized: one sub-second
+    job per query run, recomputed from the input every time."""
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet").count()
+
+
+def _run_to_table(
+    spark: SparkSession, stream_df: DataFrame, mode: str, n_rows: int | None = None
+) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into a
-    uniquely-named memory sink and return the sink as a batch DataFrame."""
+    uniquely-named memory sink and return the sink as a batch DataFrame.
+
+    ``n_rows`` (optimization r15, guide §2.2): a streaming query's STATE
+    partition count is pinned from ``spark.sql.shuffle.partitions`` at
+    start, and every micro-batch — including availableNow's terminal
+    no-data watermark-finalization batch — pays per-partition state-store
+    open/commit overhead whether or not a partition holds data (measured:
+    the stream-stream interval join spent 124 s + 187 s of executorRunTime
+    across 32 near-empty state partitions against ~6 s of CPU). When the
+    caller passes the measured source row count, the state partitioning is
+    sized from it via the repo's standard ``scaled_shuffle_partitions``
+    rule — a strict NO-OP at cluster scale (n_rows/100k exceeds the
+    session setting), only ever shrinking for provably small backfills.
+    Results are partitioning-invariant (keyed state), oracle-checked."""
+    from contextlib import nullcontext
+
+    from utils_spark.plans import scaled_shuffle_partitions
+
+    ctx = scaled_shuffle_partitions(spark, n_rows) if n_rows is not None else nullcontext()
     name = f"stream_sink_{uuid.uuid4().hex[:10]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
+    with ctx:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        done = q.awaitTermination(300)
+    if not done:
         # timed out: the query is still running and the sink is only
         # partially filled — reading it would silently return a partial
         # result. Stop the runaway query and fail loudly instead.
@@ -79,7 +109,10 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from utils_spark.streaming import read_events_stream, windowed_counts_stream
 
     out = _run_to_table(
-        spark, windowed_counts_stream(read_events_stream(spark, sf_dir)), "complete"
+        spark,
+        windowed_counts_stream(read_events_stream(spark, sf_dir)),
+        "complete",
+        n_rows=_source_rows(spark, sf_dir, "events"),
     )
     return out.select("window_start", "event_type", "n", "total_value")
 
@@ -123,7 +156,10 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from utils_spark.streaming import read_events_stream, sessionized_stream
 
     out = _run_to_table(
-        spark, sessionized_stream(read_events_stream(spark, sf_dir)), "complete"
+        spark,
+        sessionized_stream(read_events_stream(spark, sf_dir)),
+        "complete",
+        n_rows=_source_rows(spark, sf_dir, "events"),
     )
     return out.select(
         "user_id", "session_start", "session_end", "n_events", "session_value"
@@ -182,7 +218,10 @@ def stream_session_windows_append(spark: SparkSession, sf_dir: str) -> DataFrame
     from utils_spark.streaming import read_events_stream, sessionized_stream
 
     out = _run_to_table(
-        spark, sessionized_stream(read_events_stream(spark, sf_dir)), "append"
+        spark,
+        sessionized_stream(read_events_stream(spark, sf_dir)),
+        "append",
+        n_rows=_source_rows(spark, sf_dir, "events"),
     )
     return out.select(
         "user_id", "session_start", "session_end", "n_events", "session_value"
@@ -209,7 +248,12 @@ def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from utils_spark.streaming import read_events_stream, stateful_dedup_stream
 
     ev = read_events_stream(spark, sf_dir)
-    out = _run_to_table(spark, stateful_dedup_stream(ev.union(ev)), "append")
+    out = _run_to_table(
+        spark,
+        stateful_dedup_stream(ev.union(ev)),
+        "append",
+        n_rows=2 * _source_rows(spark, sf_dir, "events"),
+    )
     return out.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("event_id").cast("long").alias("id_checksum"),
@@ -239,7 +283,7 @@ def stream_custom_state_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from utils_spark.streaming.windows import running_user_stats_stream
 
     stream = running_user_stats_stream(read_events_stream(spark, sf_dir))
-    out = _run_to_table(spark, stream, "update")
+    out = _run_to_table(spark, stream, "update", n_rows=_source_rows(spark, sf_dir, "events"))
     # update-mode emits one row per user per trigger; the LAST emission is
     # the converged profile (the file source yields a single trigger here,
     # but dedup to the final row keeps this correct under maxFilesPerTrigger)
@@ -284,7 +328,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
     )
-    out = _run_to_table(spark, enriched, "complete")
+    out = _run_to_table(spark, enriched, "complete", n_rows=_source_rows(spark, sf_dir, "events"))
     return out.select("c_mktsegment", "event_type", "n", "total_value")
 
 
@@ -331,7 +375,7 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("event_id") < F.col("event_id_r")),
         "inner",
     )
-    out = _run_to_table(spark, joined, "append")
+    out = _run_to_table(spark, joined, "append", n_rows=_source_rows(spark, sf_dir, "events"))
     return out.groupBy(
         F.col("event_type").alias("type_a"), F.col("event_type_r").alias("type_b")
     ).agg(
@@ -393,7 +437,9 @@ def stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("key"),
     )
     counts = keyed.groupBy("source", "key").agg(F.count("*").alias("n"))
-    out = _run_to_table(spark, counts, "complete")
+    out = _run_to_table(
+        spark, counts, "complete", n_rows=2 * _source_rows(spark, sf_dir, "documents")
+    )
     is_pass = F.col("key").startswith("p_")
     return out.groupBy("source").agg(
         F.sum("n").cast("long").alias("docs_in"),
@@ -440,6 +486,7 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             read_events_stream(spark, sf_dir), window="1 hour", slide="30 minutes"
         ),
         "complete",
+        n_rows=_source_rows(spark, sf_dir, "events"),
     )
     return out.select("window_start", "event_type", "n", "total_value")
 
@@ -516,7 +563,7 @@ def stream_near_dup_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("canonical_doc"),
         F.sum("doc_id").alias("id_checksum"),
     )
-    out = _run_to_table(spark, reg, "complete")
+    out = _run_to_table(spark, reg, "complete", n_rows=_source_rows(spark, sf_dir, "documents"))
     return out.filter(F.col("n_docs") >= 2).select(
         "band_id",
         "band_hash",
@@ -582,7 +629,7 @@ def stream_cms_sketch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("sk_row", "sk_bucket")
         .agg(F.count("*").alias("c"))
     )
-    out = _run_to_table(spark, cells, "complete")
+    out = _run_to_table(spark, cells, "complete", n_rows=_source_rows(spark, sf_dir, "events"))
     return out.select(
         F.col("sk_row").cast("int").alias("sk_row"),
         F.col("sk_bucket").cast("long").alias("sk_bucket"),
