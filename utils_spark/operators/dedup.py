@@ -72,7 +72,13 @@ def _lsh_candidates_from_sig(
     """Banding + band-bucket self-join over a prepared (__key, sig) frame —
     the shared tail of `minhash_lsh_candidates`, factored out (r15) so
     `lsh_verified_pairs` can feed it signatures derived from its cached
-    shingle frame instead of re-shingling the corpus a second time."""
+    shingle frame instead of re-shingling the corpus a second time.
+
+    The signature frame is persisted here: the band self-join evaluates
+    both sides, and without the cache each side re-pays the full
+    md5-per-shingle signature pass. One (key, n_hashes longs) row per doc
+    — tiny at any scale."""
+    sig = sig.persist()
     bands = sig.select(
         "__key",
         "sig",
@@ -355,6 +361,14 @@ def prefix_filter_candidates(
     shingled = df.select(
         F.col(key_col).alias("__k"), char_shingles(text_col, shingle_k).alias("grams")
     )
+    return _prefix_candidates_from_shingled(shingled, threshold)
+
+
+def _prefix_candidates_from_shingled(shingled: DataFrame, threshold: float) -> DataFrame:
+    """Prefix-filter candidate tail over a prepared (__k, grams) frame —
+    factored out (r15) so `prefix_filtered_jaccard_pairs` can feed it the
+    same persisted shingle frame its verify stage uses instead of
+    re-shingling the corpus per consumer."""
     g = shingled.select(
         "__k", F.size("grams").alias("sz"), F.explode("grams").alias("gram")
     )
@@ -391,11 +405,17 @@ def prefix_filtered_jaccard_pairs(
     see ``prefix_filter_candidates``) then exact set-intersection verify
     joined per (candidate key, gram), never a bare gram=gram equi-join.
     Returns (key_a, key_b, jaccard). Identical semantics to brute-force
-    all-pairs; the brute-force SQL remains the oracle."""
-    cand = prefix_filter_candidates(df, text_col, key_col, shingle_k, threshold)
+    all-pairs; the brute-force SQL remains the oracle.
+
+    One shingling pass (r15, guide §1.2/§5): the candidate stage (df agg +
+    per-doc ranking window) and the verify stage (two gram sides + the
+    size table) previously each re-derived char_shingles from raw text —
+    five serial rescans on the bench profile; one persisted (key, grams)
+    frame now serves them all."""
     shingled = df.select(
         F.col(key_col).alias("__k"), char_shingles(text_col, shingle_k).alias("grams")
-    )
+    ).persist()
+    cand = _prefix_candidates_from_shingled(shingled, threshold)
     sz = shingled.select("__k", F.size("grams").alias("sz"))
     g = shingled.select("__k", F.explode("grams").alias("gram"))
     inter = (

@@ -104,6 +104,14 @@ def pairwise_ecdf(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
     column) can run this — the expensive part: the fanout join, the
     per-(pair, value) aggregation, and two window passes — exactly once
     instead of once per `alternative`."""
+    from utils_spark.io import spread_low_parallelism
+
+    # the pair fanout + per-(pair, value) partial aggregation is CPU-bound
+    # map work; a single-row-group local parquet scan arrives as ONE
+    # partition and serializes it (r15 stage profile: the whole tagged +
+    # partial-agg stage ran as one task). Standard low-parallelism guard —
+    # a no-op on any real multi-file/multi-row-group read.
+    df = spread_low_parallelism(df)
     e = df.select(F.col(group_col).alias("__g"), F.col(value_col).alias("__v")).filter(
         F.col("__v").isNotNull()
     )

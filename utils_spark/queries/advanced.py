@@ -310,37 +310,19 @@ def pairwise_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     asymptotic p, all in one plan: pair table (tiny, broadcast) × events,
     ECDFs via per-pair cumulative windows. Scales as O(pairs × values)
     with per-pair parallelism — no driver loop over pairs."""
+    from utils_spark.operators.stats import pairwise_ecdf
+
+    # same per-pair ECDF pipeline as the operator (r15: routed through the
+    # shared `pairwise_ecdf`, which also spreads the single-row-group local
+    # scan before the CPU-bound pair fanout — identical expressions, so the
+    # per-pair statistics are unchanged)
     e = load_table(spark, sf_dir, "events")
-    types = e.select(F.col("event_type").alias("t")).distinct()
-    pairs = (
-        types.alias("x")
-        .join(F.broadcast(types.alias("y")), F.col("x.t") < F.col("y.t"))
-        .select(F.col("x.t").alias("ta"), F.col("y.t").alias("tb"))
-    )
-    tagged = e.join(
-        F.broadcast(pairs),
-        (F.col("event_type") == F.col("ta")) | (F.col("event_type") == F.col("tb")),
-    ).select(
-        "ta",
-        "tb",
-        F.col("value").alias("v"),
-        F.when(F.col("event_type") == F.col("ta"), 1).otherwise(0).alias("a"),
-        F.when(F.col("event_type") == F.col("tb"), 1).otherwise(0).alias("b"),
-    )
-    pervalue = tagged.groupBy("ta", "tb", "v").agg(F.sum("a").alias("ca"), F.sum("b").alias("cb"))
-    w = Window.partitionBy("ta", "tb").orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wp = Window.partitionBy("ta", "tb")
-    ecdf = pervalue.select(
-        "ta",
-        "tb",
-        (F.sum("ca").over(w) / F.sum("ca").over(wp)).alias("fa"),
-        (F.sum("cb").over(w) / F.sum("cb").over(wp)).alias("fb"),
-        F.sum("ca").over(wp).alias("na"),
-        F.sum("cb").over(wp).alias("nb"),
-    )
+    ecdf = pairwise_ecdf(e, "value", "event_type")
     d = F.max(F.abs(F.col("fa") - F.col("fb")))
     en = F.first("na") * F.first("nb") / (F.first("na") + F.first("nb"))
-    return ecdf.groupBy("ta", "tb").agg(
+    return ecdf.groupBy(
+        F.col("group_a").alias("ta"), F.col("group_b").alias("tb")
+    ).agg(
         F.round(d, 6).alias("ks_stat"),
         F.round(F.least(F.lit(1.0), 2 * F.exp(-2 * d * d * en)), 6).alias("p_asymptotic"),
     )

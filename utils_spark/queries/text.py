@@ -817,7 +817,14 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # provably has no extra Exchange in this plan.
     d = load_table(spark, sf_dir, "documents")
     d = spread_low_parallelism(d)
-    sig = d.select("doc_id", _minhash_sig_col(char_shingles("text", 5), n_hashes).alias("sig"))
+    # persist the signatures (r15, guide §5): the banded join evaluates
+    # both sides, and without the cache each side re-paid the full
+    # md5-per-shingle signature pass (measured 6.2 s + 9.2 s of
+    # executorRunTime across the two sides of minhash_lsh_pairs at sf0.1).
+    # One (doc_id, 16 longs) row per doc — tiny at any scale.
+    sig = d.select(
+        "doc_id", _minhash_sig_col(char_shingles("text", 5), n_hashes).alias("sig")
+    ).persist()
     bands = sig.select(
         "doc_id",
         "sig",
@@ -1179,7 +1186,14 @@ def fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_hashes, n_bands = 16, 4
     d = load_table(spark, sf_dir, "documents")
     d = spread_low_parallelism(d)
-    sig = d.select("doc_id", _minhash_sig_col(char_shingles("text", 5), n_hashes).alias("sig"))
+    # persist the signatures (r15, guide §5): the banded join evaluates
+    # both sides, and without the cache each side re-paid the full
+    # md5-per-shingle signature pass (measured 6.2 s + 9.2 s of
+    # executorRunTime across the two sides of minhash_lsh_pairs at sf0.1).
+    # One (doc_id, 16 longs) row per doc — tiny at any scale.
+    sig = d.select(
+        "doc_id", _minhash_sig_col(char_shingles("text", 5), n_hashes).alias("sig")
+    ).persist()
     bands = sig.select(
         "doc_id",
         "sig",
