@@ -103,15 +103,14 @@ def pairwise_ecdf(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
     one-sided statistics (D⁺ and D⁻ are aggregates of the same fa−fb
     column) can run this — the expensive part: the fanout join, the
     per-(pair, value) aggregation, and two window passes — exactly once
-    instead of once per `alternative`."""
-    from utils_spark.io import spread_low_parallelism
+    instead of once per `alternative`.
 
-    # the pair fanout + per-(pair, value) partial aggregation is CPU-bound
-    # map work; a single-row-group local parquet scan arrives as ONE
-    # partition and serializes it (r15 stage profile: the whole tagged +
-    # partial-agg stage ran as one task). Standard low-parallelism guard —
-    # a no-op on any real multi-file/multi-row-group read.
-    df = spread_low_parallelism(df)
+    NOTE (r15, measured): a `spread_low_parallelism` guard before the pair
+    fanout was tried and REVERTED — under the warm bench protocol the
+    repartition exchange cost (~0.3 s) exceeded what the extra map
+    parallelism saved on this data size (interleaved A/B: 1.55 s without
+    vs 1.76-1.99 s with). On a real multi-row-group read the scan is
+    already parallel and the question is moot."""
     e = df.select(F.col(group_col).alias("__g"), F.col(value_col).alias("__v")).filter(
         F.col("__v").isNotNull()
     )
