@@ -64,6 +64,7 @@ def main() -> int:
     # up (round-12 ADVICE: a typo used to surface as a bare KeyError deep
     # in the loop after ~20 s of JVM startup).
     import __spark_entry__ as E
+    from utils_spark.plans import release_scratch_caches
 
     qs, os_ = E.queries(), E.oracle_sql()
     unknown = [n for n in names_filter if n not in qs]
@@ -112,6 +113,7 @@ def main() -> int:
             continue
         sdf = qs[name](spark, SF_DIR)
         s = norm([tuple(r) for r in sdf.collect()], sdf.columns)
+        release_scratch_caches()  # session hygiene for --full sweeps (r16)
         res = con.execute(os_[name])
         d = norm(res.fetchall(), [c[0] for c in res.description])
         if s != d:

@@ -47,6 +47,7 @@ def main() -> int:
         print(f"unknown flags: {bad}", file=sys.stderr)
         return 2
 
+    from utils_spark.plans import release_scratch_caches
     from utils_spark.registry import load_all
     from utils_spark.session import get_spark
 
@@ -72,6 +73,9 @@ def main() -> int:
                 t0 = time.perf_counter()
                 qd.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
                 runs.append(time.perf_counter() - t0)
+                # per-run work, not warm-cache reads (r16 — same fix as
+                # bench.py): release operator scratch persists between reps
+                release_scratch_caches()
             timings[name] = round(min(runs), 4)
         except Exception as exc:  # record, keep ranking the rest
             timings[name] = -1.0

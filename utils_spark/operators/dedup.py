@@ -12,7 +12,27 @@ from pyspark.sql import functions as F
 
 from utils_spark.functions import char_shingles, md5_long, minhash_band_structs
 from utils_spark.io import spread_low_parallelism
-from utils_spark.plans import cut_lineage
+from utils_spark.plans import cut_lineage, scratch_persist
+
+# Size gate for the shingled-frame persists below (optimization r16, guide
+# §5 + VERDICT r15 item 2): the (key, grams) frame is ~shingle_k× the
+# corpus bytes, so at extreme corpus scale one cached copy is the first
+# thing to trade back for 4-5× shingle CPU elsewhere. Persist only when the
+# planner KNOWS the source is bounded (Catalyst sizeInBytes ≤ this cap);
+# unknown estimates come back as Long.MaxValue and conservatively skip the
+# cache. 64 GiB of source text ≈ a few hundred GiB cached cluster-wide —
+# trivially held by a 100 TB-class cluster, far past every local SF.
+_SHINGLE_PERSIST_MAX_INPUT_BYTES = 64 << 30
+
+
+def _persist_if_bounded(df: DataFrame, source: DataFrame) -> DataFrame:
+    try:
+        est = int(source._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return df
+    if est <= _SHINGLE_PERSIST_MAX_INPUT_BYTES:
+        return scratch_persist(df)
+    return df
 
 
 def exact_dedup(df: DataFrame, subset: list[str], key_col: str) -> DataFrame:
@@ -77,8 +97,10 @@ def _lsh_candidates_from_sig(
     The signature frame is persisted here: the band self-join evaluates
     both sides, and without the cache each side re-pays the full
     md5-per-shingle signature pass. One (key, n_hashes longs) row per doc
-    — tiny at any scale."""
-    sig = sig.persist()
+    — tiny at any scale. Registered as a scratch cache (r16): harnesses
+    release it after the terminal action via
+    ``utils_spark.plans.release_scratch_caches``."""
+    sig = scratch_persist(sig)
     bands = sig.select(
         "__key",
         "sig",
@@ -137,14 +159,14 @@ def lsh_verified_pairs(
     # measured ~60 s of duplicated executor CPU per run at sf0.1 across
     # the broadcast builds alone. The persisted frame is one gram-array
     # row per doc (~shingle_k× the corpus bytes; MEMORY_AND_DISK, so
-    # executors spill rather than OOM). At extreme corpus scale where
-    # even spilling one shingled copy is unwanted, recomputing the
-    # map-side shingling is the first thing to trade back — but then
-    # prefer flipping this persist off over paying 4× shingle CPU
-    # everywhere else.
-    shingled = df.select(
-        F.col(key_col).alias("__k"), _shingles(text_col, shingle_k).alias("grams")
-    ).persist()
+    # executors spill rather than OOM). SIZE-GATED since r16 (VERDICT r15
+    # item 2): past _SHINGLE_PERSIST_MAX_INPUT_BYTES of known source
+    # bytes — or when the planner cannot bound the source — the persist
+    # is skipped and the map-side shingling recomputes per consumer.
+    shingled = _persist_if_bounded(
+        df.select(F.col(key_col).alias("__k"), _shingles(text_col, shingle_k).alias("grams")),
+        df,
+    )
     sig = shingled.select(
         F.col("__k").alias("__key"), _minhash_sig_col(F.col("grams"), n_hashes).alias("sig")
     )
@@ -186,18 +208,40 @@ def connected_components_star(
         every edge points downward to a candidate root.
 
     At the fixed point the edge set is a star per component rooted at
-    the component min. Convergence is detected with a limit(1) anti-join
-    probe (new edges vs old — the star fixed point is exactly
-    edge-set stability); each round is two bounded groupBy/join shuffles
-    over the CURRENT edge set, lineage cut per round. Round count is
-    O(log n) on ANY graph shape — the safe default for 100 TB duplicate
-    graphs where chain-like components (A~B~C~... near-dup drift) make
-    O(diameter) propagation unbounded. Deterministic."""
+    the component min. Convergence detection (optimization r16, guide
+    §1.2 "don't pay jobs you can fold into existing passes"): every
+    round's checkpoint pass already scans the new edge set, so it
+    OBSERVES two free set-fingerprint metrics — edge count and the
+    bit_xor of xxhash64(u, v) (order-independent and overflow-free — a
+    long SUM would trip ANSI overflow; distinct sets, so the fold is a
+    set fingerprint). While the fingerprint differs
+    from the previous round's the set provably changed and the round
+    pays ZERO extra jobs (previously: up to two limit(1) anti-join
+    count jobs per round). Only when the fingerprint MATCHES does the
+    exact limit(1) anti-join probe run to confirm — so termination
+    remains decided by exact set equality, never by the hash (a
+    colliding fingerprint on a changed set just runs the probe, sees
+    the change, and continues). Each round is two bounded groupBy/join
+    shuffles over the CURRENT edge set, lineage cut per round. Round
+    count is O(log n) on ANY graph shape — the safe default for 100 TB
+    duplicate graphs where chain-like components (A~B~C~... near-dup
+    drift) make O(diameter) propagation unbounded. Deterministic."""
+    from pyspark.sql import Observation
+
+    def _fingerprint_metrics():
+        return (
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        )
+
+    obs0 = Observation()
     e = cut_lineage(  # edge producers can be expensive (LSH joins) — materialize
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .observe(obs0, *_fingerprint_metrics())
     )
+    prev_fp = (obs0.get["n"], obs0.get["h"])
     nodes = e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
     for _i in range(max_iter):
         # large-star over the bidirectional neighborhood
@@ -216,18 +260,24 @@ def connected_components_star(
         ).distinct()
         smin = edir.groupBy("u").agg(F.min("v").alias("m"))
         joined = edir.join(smin, "u")
+        obs = Observation()
         new_e = cut_lineage(
             joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(joined.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
+            .observe(obs, *_fingerprint_metrics())
         )
-        # fixed point: the star is stable ⇔ the edge set stopped changing
-        changed = (
-            new_e.join(e, ["u", "v"], "left_anti").limit(1).count()
-            or e.join(new_e, ["u", "v"], "left_anti").limit(1).count()
-        )
-        e = new_e
+        fp = (obs.get["n"], obs.get["h"])
+        if fp != prev_fp:
+            changed = True
+        else:
+            # fingerprint matched — confirm the fixed point EXACTLY
+            changed = bool(
+                new_e.join(e, ["u", "v"], "left_anti").limit(1).count()
+                or e.join(new_e, ["u", "v"], "left_anti").limit(1).count()
+            )
+        e, prev_fp = new_e, fp
         if not changed:
             break
     # stars point child → root(min); roots and isolated-in-e nodes map to
@@ -411,10 +461,14 @@ def prefix_filtered_jaccard_pairs(
     per-doc ranking window) and the verify stage (two gram sides + the
     size table) previously each re-derived char_shingles from raw text —
     five serial rescans on the bench profile; one persisted (key, grams)
-    frame now serves them all."""
-    shingled = df.select(
-        F.col(key_col).alias("__k"), char_shingles(text_col, shingle_k).alias("grams")
-    ).persist()
+    frame now serves them all (size-gated + scratch-registered, r16 — see
+    ``_persist_if_bounded``)."""
+    shingled = _persist_if_bounded(
+        df.select(
+            F.col(key_col).alias("__k"), char_shingles(text_col, shingle_k).alias("grams")
+        ),
+        df,
+    )
     cand = _prefix_candidates_from_shingled(shingled, threshold)
     sz = shingled.select("__k", F.size("grams").alias("sz"))
     g = shingled.select("__k", F.explode("grams").alias("gram"))

@@ -9,13 +9,15 @@ approximate by nature (SURVEY §7.3).
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd  # module-level so pandas_udf type hints resolve under
 # `from __future__ import annotations` (get_type_hints looks in module globals)
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from utils_spark.functions import to_double_array
-from utils_spark.plans import cut_lineage
+from utils_spark.plans import cut_lineage, scratch_persist
 
 
 def _to_vector_col(df: DataFrame, array_col: str, out: str = "features") -> DataFrame:
@@ -245,6 +247,15 @@ def knn_graph(
     # it is EMPTY lets the no-skew case keep the exact r14 single-path
     # 4-exchange plan — measured +1.6-2.3 s per consumer when the salted
     # twin stayed in the plan unconditionally.
+    #
+    # `hashed` is persisted across the census AND the join sides (r16,
+    # VERDICT r15 item 2/3): the census collect materializes it, so the
+    # cold case goes from 3 scan+hash passes (census + both merge-join
+    # sides) to 1 compute + cached reads, the hot case from 5. One
+    # (key, vec, table, bucket) row per point per hash table —
+    # num_hash_tables× the input, MEMORY_AND_DISK. Scratch-registered;
+    # harnesses release it after the consumer's terminal action.
+    hashed = scratch_persist(hashed)
     occ = hashed.groupBy("__ht", "__hv").agg(F.count("*").alias("__occ"))
     hot_rows = (
         occ.filter(F.col("__occ") > _HOT_BUCKET_OCCUPANCY)
@@ -1475,7 +1486,7 @@ def als_factorize(
     return row_f, col_f
 
 
-def _diversity_reweight(soft: DataFrame, theta: float, n_rounds: int = 2) -> DataFrame:
+def _diversity_reweight(soft: DataFrame, theta: float, k: int, n_rounds: int = 2) -> DataFrame:
     """Harmony diversity-penalty fixed point (reference M8:
     R/integrate.R:115-118 theta; Korsunsky et al. 2019 eq. 2).
 
@@ -1494,31 +1505,36 @@ def _diversity_reweight(soft: DataFrame, theta: float, n_rounds: int = 2) -> Dat
     penalty is scale-free."""
     eps = 1e-9
     expo = theta / float(n_rounds)
-    n_b = soft.groupBy("__batch").agg(F.count("*").alias("__nb"))
-    n_tot = soft.count()
+    # k is statically known (the responsibility array is built from k
+    # centroids), so O_cb / A_c are k SUM columns of ONE groupBy(batch) over
+    # the n soft rows (optimization r16, guide §1.2/§2.3): the previous
+    # posexplode fanned soft out to n×k rows and paid two aggregations + a
+    # join + a collect_list window per round, plus an eager soft.count() job
+    # for N. N and A_c now come from a 1-row aggregate of the (batches)-row
+    # table — same doubles, same (a·nb)/nt evaluation order, only the
+    # partial-sum grouping differs (inside the certificates' 1e-6 rounding
+    # slack).
     for _ in range(n_rounds):
-        pairs = soft.select("__key", "__batch", F.posexplode("__r").alias("__c", "__resp"))
-        o_cb = pairs.groupBy("__c", "__batch").agg(F.sum("__resp").alias("__o"))
-        a_c = pairs.groupBy("__c").agg(F.sum("__resp").alias("__a"))
-        pen = (
-            o_cb.join(a_c, "__c")
-            .join(n_b, "__batch")
-            .select(
-                "__c",
-                "__batch",
-                F.pow(
-                    (F.col("__a") * F.col("__nb") / F.lit(float(n_tot)) + eps)
-                    / (F.col("__o") + eps),
-                    F.lit(expo),
-                ).alias("__pen"),
-            )
+        o_cb = soft.groupBy("__batch").agg(
+            F.count("*").alias("__nb"),
+            *[F.sum(F.col("__r")[c]).alias(f"__o_{c}") for c in range(k)],
         )
-        # k penalties per batch → an array literal-shaped join: collect per
-        # batch into a dense k-vector so the reweight stays one array op
-        pen_arr = (
-            pen.groupBy("__batch")
-            .agg(F.array_sort(F.collect_list(F.struct("__c", "__pen"))).alias("__pp"))
-            .select("__batch", F.transform("__pp", lambda p: p["__pen"]).alias("__penv"))
+        tot = o_cb.agg(
+            F.sum("__nb").alias("__nt"),
+            *[F.sum(f"__o_{c}").alias(f"__a_{c}") for c in range(k)],
+        )
+        pen_arr = o_cb.crossJoin(F.broadcast(tot)).select(
+            "__batch",
+            F.array(
+                *[
+                    F.pow(
+                        (F.col(f"__a_{c}") * F.col("__nb") / F.col("__nt") + eps)
+                        / (F.col(f"__o_{c}") + eps),
+                        F.lit(expo),
+                    )
+                    for c in range(k)
+                ]
+            ).alias("__penv"),
         )
         soft = (
             soft.join(F.broadcast(pen_arr), "__batch")
@@ -1561,9 +1577,17 @@ def harmony_soft(
     driving batch-diverse clusters exactly as the reference's theta does,
     (4) per-(cluster, batch) r-weighted mean offsets from the r-weighted
     cluster mean, (5) x_i ← x_i − Σ_c r_ic·offset_{c,batch(i)}. Centroids
-    broadcast (k×d literals); everything else is joins + aggs over (cell,
-    cluster) pairs — a k-fold bounded expansion, never n²; the penalty
-    adds only tiny (k×batches) aggregate tables per refinement.
+    broadcast (k×d literals). Since optimization r16 the moment step is a
+    single groupBy(batch) with k×(dim+1) SUM columns over the n rows — no
+    (cell, cluster, dim) fanout rows ever exist (the previous double
+    posexplode shuffled n×k×dim rows through three aggregations per
+    iteration) — and the correction applies row-locally from a broadcast
+    (batches × k × dim) offset matrix. The penalty adds only tiny
+    (k×batches) aggregate tables per refinement.
+
+    PRECONDITION: fixed dimensionality (probed once from the first row);
+    ragged inputs were never supported (KMeans' array_to_vector rejects
+    them).
 
     Returns df + `corrected` array column."""
     from pyspark.ml.clustering import KMeans
@@ -1574,14 +1598,41 @@ def harmony_soft(
         F.col(batch_col).alias("__batch"),
         to_double_array(array_col).alias("__v"),
     )
-    dim = None
-    if k == 1:
-        probe = work.select(F.size("__v").alias("s")).first()
-        if probe is None:
-            # empty input: the k>=2 path degrades inside KMeans; match it by
-            # returning the empty frame with the corrected column appended
-            return df.withColumn("corrected", to_double_array(array_col))
-        dim = probe["s"]
+    # the embedding dimensionality is static per call — probe it once so the
+    # per-(cluster, batch) moments below can be k×dim SUM columns of a single
+    # aggregation instead of an n×k×dim posexplode (optimization r16)
+    probe = work.select(F.size("__v").alias("s")).first()
+    if probe is None and k == 1:
+        # empty input: the k>=2 path degrades inside KMeans; match it by
+        # returning the empty frame with the corrected column appended
+        return df.withColumn("corrected", to_double_array(array_col))
+    dim = int(probe["s"]) if probe is not None else 0
+    # the dim-wide expression lists are built ONCE, as SQL strings parsed
+    # server-side: constructing them from Column operator overloads costs a
+    # py4j round trip PER OPERATOR (measured 10.6 s of pure driver-Python
+    # per call at dim=64 — more than the whole executor time), while
+    # F.expr hands the server one string to parse. Column objects are
+    # immutable and reusable across iterations, so the loop pays zero
+    # expression-construction cost.
+    bsum_aggs = [F.expr("sum(__resp) AS __rw")] + [
+        F.expr(f"sum(__resp * __v[{d}]) AS __s_{d}") for d in range(dim)
+    ]
+    wsum_aggs = [F.expr("sum(__rw) AS __trw")] + [
+        F.expr(f"sum(__s_{d}) AS __ts_{d}") for d in range(dim)
+    ]
+    off_expr = F.expr(
+        "array(" + ",".join(f"__s_{d}/__rw - __ts_{d}/__trw" for d in range(dim)) + ") AS __off"
+    )
+    corrected_expr = F.expr(
+        "array("
+        + ",".join(
+            f"__v[{d}] - (0.0D + "
+            + " + ".join(f"__r[{c}]*__offm[{c}][{d}]" for c in range(k))
+            + ")"
+            for d in range(dim)
+        )
+        + ") AS __v"
+    )
     for it in range(n_iter):
         if k == 1:
             # MLlib KMeans requires k >= 2; with one component the centroid
@@ -1591,7 +1642,19 @@ def harmony_soft(
             vec = work.withColumn("__feat", array_to_vector("__v"))
             model = KMeans(k=k, seed=seed + it, featuresCol="__feat", predictionCol="__c").fit(vec)
             cents = [list(map(float, c)) for c in model.clusterCenters()]
-        cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+        # centroid literals as one server-parsed SQL string (same py4j
+        # economy as above; `repr` round-trips doubles exactly and Spark's
+        # `...D` literal parse is correctly rounded, so the bits match
+        # F.lit). Non-finite centroids (impossible from KMeans on finite
+        # input, but cheap to guard) fall back to the Column path.
+        if all(math.isfinite(x) for c in cents for x in c):
+            cent_arr = F.expr(
+                "array("
+                + ",".join("array(" + ",".join(f"{x!r}D" for x in c) + ")" for c in cents)
+                + ")"
+            )
+        else:
+            cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
         # responsibilities: softmax over -dist²/sigma, numerically stabilized
         d2 = F.transform(
             cent_arr,
@@ -1609,37 +1672,50 @@ def harmony_soft(
         soft = soft.withColumn("__e", expd).withColumn(
             "__r", F.transform("__e", lambda e: e / F.aggregate("__e", F.lit(0.0), lambda a, x: a + x))
         )
+        # materialize the responsibilities as DATA before the wide moment
+        # aggregation: __r is a deep softmax expression (k×dim centroid
+        # literals + stabilization chain), and the k×(dim+1) SUM columns
+        # below reference it once each — letting the optimizer inline the
+        # softmax that many times is a planning/codegen bomb (measured:
+        # batch_correction 22→40 s driver gap at dim=64 without this cut;
+        # the old posexplode shape paid the same materialization as shuffle
+        # rows instead). One bounded (key, batch, v, r) pass per iteration.
+        soft = cut_lineage(soft.select("__key", "__batch", "__v", "__r"))
         if theta > 0:
-            soft = _diversity_reweight(soft, theta, n_rounds=2)
-        # (cell, cluster, resp) pairs + per-dim values
-        pairs = soft.select(
-            "__key", "__batch", "__v", F.posexplode("__r").alias("__c", "__resp")
+            soft = _diversity_reweight(soft, theta, k, n_rounds=2)
+        # Per-(cluster, batch) weighted moments: one posexplode to (cell,
+        # cluster) pairs — a k-fold bounded fanout, as before — but the dim
+        # axis folds into dim+1 SUM columns of ONE aggregation (optimization
+        # r16, guide §1.2/§2.3 "aggregate before you shuffle"): the previous
+        # shape posexploded a second time to n×k×dim rows and ran THREE
+        # aggregations plus two joins over that fanout per iteration. The
+        # dim+1-column schema stays under spark.sql.codegen.maxFields (100),
+        # so the aggregate keeps whole-stage codegen (a single k×(dim+1)-
+        # column variant measured SLOWER: codegen falls back past 100
+        # fields and every job ships ~2 MB task binaries). The cluster
+        # totals (the old wsum) are the batch-sums' sums — mathematically
+        # identical, only float partial-sum grouping differs, inside the
+        # harmony certificates' 1e-6 rounding slack.
+        pairs = soft.select("__batch", "__v", F.posexplode("__r").alias("__c", "__resp"))
+        bsum = pairs.groupBy("__c", "__batch").agg(*bsum_aggs)
+        wsum = bsum.groupBy("__c").agg(*wsum_aggs)
+        # per-batch offset matrix off[c][d] = batch mean − cluster mean,
+        # assembled as a (batches × k × dim) broadcastable few-row table
+        offm = (
+            bsum.join(F.broadcast(wsum), "__c")
+            .select("__batch", "__c", off_expr)
+            .groupBy("__batch")
+            .agg(F.array_sort(F.collect_list(F.struct("__c", "__off"))).alias("__po"))
+            .select("__batch", F.transform("__po", lambda p: p["__off"]).alias("__offm"))
         )
-        comp = pairs.select(
-            "__key", "__batch", "__c", "__resp", F.posexplode("__v").alias("__d", "__x")
-        )
-        wsum = comp.groupBy("__c", "__d").agg(
-            (F.sum(F.col("__resp") * F.col("__x")) / F.sum("__resp")).alias("__cm")
-        )
-        bsum = comp.groupBy("__c", "__batch", "__d").agg(
-            (F.sum(F.col("__resp") * F.col("__x")) / F.sum("__resp")).alias("__bm"),
-        )
-        offsets = bsum.join(wsum, ["__c", "__d"]).select(
-            "__c", "__batch", "__d", (F.col("__bm") - F.col("__cm")).alias("__off")
-        )
-        corrected = (
-            comp.join(offsets, ["__c", "__batch", "__d"], "left")
-            .withColumn("__delta", F.col("__resp") * F.coalesce("__off", F.lit(0.0)))
-            .groupBy("__key", "__batch", "__d")
-            .agg(F.first("__x").alias("__x"), F.sum("__delta").alias("__corr"))
-            .withColumn("__xc", F.col("__x") - F.col("__corr"))
-            .groupBy("__key", "__batch")
-            .agg(F.array_sort(F.collect_list(F.struct("__d", "__xc"))).alias("__pairs"))
-            .select(
-                "__key",
-                "__batch",
-                F.transform("__pairs", lambda p: p["__xc"]).alias("__v"),
-            )
+        # x_i ← x_i − Σ_c r_ic·off[c][batch(i)] — applied row-local via the
+        # broadcast offset matrix against the CHECKPOINTED responsibilities
+        # (data column, so the k×dim references are cheap getItems); no
+        # per-(cell, cluster, dim) fanout rows ever exist and the heavy side
+        # is never exchanged, replacing the old per-dim sum + collect_list/
+        # array_sort re-assembly aggregations.
+        corrected = soft.join(F.broadcast(offm), "__batch").select(
+            "__key", "__batch", corrected_expr
         )
         work = cut_lineage(corrected)
     out = df.join(

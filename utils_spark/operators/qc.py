@@ -191,12 +191,12 @@ def ambient_pvalues(
     # sizing); cached so the raw input is scanned once, not per branch —
     # counts is already the compacted (barcode, gene) aggregate, orders of
     # magnitude smaller than the observation-level input it summarizes
-    counts = (
-        df.groupBy(bc.alias("__bc"), gc.alias("__gene"))
-        .agg(F.count("*").alias("__y"))
-        .cache()
+    from utils_spark.plans import scratch_persist
+
+    counts = scratch_persist(
+        df.groupBy(bc.alias("__bc"), gc.alias("__gene")).agg(F.count("*").alias("__y"))
     )
-    totals = counts.groupBy("__bc").agg(F.sum("__y").alias("total")).cache()
+    totals = scratch_persist(counts.groupBy("__bc").agg(F.sum("__y").alias("total")))
 
     # ambient profile over the full observed gene universe, +1 smoothing
     # (universe from the cached aggregate — no second raw-input scan)

@@ -120,14 +120,23 @@ def pairwise_ecdf(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
         .join(F.broadcast(types.alias("y")), F.col("x.t") < F.col("y.t"))
         .select(F.col("x.t").alias("group_a"), F.col("y.t").alias("group_b"))
     )
-    tagged = e.join(
-        F.broadcast(pairs), (F.col("__g") == F.col("group_a")) | (F.col("__g") == F.col("group_b"))
-    ).select(
-        "group_a",
-        "group_b",
-        "__v",
-        F.when(F.col("__g") == F.col("group_a"), 1).otherwise(0).alias("a"),
-        F.when(F.col("__g") == F.col("group_b"), 1).otherwise(0).alias("b"),
+    # pair fanout as two broadcast HASH joins (optimization r16, guide §3):
+    # the former single join on (__g == group_a) OR (__g == group_b) is a
+    # non-equi condition, so it planned as BroadcastNestedLoopJoin — every
+    # data row evaluated against every pair, O(rows × pairs) comparisons
+    # that grow quadratically with the group count. Joining each role
+    # separately makes both sides hashable (O(1) probes); the union is the
+    # identical row multiset (group_a < group_b, so a row matches at most
+    # one role per pair) and the downstream per-(pair, value) aggregation
+    # is order-insensitive.
+    tagged = (
+        e.join(F.broadcast(pairs), F.col("__g") == F.col("group_a")).select(
+            "group_a", "group_b", "__v", F.lit(1).alias("a"), F.lit(0).alias("b")
+        )
+    ).unionAll(
+        e.join(F.broadcast(pairs), F.col("__g") == F.col("group_b")).select(
+            "group_a", "group_b", "__v", F.lit(0).alias("a"), F.lit(1).alias("b")
+        )
     )
     pervalue = tagged.groupBy("group_a", "group_b", "__v").agg(
         F.sum("a").alias("ca"), F.sum("b").alias("cb")

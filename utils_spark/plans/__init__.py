@@ -227,6 +227,43 @@ def broadcast_audit(df: DataFrame) -> list[str]:
     return violations
 
 
+# Scratch-cache registry (optimization r16, guide §5 "unpersist when done"
+# + VERDICT r15 item 2): operators persist intermediates that self-joins /
+# multi-consumer tails re-read, but a lazily returned DataFrame gives the
+# operator no post-action hook to unpersist — so every persist leaked for
+# the session lifetime, and the bench's min-of-2 second rep silently read
+# the first rep's materialized cache instead of doing per-run work. Every
+# operator-scratch persist now registers here; harnesses (bench.py between
+# reps, tools/time_registry.py, tools/driver_sim.py between queries) call
+# ``release_scratch_caches()`` after each terminal action. Long-lived
+# sessions embedding these operators should do the same once downstream
+# actions on the returned frames have run.
+_SCRATCH_CACHES: list[DataFrame] = []
+
+
+def scratch_persist(df: DataFrame, storage_level=None) -> DataFrame:
+    """``df.persist()`` + registration for ``release_scratch_caches()``."""
+    df = df.persist() if storage_level is None else df.persist(storage_level)
+    _SCRATCH_CACHES.append(df)
+    return df
+
+
+def release_scratch_caches() -> int:
+    """Unpersist every registered scratch cache (blocking=False); returns
+    how many were released. Safe to call with a stopped/replaced session —
+    release failures are swallowed (the JVM-side cache dies with the
+    session anyway)."""
+    n = 0
+    while _SCRATCH_CACHES:
+        df = _SCRATCH_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
 def cut_lineage(df: DataFrame) -> DataFrame:
     """``localCheckpoint`` + plan-statistics reset, for iterative algorithms.
 

@@ -222,9 +222,11 @@ def batch_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("label") % 2).cast("string").alias("batch"),
         F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
     )
-    corrected = harmony_soft(
-        d, "vec_id", "vec", "batch", k=4, n_iter=2, sigma=1.0, theta=1.0
-    ).cache()
+    from utils_spark.plans import scratch_persist
+
+    corrected = scratch_persist(
+        harmony_soft(d, "vec_id", "vec", "batch", k=4, n_iter=2, sigma=1.0, theta=1.0)
+    )
 
     def centroid_gap(col: str):
         per_dim = (
@@ -735,7 +737,9 @@ def denoised_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fitted = loess_trend(mv, "feature", "mean", "var")
     w = Window.orderBy(F.desc("bio_var"), F.asc("feature"))
-    ranked = fitted.withColumn("rnk", F.row_number().over(w)).cache()
+    from utils_spark.plans import scratch_persist
+
+    ranked = scratch_persist(fitted.withColumn("rnk", F.row_number().over(w)))
     sel = F.col("rnk") <= 20
     return ranked.agg(
         F.count("*").alias("n_features"),

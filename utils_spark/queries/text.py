@@ -22,6 +22,7 @@ from utils_spark.functions import (
     word_tokens,
 )
 from utils_spark.io import load_table, spread_low_parallelism
+from utils_spark.plans import scratch_persist
 from utils_spark.registry import register
 
 # tiny deterministic English stopword profile for quality/lang scoring
@@ -822,9 +823,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5-per-shingle signature pass (measured 6.2 s + 9.2 s of
     # executorRunTime across the two sides of minhash_lsh_pairs at sf0.1).
     # One (doc_id, 16 longs) row per doc — tiny at any scale.
-    sig = d.select(
-        "doc_id", _minhash_sig_col(char_shingles("text", 5), n_hashes).alias("sig")
-    ).persist()
+    sig = scratch_persist(
+        d.select("doc_id", _minhash_sig_col(char_shingles("text", 5), n_hashes).alias("sig"))
+    )
     bands = sig.select(
         "doc_id",
         "sig",
@@ -1191,9 +1192,9 @@ def fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5-per-shingle signature pass (measured 6.2 s + 9.2 s of
     # executorRunTime across the two sides of minhash_lsh_pairs at sf0.1).
     # One (doc_id, 16 longs) row per doc — tiny at any scale.
-    sig = d.select(
-        "doc_id", _minhash_sig_col(char_shingles("text", 5), n_hashes).alias("sig")
-    ).persist()
+    sig = scratch_persist(
+        d.select("doc_id", _minhash_sig_col(char_shingles("text", 5), n_hashes).alias("sig"))
+    )
     bands = sig.select(
         "doc_id",
         "sig",
