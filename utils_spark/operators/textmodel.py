@@ -452,11 +452,43 @@ def _viterbi_chain(words: DataFrame, vocab: DataFrame):
     checkpointed between the passes (dp/__m columns dropped first, so
     the materialized rows are (w, n, MAXLEN ints) — never the per-row
     vocab map); values are bit-identical either way."""
-    NEG = F.lit(-1.0e9)
+    dp_k_levels, on_levels, piece_at = _viterbi_chain_exprs()
     vmap = vocab.agg(
         F.map_from_entries(F.collect_list(F.struct("piece", "logp"))).alias("__m")
     )
     cur = words.crossJoin(F.broadcast(vmap)).withColumn("dp_0", F.lit(0.0))
+    for i, (dp, kc) in enumerate(dp_k_levels, 1):
+        cur = cur.withColumn(f"dp_{i}", dp)
+        cur = cur.withColumn(f"k_{i}", kc)
+    if UNIGRAM_CHAIN_CUT:
+        from utils_spark.plans import cut_lineage
+
+        keep = [c for c in cur.columns if not c.startswith("dp_") and c != "__m"]
+        cur = cut_lineage(cur.select(*keep))
+    for i, on in on_levels:
+        cur = cur.withColumn(f"on_{i}", on)
+    return cur, list(piece_at)
+
+
+# The chain's column expressions are pure functions of (UNIGRAM_MAXLEN,
+# UNIGRAM_MAXP) over fixed column NAMES — independent of any input frame —
+# so they are built once per process and reused (optimization r16, the
+# same py4j lesson as harmony_soft: constructing ~1000 Column objects via
+# operator overloads costs a gateway round trip per operator, measured
+# ~7 s of pure driver Python PER CHAIN BUILD, and one query builds up to
+# five chains: two trainer EM rounds + final segmentation + the apply
+# head/tail twins). Column objects are immutable and reusable across
+# DataFrames; the cache is lazy because Column creation needs a live JVM.
+_CHAIN_EXPR_CACHE: dict = {}
+
+
+def _viterbi_chain_exprs():
+    key = (UNIGRAM_MAXLEN, UNIGRAM_MAXP)
+    got = _CHAIN_EXPR_CACHE.get(key)
+    if got is not None:
+        return got
+    NEG = F.lit(-1.0e9)
+    dp_k_levels = []
     for i in range(1, UNIGRAM_MAXLEN + 1):
         cands = []
         for k in range(1, min(UNIGRAM_MAXP, i) + 1):
@@ -466,31 +498,29 @@ def _viterbi_chain(words: DataFrame, vocab: DataFrame):
                     F.length("w") >= i, F.coalesce(F.col(f"dp_{i - k}") + lp, NEG)
                 ).otherwise(NEG)
             )
-        cur = cur.withColumn(f"dp_{i}", F.greatest(*cands) if len(cands) > 1 else cands[0])
+        dp = F.greatest(*cands) if len(cands) > 1 else cands[0]
         # first matching WHEN wins → smallest piece length breaks ties
         kc = None
         for k in range(1, len(cands) + 1):
             cond = cands[k - 1] == F.col(f"dp_{i}")
             kc = F.when(cond, k) if kc is None else kc.when(cond, k)
-        cur = cur.withColumn(f"k_{i}", kc.otherwise(1))
-    if UNIGRAM_CHAIN_CUT:
-        from utils_spark.plans import cut_lineage
-
-        keep = [c for c in cur.columns if not c.startswith("dp_") and c != "__m"]
-        cur = cut_lineage(cur.select(*keep))
+        dp_k_levels.append((dp, kc.otherwise(1)))
+    on_levels = []
     for i in range(UNIGRAM_MAXLEN, 0, -1):
         on = F.length("w") == i
         for k in range(1, UNIGRAM_MAXP + 1):
             if i + k <= UNIGRAM_MAXLEN:
                 on = on | (F.col(f"on_{i + k}") & (F.col(f"k_{i + k}") == k))
-        cur = cur.withColumn(f"on_{i}", on)
+        on_levels.append((i, on))
     piece_at = []
     for i in range(1, UNIGRAM_MAXLEN + 1):
         sub = F.lit(None).cast("string")
         for k in range(1, min(UNIGRAM_MAXP, i) + 1):
             sub = F.when(F.col(f"k_{i}") == k, F.col("w").substr(i - k + 1, k)).otherwise(sub)
         piece_at.append(F.when((F.length("w") >= i) & F.col(f"on_{i}"), sub))
-    return cur, piece_at
+    got = (tuple(dp_k_levels), tuple(on_levels), tuple(piece_at))
+    _CHAIN_EXPR_CACHE[key] = got
+    return got
 
 
 def _viterbi_segments(words: DataFrame, vocab: DataFrame) -> DataFrame:
