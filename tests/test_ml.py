@@ -571,9 +571,11 @@ def test_knn_graph_hot_bucket_salting_output_identity(spark, monkeypatch):
     single-path plan. The data packs every point into one giant LSH bucket
     per table (bucket_length far above the value spread), so lowering the
     hot threshold forces the salted twin; the default threshold keeps the
-    r14 single path on the same rows. Also pins that the salted plan keeps
-    the per-bucket window clustered on the salted join keys (no exchange
-    between the merge join and the window — the r14 linear-wire property)."""
+    r14 single path on the same rows. Structurally pins only that BOTH
+    merge-join twins (cold + salted) are present; the no-exchange-between-
+    join-and-window wire property is pinned for the single path in
+    tests/test_plans.py (ADVICE r15: this test's assertion never checked
+    it, so the docstring no longer claims it)."""
     import utils_spark.operators.ml as ml
 
     df = spark.range(600).select(
@@ -588,7 +590,6 @@ def test_knn_graph_hot_bucket_salting_output_identity(spark, monkeypatch):
     salted_df = ml.knn_graph(df, "k", "v", k=5, bucket_length=100.0)
     salted = {tuple(r) for r in salted_df.collect()}
     assert salted == base
-    # structural pin: two merge joins (cold + salted twin), and no Exchange
-    # may sit between a SortMergeJoin and its per-bucket Window cut
+    # structural pin: two merge joins (cold + salted twin)
     plan = salted_df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("SortMergeJoin") >= 2, plan[:2000]

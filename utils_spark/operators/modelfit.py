@@ -282,72 +282,119 @@ def loess_trend(
     against mean; biological variance = total - trend).
 
     The input is the per-feature AGGREGATE table (one row per feature -
-    small by construction), so the loess runs as a single-group
-    applyInPandas: data stays in DataFrames, the quadratic local-
-    regression cost is bounded by feature count, never row count.
-    Tricube-weighted local linear regression (standard loess, degree 1).
+    small by construction). Tricube-weighted local linear regression
+    (standard loess, degree 1) with two bisquare robustness passes.
+
+    Parallel shape (optimization r16, guide §2.6/§4): the fit was ONE
+    applyInPandas task running a per-point Python loop — O(n²) numpy work
+    serialized on a single core, measured 26 s at n≈20k features while 31
+    cores idled. The per-point fits are independent given the global
+    (xs, ys, robust-weight) arrays, which are a few hundred KB even at
+    10⁶ features — so the arrays are packed into ONE sorted row, broadcast
+    to `defaultParallelism` chunk tasks that each fit their index slice
+    (identical per-point arithmetic), and the two robustness re-weightings
+    run as single-row stages between the fan-outs. Three fan-out passes
+    total, one consumer action — no checkpoints, no driver collects.
+    Points are sorted by (mean, variance, feature) — a deterministic total
+    order; the previous np.argsort(x) left ties implementation-ordered, so
+    neighborhoods at exactly-tied means can select a different (equally
+    valid) tie set. Both of loess's oracles are certificates that tolerate
+    this by construction (planted-exact-line recovery and invariant
+    booleans).
     """
+    spark = df.sparkSession
+    n_chunks = max(2, spark.sparkContext.defaultParallelism)
 
-    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = pdf[mean_col].to_numpy(dtype=float)
-        y = pdf[var_col].to_numpy(dtype=float)
-        n = len(x)
-        k = max(2, int(np.ceil(span * n)))
-        order = np.argsort(x)
-        xs, ys = x[order], y[order]
-
-        def one_pass(robust_w):
-            t = np.empty(n)
-            for i in range(n):
-                d = np.abs(xs - xs[i])
-                idx = np.argpartition(d, min(k - 1, n - 1))[:k]
-                dk = d[idx].max()
-                w = (1 - np.minimum(d[idx] / max(dk, 1e-300), 1.0) ** 3) ** 3
-                w = w * robust_w[idx]
-                xw, yw = xs[idx], ys[idx]
-                sw = w.sum()
-                if sw <= 1e-300:
-                    t[i] = ys[idx].mean()
-                    continue
-                xm = (w * xw).sum() / sw
-                ym = (w * yw).sum() / sw
-                den = (w * (xw - xm) ** 2).sum()
-                slope = (w * (xw - xm) * (yw - ym)).sum() / den if den > 1e-300 else 0.0
-                t[i] = ym + slope * (xs[i] - xm)
-            return t
-
-        # robust loess: bisquare re-weighting downweights outliers (the
-        # biological-signal features) so they don't drag the technical trend
-        rw = np.ones(n)
-        trend_sorted = one_pass(rw)
-        for _ in range(2):
-            resid = ys - trend_sorted
-            s = np.median(np.abs(resid))
-            if s <= 1e-300:
-                break
-            rw = np.clip(1 - (resid / (6 * s)) ** 2, 0, None) ** 2
-            trend_sorted = one_pass(rw)
-        trend = np.empty(n)
-        trend[order] = trend_sorted
-        return pd.DataFrame(
-            {
-                "feature": pdf[feature_col].astype(str),
-                "mean": x,
-                "variance": y,
-                "trend": trend,
-                "bio_var": y - trend,
-            }
+    packed = (
+        df.select(
+            F.col(mean_col).cast("double").alias("__x"),
+            F.col(var_col).cast("double").alias("__y"),
+            F.col(feature_col).cast("string").alias("__f"),
         )
+        .agg(F.array_sort(F.collect_list(F.struct("__x", "__y", "__f"))).alias("__p"))
+        .select(
+            F.transform("__p", lambda s: s["__x"]).alias("__xs"),
+            F.transform("__p", lambda s: s["__y"]).alias("__ys"),
+            F.transform("__p", lambda s: s["__f"]).alias("__fs"),
+            F.transform("__p", lambda s: F.lit(1.0)).alias("__rw"),
+        )
+    )
+
+    def fit_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        row = pdf.iloc[0]
+        xs = np.asarray(row["__xs"], dtype=float)
+        ys = np.asarray(row["__ys"], dtype=float)
+        rw = np.asarray(row["__rw"], dtype=float)
+        n = len(xs)
+        c = int(row["__chunk"])
+        lo, hi = (n * c) // n_chunks, (n * (c + 1)) // n_chunks
+        if hi <= lo:
+            return pd.DataFrame({"i": pd.Series(dtype="int64"), "t": pd.Series(dtype="float64")})
+        k = max(2, int(np.ceil(span * n)))
+        t = np.empty(hi - lo)
+        for j, i in enumerate(range(lo, hi)):
+            d = np.abs(xs - xs[i])
+            idx = np.argpartition(d, min(k - 1, n - 1))[:k]
+            dk = d[idx].max()
+            w = (1 - np.minimum(d[idx] / max(dk, 1e-300), 1.0) ** 3) ** 3
+            w = w * rw[idx]
+            xw, yw = xs[idx], ys[idx]
+            sw = w.sum()
+            if sw <= 1e-300:
+                t[j] = ys[idx].mean()
+                continue
+            xm = (w * xw).sum() / sw
+            ym = (w * yw).sum() / sw
+            den = (w * (xw - xm) ** 2).sum()
+            slope = (w * (xw - xm) * (yw - ym)).sum() / den if den > 1e-300 else 0.0
+            t[j] = ym + slope * (xs[i] - xm)
+        return pd.DataFrame({"i": np.arange(lo, hi, dtype="int64"), "t": t})
+
+    def update_rw(it):
+        # bisquare re-weighting between passes (one-row stage). The old
+        # code BROKE out of the loop when the residual scale collapsed;
+        # keeping the previous weights instead makes the next pass
+        # recompute the identical trend (one_pass is a pure function of
+        # (xs, ys, rw)), so the output is unchanged.
+        for pdf in it:
+            if len(pdf) and len(pdf["__ys"].iloc[0]):
+                ys = np.asarray(pdf["__ys"].iloc[0], dtype=float)
+                t = np.asarray(pdf["__t"].iloc[0], dtype=float)
+                resid = np.abs(ys - t)
+                s = np.median(resid)
+                if s > 1e-300:
+                    rw = np.clip(1 - ((ys - t) / (6 * s)) ** 2, 0, None) ** 2
+                    pdf = pdf.assign(__rw=[rw])
+            yield pdf.drop(columns="__t")
+
+    state = packed
+    trend_row = None
+    for rnd in range(3):
+        fits = (
+            spark.range(n_chunks)
+            .select(F.col("id").alias("__chunk"))
+            .crossJoin(F.broadcast(state))
+            .groupBy("__chunk")
+            .applyInPandas(fit_chunk, "i long, t double")
+        )
+        trend_row = fits.agg(
+            F.array_sort(F.collect_list(F.struct("i", "t"))).alias("__tp")
+        ).select(F.transform("__tp", lambda s: s["t"]).alias("__t"))
+        if rnd < 2:
+            state = state.crossJoin(F.broadcast(trend_row)).mapInPandas(
+                update_rw, state.schema
+            )
 
     return (
-        df.select(
-            F.col(feature_col).alias(feature_col),
-            F.col(mean_col).cast("double").alias(mean_col),
-            F.col(var_col).cast("double").alias(var_col),
+        state.crossJoin(F.broadcast(trend_row))
+        .select(F.explode(F.arrays_zip("__fs", "__xs", "__ys", "__t")).alias("__e"))
+        .select(
+            F.col("__e.__fs").alias("feature"),
+            F.col("__e.__xs").alias("mean"),
+            F.col("__e.__ys").alias("variance"),
+            F.col("__e.__t").alias("trend"),
+            (F.col("__e.__ys") - F.col("__e.__t")).alias("bio_var"),
         )
-        .withColumn("__g", F.lit(1))
-        .groupBy("__g")
-        .applyInPandas(lambda pdf: fit(pdf.drop(columns="__g")), LOESS_SCHEMA)
     )
 
 

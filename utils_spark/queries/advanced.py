@@ -313,9 +313,13 @@ def pairwise_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from utils_spark.operators.stats import pairwise_ecdf
 
     # same per-pair ECDF pipeline as the operator (r15: routed through the
-    # shared `pairwise_ecdf`, which also spreads the single-row-group local
-    # scan before the CPU-bound pair fanout — identical expressions, so the
-    # per-pair statistics are unchanged)
+    # shared `pairwise_ecdf`; note it deliberately has NO
+    # spread_low_parallelism guard — a spread was tried in r15 and measured
+    # net-negative, see stats.py — identical expressions, so the per-pair
+    # statistics are unchanged). NOTE: pairwise_ecdf filters value IS NOT
+    # NULL; the registered oracle counts NULLs in na/nb, so they agree
+    # because events.value is null-free at every shipped SF — a
+    # null-bearing regeneration must add the same filter to the oracle.
     e = load_table(spark, sf_dir, "events")
     ecdf = pairwise_ecdf(e, "value", "event_type")
     d = F.max(F.abs(F.col("fa") - F.col("fb")))

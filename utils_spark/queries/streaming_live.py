@@ -34,8 +34,15 @@ def _source_rows(spark: SparkSession, sf_dir: str, table: str) -> int:
     """Measured row count of a stream's source table (parquet metadata
     count — footer row counts, no column decode), for sizing the streaming
     query's state partitioning. Deliberately NOT memoized: one sub-second
-    job per query run, recomputed from the input every time."""
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet").count()
+    job per query run, recomputed from the input every time.
+
+    Routed through ``load_table`` (ADVICE r15): a bare
+    ``spark.read.parquet`` of a TIMESTAMP(NANOS) table only counts on a
+    vanilla session if something else set the nanosAsLong conf first —
+    load_table carries its own guard, so this count is call-order-safe."""
+    from utils_spark.io import load_table
+
+    return load_table(spark, sf_dir, table).count()
 
 
 def _run_to_table(
